@@ -1,0 +1,294 @@
+"""Construction and format conversion.
+
+The reference implements every conversion with the sequential
+count → cumsum → scatter idiom (coo_to_csc at src/CSparse3/csc_numba.py:331-357,
+csc_transpose at csc_numba.py:400-436, csr_tocsc at src/sparsetools/csr.h:418-461).
+On TPU those become data-parallel primitives:
+
+  count   -> jnp.bincount (segment histogram)
+  cumsum  -> jnp.cumsum
+  scatter -> stable sort by destination key
+
+Sorting uses a *stable double argsort* (sort by minor key, then stable sort
+by major key) instead of a fused ``col*m + row`` integer key so that no
+int64 arithmetic is required for >46k-dimensional matrices when x64 is off.
+
+Sizing results (unique nnz after dedup) are data-dependent, so the eager
+API syncs one scalar to host per conversion — the static-shape analogue of
+the reference's dynamic realloc (csc_numba.py:261-278).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_config
+from ..types import BSR, COO, CSC, CSR
+
+__all__ = [
+    "expand_indptr",
+    "compress_indptr",
+    "coo_to_csc",
+    "csc_to_csr",
+    "csr_to_csc",
+    "csc_to_coo",
+    "transpose",
+    "csc_to_dense",
+    "coo_to_dense",
+    "dense_to_csc",
+    "csc_to_bsr",
+    "bsr_to_dense",
+    "canonicalize",
+    "eye",
+    "diag",
+    "diags",
+    "from_triplets",
+    "random_csc",
+]
+
+
+def expand_indptr(indptr, nnz: int):
+    """indptr -> per-entry segment id (reference: csr.h:84 ``expandptr``).
+
+    For entry k, its segment is the number of segment boundaries <= k.
+    """
+    if nnz == 0:
+        return jnp.zeros((0,), dtype=indptr.dtype)
+    k = jnp.arange(nnz, dtype=indptr.dtype)
+    return (jnp.searchsorted(indptr, k, side="right") - 1).astype(indptr.dtype)
+
+
+def compress_indptr(seg_ids, nseg: int, nnz: int | None = None):
+    """Sorted per-entry segment ids -> indptr of length nseg+1."""
+    idx_dtype = get_config().index_dtype
+    counts = jnp.bincount(seg_ids, length=nseg)
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), dtype=counts.dtype), jnp.cumsum(counts)]
+    )
+    return indptr.astype(idx_dtype)
+
+
+def _stable_sort_by(major, minor, *payloads):
+    """Sort payloads by (major, minor) using two stable argsorts."""
+    p1 = jnp.argsort(minor, stable=True)
+    major = major[p1]
+    p2 = jnp.argsort(major, stable=True)
+    perm = p1[p2]
+    return (major[p2],) + tuple(p[perm] for p in payloads)
+
+
+def _dedup_sorted(keys_major, keys_minor, vals, *, sum_dup=True):
+    """Collapse duplicate (major, minor) pairs in sorted triplet streams.
+
+    Returns (major, minor, vals, nunique) with arrays still full-length;
+    entries [nunique:] are garbage to be trimmed by the caller.
+    """
+    nnz = keys_major.shape[0]
+    if nnz == 0:
+        return keys_major, keys_minor, vals, 0
+    prev_major = jnp.concatenate([keys_major[:1] - 1, keys_major[:-1]])
+    prev_minor = jnp.concatenate([keys_minor[:1] - 1, keys_minor[:-1]])
+    new_group = (keys_major != prev_major) | (keys_minor != prev_minor)
+    gid = jnp.cumsum(new_group) - 1
+    nunique = int(gid[-1]) + 1
+    out_major = jnp.zeros((nnz,), dtype=keys_major.dtype).at[gid].set(keys_major)
+    out_minor = jnp.zeros((nnz,), dtype=keys_minor.dtype).at[gid].set(keys_minor)
+    if sum_dup:
+        out_vals = jax.ops.segment_sum(vals, gid, num_segments=nnz)
+    else:  # last writer wins (LIL semantics)
+        out_vals = jnp.zeros((nnz,), dtype=vals.dtype).at[gid].set(vals)
+    return out_major, out_minor, out_vals, nunique
+
+
+def from_triplets(rows, cols, vals, shape, *, sum_duplicates=True) -> CSC:
+    """Build a canonical CSC from COO triplets
+    (reference: coo_to_csc, src/CSparse3/csc_numba.py:331-357 — which keeps
+    duplicates; here duplicates are summed by default, scipy-style, which is
+    what Ybus assembly needs)."""
+    m, n = shape
+    cfg = get_config()
+    rows = jnp.asarray(rows, dtype=cfg.index_dtype)
+    cols = jnp.asarray(cols, dtype=cfg.index_dtype)
+    vals = jnp.asarray(vals)
+    if rows.shape[0] == 0:
+        return _empty_csc(m, n, vals.dtype)
+    c_s, r_s, v_s = _stable_sort_by(cols, rows, rows, vals)
+    if sum_duplicates:
+        c_u, r_u, v_u, k = _dedup_sorted(c_s, r_s, v_s)
+        c_u, r_u, v_u = c_u[:k], r_u[:k], v_u[:k]
+    else:
+        c_u, r_u, v_u = c_s, r_s, v_s
+    indptr = compress_indptr(c_u, n)
+    return CSC(m, n, indptr, r_u, v_u, canonical=True)
+
+
+def coo_to_csc(coo: COO, sum_duplicates: bool = True) -> CSC:
+    k = coo.nnz
+    return from_triplets(
+        coo.rows[:k], coo.cols[:k], coo.data[:k], coo.shape,
+        sum_duplicates=sum_duplicates,
+    )
+
+
+def _empty_csc(m, n, dtype) -> CSC:
+    idx = get_config().index_dtype
+    return CSC(
+        m,
+        n,
+        jnp.zeros((n + 1,), dtype=idx),
+        jnp.zeros((0,), dtype=idx),
+        jnp.zeros((0,), dtype=dtype),
+    )
+
+
+def csc_to_coo(a: CSC) -> COO:
+    k = a.nnz
+    cols = expand_indptr(a.indptr, k)
+    return COO(a.m, a.n, a.indices[:k], cols, a.data[:k])
+
+
+def csc_to_csr(a: CSC) -> CSR:
+    """CSC -> CSR re-sort (reference: csc_to_csr, csc_numba.py:360-397)."""
+    k = a.nnz
+    cols = expand_indptr(a.indptr, k)
+    rows = a.indices[:k]
+    vals = a.data[:k]
+    r_s, c_s, v_s = _stable_sort_by(rows, cols, cols, vals)
+    indptr = compress_indptr(r_s, a.m)
+    return CSR(a.m, a.n, indptr, c_s, v_s, canonical=a.canonical)
+
+
+def csr_to_csc(a: CSR) -> CSC:
+    k = a.nnz
+    rows = expand_indptr(a.indptr, k)
+    cols = a.indices[:k]
+    vals = a.data[:k]
+    c_s, r_s, v_s = _stable_sort_by(cols, rows, rows, vals)
+    indptr = compress_indptr(c_s, a.n)
+    return CSC(a.m, a.n, indptr, r_s, v_s, canonical=a.canonical)
+
+
+def transpose(a: CSC) -> CSC:
+    """A^T (reference: csc_transpose, csc_numba.py:400-436).
+
+    The transpose of CSC(m,n) viewed column-wise is exactly a CSR(m,n)
+    re-sort with roles swapped, i.e. one stable sort by old row index.
+    """
+    k = a.nnz
+    old_cols = expand_indptr(a.indptr, k)
+    old_rows = a.indices[:k]
+    vals = a.data[:k]
+    # new matrix: shape (n, m); new col = old row, new row = old col
+    c_s, r_s, v_s = _stable_sort_by(old_rows, old_cols, old_cols, vals)
+    indptr = compress_indptr(c_s, a.m)
+    return CSC(a.n, a.m, indptr, r_s, v_s, canonical=a.canonical)
+
+
+def canonicalize(a: CSC, *, sum_duplicates=True) -> CSC:
+    """Sort rows within columns + merge duplicates
+    (reference: csr_sort_indices csr.h:358 + csr_sum_duplicates csr.h:1030)."""
+    coo = csc_to_coo(a)
+    return coo_to_csc(coo, sum_duplicates=sum_duplicates)
+
+
+def csc_to_dense(a: CSC):
+    k = a.nnz
+    cols = expand_indptr(a.indptr, k)
+    out = jnp.zeros((a.m, a.n), dtype=a.data.dtype)
+    return out.at[a.indices[:k], cols].add(a.data[:k])
+
+
+def coo_to_dense(a: COO):
+    k = a.nnz
+    out = jnp.zeros((a.m, a.n), dtype=a.data.dtype)
+    return out.at[a.rows[:k], a.cols[:k]].add(a.data[:k])
+
+
+def dense_to_csc(arr) -> CSC:
+    arr_np = np.asarray(arr)
+    rows, cols = np.nonzero(arr_np)
+    return from_triplets(rows, cols, arr_np[rows, cols], arr_np.shape)
+
+
+def csc_to_bsr(a: CSC, block=None) -> BSR:
+    """Pack into MXU-aligned dense blocks (reference blueprint:
+    csr_count_blocks csr.h:157, csr_tobsr csr.h:204)."""
+    cfg = get_config()
+    R, C = block if block is not None else cfg.bsr_block
+    ip, rows, vals = a.np_arrays()
+    cols = np.repeat(np.arange(a.n), np.diff(ip))
+    br, bc = rows // R, cols // C
+    mb, nb = -(-a.m // R), -(-a.n // C)
+    key = br.astype(np.int64) * nb + bc
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, inv_start = np.unique(key_s, return_index=True)
+    nblocks = uniq.shape[0]
+    block_of_entry = np.searchsorted(uniq, key)
+    data = np.zeros((max(nblocks, 1), R, C), dtype=vals.dtype)
+    data[block_of_entry, rows % R, cols % C] += vals
+    ubr, ubc = (uniq // nb).astype(cfg.index_dtype), (uniq % nb).astype(cfg.index_dtype)
+    indptr = np.zeros(mb + 1, dtype=cfg.index_dtype)
+    np.add.at(indptr, ubr + 1, 1)
+    indptr = np.cumsum(indptr).astype(cfg.index_dtype)
+    return BSR(a.m, a.n, R, C, jnp.asarray(indptr), jnp.asarray(ubc),
+               jnp.asarray(data), nnz_blocks=nblocks)
+
+
+def bsr_to_dense(a: BSR):
+    mb, nb, R, C = a.mb, a.nb, a.R, a.C
+    out = jnp.zeros((mb * R, nb * C), dtype=a.data.dtype)
+    ip = np.asarray(a.indptr)
+    brs = np.repeat(np.arange(mb), np.diff(ip))
+    bcs = np.asarray(a.indices)[: a.nnz_blocks]
+    for k in range(a.nnz_blocks):
+        r0, c0 = int(brs[k]) * R, int(bcs[k]) * C
+        out = out.at[r0 : r0 + R, c0 : c0 + C].add(a.data[k])
+    return out[: a.m, : a.n]
+
+
+def eye(n, dtype=None, k: int = 0) -> CSC:
+    cfg = get_config()
+    dtype = dtype or cfg.value_dtype
+    if k >= 0:
+        rows = np.arange(0, n - k)
+        cols = rows + k
+    else:
+        cols = np.arange(0, n + k)
+        rows = cols - k
+    return from_triplets(rows, cols, np.ones(len(rows), dtype=dtype), (n, n))
+
+
+def diag(m, n, value) -> CSC:
+    """m x n matrix with ``value`` on the main diagonal
+    (reference: Diag, csc.py:556-569)."""
+    cfg = get_config()
+    d = min(m, n)
+    idx = np.arange(d)
+    vals = np.full(d, value, dtype=cfg.value_dtype)
+    return from_triplets(idx, idx, vals, (m, n))
+
+
+def diags(array) -> CSC:
+    """Square diagonal matrix from a vector (reference: Diags, csc.py:572-585)."""
+    array = jnp.asarray(array)
+    d = array.shape[0]
+    idx = np.arange(d)
+    return from_triplets(idx, idx, array, (d, d))
+
+
+def random_csc(m, n, density=0.01, seed=0, dtype=None) -> CSC:
+    """Random test matrix (the reference tests use scipy.sparse.random with
+    seed 0, test1_operations.py:13-18 — this is the in-package equivalent)."""
+    cfg = get_config()
+    dtype = dtype or cfg.value_dtype
+    rng = np.random.default_rng(seed)
+    k = int(m * n * density)
+    rows = rng.integers(0, m, size=k)
+    cols = rng.integers(0, n, size=k)
+    vals = rng.standard_normal(k).astype(dtype)
+    return from_triplets(rows, cols, vals, (m, n))

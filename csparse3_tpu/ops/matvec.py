@@ -1,0 +1,145 @@
+"""SpMV / SpMM.
+
+Reference kernels: csc_matvec column-scatter (src/sparsetools/csc.h:28-45),
+csc_matvecs (csc.h:69-84), in-package csc_mat_vec_ff
+(src/CSparse3/csc_numba.py:309-328), csr_matvec row-gather dot
+(src/sparsetools/csr.h:1122-1137).
+
+TPU mapping (SURVEY §7): the scatter loop becomes
+
+    y = segment_sum(data * x[col_of_entry], row_of_entry, num_segments=m)
+
+one gather + one segment reduction, both single fused XLA HLOs.  For
+multi-RHS SpMM the same shape feeds the MXU via the BSR path
+(block-dense submatrices x dense RHS panels, see ``bsr_spmm``), and the
+Pallas backend (kernels/spmv_pallas.py) tiles rows across the grid.
+
+``SpMVPlan`` precomputes the per-entry (row, col) streams once so repeated
+products (power-flow iterations) pay zero structural overhead — the static
+analogue of the reference reusing its CSC arrays across calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_config
+from ..types import BSR, CSC
+from . import construct
+
+__all__ = ["spmv", "spmm", "SpMVPlan", "bsr_spmm"]
+
+
+def _entry_streams(a: CSC):
+    k = a.nnz
+    rows = a.indices[:k]
+    cols = construct.expand_indptr(a.indptr, k)
+    return rows, cols, a.data[:k]
+
+
+def _spmv_xla(rows, cols, vals, m, x):
+    return jax.ops.segment_sum(vals * x[cols], rows, num_segments=m)
+
+
+def _spmm_xla(rows, cols, vals, m, X):
+    return jax.ops.segment_sum(vals[:, None] * X[cols, :], rows, num_segments=m)
+
+
+def spmv(a: CSC, x, *, backend: str | None = None):
+    """y = A @ x  (reference: csc_matvec, csc.h:28-45)."""
+    backend = backend or get_config().backend
+    x = jnp.asarray(x)
+    if x.shape[0] != a.n:
+        raise ValueError(f"dim mismatch: A is {a.shape}, x is {x.shape}")
+    rows, cols, vals = _entry_streams(a)
+    if backend == "numpy":
+        y = np.zeros(a.m, dtype=np.result_type(vals.dtype, x.dtype))
+        np.add.at(y, np.asarray(rows), np.asarray(vals) * np.asarray(x)[np.asarray(cols)])
+        return jnp.asarray(y)
+    if backend == "pallas":
+        from ..kernels import spmv_pallas
+
+        return spmv_pallas.spmv(a, x)
+    return _spmv_xla(rows, cols, vals, a.m, x)
+
+
+def spmm(a: CSC, X, *, backend: str | None = None):
+    """Y = A @ X for dense multi-RHS X of shape (n, k)
+    (reference: csc_matvecs, csc.h:69-84)."""
+    backend = backend or get_config().backend
+    X = jnp.asarray(X)
+    if X.shape[0] != a.n:
+        raise ValueError(f"dim mismatch: A is {a.shape}, X is {X.shape}")
+    rows, cols, vals = _entry_streams(a)
+    if backend == "numpy":
+        Y = np.zeros((a.m, X.shape[1]), dtype=np.result_type(vals.dtype, X.dtype))
+        np.add.at(
+            Y, np.asarray(rows), np.asarray(vals)[:, None] * np.asarray(X)[np.asarray(cols)]
+        )
+        return jnp.asarray(Y)
+    return _spmm_xla(rows, cols, vals, a.m, X)
+
+
+class SpMVPlan:
+    """Precomputed entry streams for repeated y = A x with fixed structure.
+
+    A pytree-friendly bundle: pass it into jitted solvers; only ``vals``
+    participates in differentiation.
+    """
+
+    def __init__(self, a: CSC):
+        rows, cols, vals = _entry_streams(a)
+        self.m, self.n = a.shape
+        self.rows = rows
+        self.cols = cols
+        self.vals = vals
+
+    def __call__(self, x):
+        if x.ndim == 1:
+            return _spmv_xla(self.rows, self.cols, self.vals, self.m, x)
+        return _spmm_xla(self.rows, self.cols, self.vals, self.m, x)
+
+
+jax.tree_util.register_pytree_node(
+    SpMVPlan,
+    lambda p: ((p.rows, p.cols, p.vals), (p.m, p.n)),
+    lambda aux, ch: _plan_unflatten(aux, ch),
+)
+
+
+def _plan_unflatten(aux, children):
+    obj = object.__new__(SpMVPlan)
+    obj.m, obj.n = aux
+    obj.rows, obj.cols, obj.vals = children
+    return obj
+
+
+def bsr_spmm(a: BSR, X):
+    """Y = A @ X with A in MXU-aligned BSR blocks: every block row does a
+    (R x C) @ (C x k) matmul on the MXU, then blocks reduce by block-row
+    (reference blueprint: bsr_matvecs via dense gemv, bsr.h:823;
+    block-Gustavson register blocking, bsr.h:249-316)."""
+    X = jnp.asarray(X)
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    nbk = a.nnz_blocks
+    mb, nb, R, C = a.mb, a.nb, a.R, a.C
+    k = X.shape[1]
+    Xp = jnp.zeros((nb * C, k), dtype=X.dtype).at[: a.n].set(X)
+    Xb = Xp.reshape(nb, C, k)
+    brows = construct.expand_indptr(a.indptr, nbk)
+    # (nbk, R, C) @ (nbk, C, k) -> (nbk, R, k) : batched MXU matmuls
+    prod = jnp.einsum(
+        "brc,bck->brk",
+        a.data[:nbk],
+        Xb[a.indices[:nbk]],
+        preferred_element_type=jnp.result_type(a.data.dtype, X.dtype),
+    )
+    Yb = jax.ops.segment_sum(prod, brows, num_segments=mb)
+    Y = Yb.reshape(mb * R, k)[: a.m]
+    return Y[:, 0] if squeeze else Y

@@ -1,0 +1,474 @@
+"""Core sparse containers (pytrees).
+
+Design (SURVEY.md §7 "Design stance"):
+
+* **Static shapes everywhere.**  Every container's arrays have a static
+  *capacity*; the logical ``nnz`` is static Python metadata (part of the
+  pytree aux data), so jitted functions re-trace when the sparsity pattern
+  size changes but never see dynamic shapes.  Entries past ``nnz`` are
+  *padding*: row index == m (column index == n) and value 0, so they sort to
+  the end and contribute nothing to segment reductions.
+
+* **CSC is the public interchange format** — fields m, n, indptr(int32),
+  indices(int32), data — byte-compatible with the reference layout
+  (reference: src/CSparse3/csc.py:95-138) so test vectors exchange directly
+  with scipy.  BSR with MXU-aligned blocks is the internal compute format.
+
+Containers are registered pytrees: they pass transparently through jit /
+shard_map / vmap, with (shape, nnz, flags) as static aux data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import get_config
+
+__all__ = ["CSC", "CSR", "COO", "BSR", "Dense"]
+
+Dense = Any  # alias for plain (m, n) arrays in signatures
+
+
+def _asarray(x, dtype=None):
+    return jnp.asarray(x, dtype=dtype)
+
+
+class _SparseBase:
+    """Shared plumbing for 2-D sparse containers."""
+
+    m: int
+    n: int
+    nnz: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def capacity(self) -> int:
+        return int(self.data.shape[0])
+
+    # -- numpy views (host) ------------------------------------------------
+    def np_arrays(self):
+        """Host numpy copies of the structure arrays, trimmed to nnz."""
+        raise NotImplementedError
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.data)
+        return self
+
+
+@jax.tree_util.register_pytree_node_class
+class CSC(_SparseBase):
+    """Compressed sparse column matrix.
+
+    Layout matches the reference (src/CSparse3/csc.py:52-87): for column j,
+    entries live at positions indptr[j]..indptr[j+1] of (indices=row ids,
+    data=values).  ``canonical`` means rows sorted within each column and no
+    duplicates (reference: src/sparsetools/csr.h:325 csr_has_canonical_format).
+    """
+
+    def __init__(self, m, n, indptr, indices, data, nnz=None, canonical=True):
+        self.m = int(m)
+        self.n = int(n)
+        self.indptr = _asarray(indptr)
+        self.indices = _asarray(indices)
+        self.data = _asarray(data)
+        self.nnz = int(nnz) if nnz is not None else int(self.indices.shape[0])
+        self.canonical = bool(canonical)
+
+    # pytree protocol
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (
+            self.m,
+            self.n,
+            self.nnz,
+            self.canonical,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m, n, nnz, canonical = aux
+        indptr, indices, data = children
+        obj = object.__new__(cls)
+        obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
+        obj.indptr, obj.indices, obj.data = indptr, indices, data
+        return obj
+
+    def __repr__(self):
+        return (
+            f"CSC(m={self.m}, n={self.n}, nnz={self.nnz}, "
+            f"cap={self.capacity}, dtype={self.data.dtype})"
+        )
+
+    def np_arrays(self):
+        k = self.nnz
+        return (
+            np.asarray(self.indptr),
+            np.asarray(self.indices)[:k],
+            np.asarray(self.data)[:k],
+        )
+
+    # -- conversions (lazy imports avoid cycles) ---------------------------
+    def todense(self):
+        from .ops import construct
+
+        return construct.csc_to_dense(self)
+
+    def to_csr(self) -> "CSR":
+        from .ops import construct
+
+        return construct.csc_to_csr(self)
+
+    def to_coo(self) -> "COO":
+        from .ops import construct
+
+        return construct.csc_to_coo(self)
+
+    def to_bsr(self, block=None) -> "BSR":
+        from .ops import construct
+
+        return construct.csc_to_bsr(self, block=block)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        ip, ix, dt = self.np_arrays()
+        return sp.csc_matrix((dt, ix, ip), shape=self.shape)
+
+    @classmethod
+    def from_scipy(cls, a) -> "CSC":
+        """Zero-copy adoption of a scipy CSC (reference: csc.py:541-553)."""
+        a = a.tocsc()
+        return cls(a.shape[0], a.shape[1], a.indptr, a.indices, a.data)
+
+    @classmethod
+    def from_dense(cls, arr) -> "CSC":
+        from .ops import construct
+
+        return construct.dense_to_csc(arr)
+
+    def copy(self) -> "CSC":
+        return CSC(
+            self.m,
+            self.n,
+            self.indptr,
+            self.indices,
+            self.data,
+            nnz=self.nnz,
+            canonical=self.canonical,
+        )
+
+    def astype(self, dtype) -> "CSC":
+        return CSC(
+            self.m,
+            self.n,
+            self.indptr,
+            self.indices,
+            self.data.astype(dtype),
+            nnz=self.nnz,
+            canonical=self.canonical,
+        )
+
+    # -- operator API (parity with reference CscMat, csc.py:44-538) --------
+    def __add__(self, other):
+        from .ops import arithmetic
+
+        return arithmetic.add(self, other)
+
+    def __sub__(self, other):
+        from .ops import arithmetic
+
+        return arithmetic.sub(self, other)
+
+    def __neg__(self):
+        from .ops import arithmetic
+
+        return arithmetic.scale(self, -1)
+
+    def __mul__(self, other):
+        """Polymorphic like the reference (csc.py:348-420): CSC·CSC SpGEMM,
+        CSC·vec SpMV, CSC·dense SpMM, CSC·scalar scale."""
+        from .ops import arithmetic, matvec, spgemm
+
+        if isinstance(other, CSC):
+            return spgemm.spgemm(self, other)
+        other_arr = jnp.asarray(other)
+        if other_arr.ndim == 0:
+            return arithmetic.scale(self, other_arr)
+        if other_arr.ndim == 1:
+            return matvec.spmv(self, other_arr)
+        return matvec.spmm(self, other_arr)
+
+    def __rmul__(self, other):
+        from .ops import arithmetic
+
+        other_arr = jnp.asarray(other)
+        if other_arr.ndim == 0:
+            return arithmetic.scale(self, other_arr)
+        return NotImplemented
+
+    def __matmul__(self, other):
+        return self.__mul__(other)
+
+    def dot(self, other):
+        """General SpGEMM (reference: csc.py:483-500 ``dot``)."""
+        from .ops import spgemm
+
+        return spgemm.spgemm(self, other)
+
+    def __eq__(self, other):  # exact compare, reference csc.py:432-457
+        from .ops import arithmetic
+
+        if not isinstance(other, CSC):
+            return NotImplemented
+        return arithmetic.equal(self, other)
+
+    __hash__ = None  # mutable-ish container
+
+    def __getitem__(self, key):
+        from .ops import slicing
+
+        return slicing.getitem(self, key)
+
+    def __setitem__(self, key, value):
+        raise TypeError(
+            "CSC is immutable; build with TripletBuilder / LilMat instead "
+            "(matches reference csc.py:288-292)"
+        )
+
+    def t(self) -> "CSC":
+        from .ops import construct
+
+        return construct.transpose(self)
+
+    @property
+    def T(self) -> "CSC":
+        return self.t()
+
+    def conj(self) -> "CSC":
+        return CSC(
+            self.m, self.n, self.indptr, self.indices, jnp.conj(self.data),
+            nnz=self.nnz, canonical=self.canonical,
+        )
+
+    def islands(self):
+        from .ops import graph
+
+        return graph.islands(self)
+
+    def get_nnz(self) -> int:
+        return self.nnz
+
+    def norm(self, ord=1):
+        from .ops import norms
+
+        return norms.norm(self, ord=ord)
+
+    def diagonal(self):
+        from .ops import reductions
+
+        return reductions.diagonal(self)
+
+    def sum(self, axis=None):
+        from .ops import reductions
+
+        return reductions.sum(self, axis=axis)
+
+
+@jax.tree_util.register_pytree_node_class
+class CSR(_SparseBase):
+    """Compressed sparse row matrix (row-gather SpMV format,
+    reference kernels: src/sparsetools/csr.h)."""
+
+    def __init__(self, m, n, indptr, indices, data, nnz=None, canonical=True):
+        self.m = int(m)
+        self.n = int(n)
+        self.indptr = _asarray(indptr)
+        self.indices = _asarray(indices)
+        self.data = _asarray(data)
+        self.nnz = int(nnz) if nnz is not None else int(self.indices.shape[0])
+        self.canonical = bool(canonical)
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (
+            self.m,
+            self.n,
+            self.nnz,
+            self.canonical,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m, n, nnz, canonical = aux
+        indptr, indices, data = children
+        obj = object.__new__(cls)
+        obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
+        obj.indptr, obj.indices, obj.data = indptr, indices, data
+        return obj
+
+    def __repr__(self):
+        return (
+            f"CSR(m={self.m}, n={self.n}, nnz={self.nnz}, "
+            f"cap={self.capacity}, dtype={self.data.dtype})"
+        )
+
+    def np_arrays(self):
+        k = self.nnz
+        return (
+            np.asarray(self.indptr),
+            np.asarray(self.indices)[:k],
+            np.asarray(self.data)[:k],
+        )
+
+    def to_csc(self) -> CSC:
+        from .ops import construct
+
+        return construct.csr_to_csc(self)
+
+    def todense(self):
+        from .ops import construct
+
+        return construct.csc_to_dense(self.to_csc())
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        ip, ix, dt = self.np_arrays()
+        return sp.csr_matrix((dt, ix, ip), shape=self.shape)
+
+    @classmethod
+    def from_scipy(cls, a) -> "CSR":
+        a = a.tocsr()
+        return cls(a.shape[0], a.shape[1], a.indptr, a.indices, a.data)
+
+
+@jax.tree_util.register_pytree_node_class
+class COO(_SparseBase):
+    """Triplet (coordinate) matrix — the construction format
+    (reference: src/CSparse3/coo.py)."""
+
+    def __init__(self, m, n, rows, cols, data, nnz=None):
+        self.m = int(m)
+        self.n = int(n)
+        self.rows = _asarray(rows)
+        self.cols = _asarray(cols)
+        self.data = _asarray(data)
+        self.nnz = int(nnz) if nnz is not None else int(self.rows.shape[0])
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.data), (self.m, self.n, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m, n, nnz = aux
+        rows, cols, data = children
+        obj = object.__new__(cls)
+        obj.m, obj.n, obj.nnz = m, n, nnz
+        obj.rows, obj.cols, obj.data = rows, cols, data
+        return obj
+
+    def __repr__(self):
+        return f"COO(m={self.m}, n={self.n}, nnz={self.nnz}, dtype={self.data.dtype})"
+
+    def np_arrays(self):
+        k = self.nnz
+        return (
+            np.asarray(self.rows)[:k],
+            np.asarray(self.cols)[:k],
+            np.asarray(self.data)[:k],
+        )
+
+    def to_csc(self, sum_duplicates: bool = True) -> CSC:
+        from .ops import construct
+
+        return construct.coo_to_csc(self, sum_duplicates=sum_duplicates)
+
+    def to_csr(self, sum_duplicates: bool = True) -> CSR:
+        from .ops import construct
+
+        return construct.coo_to_csc(self, sum_duplicates=sum_duplicates).to_csr()
+
+    def to_dense(self):
+        from .ops import construct
+
+        return construct.coo_to_dense(self)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        r, c, d = self.np_arrays()
+        return sp.coo_matrix((d, (r, c)), shape=self.shape)
+
+
+@jax.tree_util.register_pytree_node_class
+class BSR(_SparseBase):
+    """Block sparse row matrix with MXU-aligned dense blocks.
+
+    The internal compute format: data has shape (nblocks, R, C) so each
+    block feeds the MXU directly (reference blueprint:
+    src/sparsetools/bsr.h:249-316 block-Gustavson; csr.h:157/204
+    count_blocks / tobsr).  mb = m/R block rows, nb = n/C block cols; the
+    logical matrix is zero-padded up to (mb*R, nb*C).
+    """
+
+    def __init__(self, m, n, R, C, indptr, indices, data, nnz_blocks=None):
+        self.m = int(m)
+        self.n = int(n)
+        self.R = int(R)
+        self.C = int(C)
+        self.indptr = _asarray(indptr)
+        self.indices = _asarray(indices)
+        self.data = _asarray(data)
+        self.nnz_blocks = (
+            int(nnz_blocks) if nnz_blocks is not None else int(self.indices.shape[0])
+        )
+
+    @property
+    def mb(self) -> int:
+        return -(-self.m // self.R)
+
+    @property
+    def nb(self) -> int:
+        return -(-self.n // self.C)
+
+    @property
+    def nnz(self) -> int:  # dense-count inside blocks
+        return self.nnz_blocks * self.R * self.C
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (
+            self.m,
+            self.n,
+            self.R,
+            self.C,
+            self.nnz_blocks,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m, n, R, C, nnzb = aux
+        indptr, indices, data = children
+        obj = object.__new__(cls)
+        obj.m, obj.n, obj.R, obj.C, obj.nnz_blocks = m, n, R, C, nnzb
+        obj.indptr, obj.indices, obj.data = indptr, indices, data
+        return obj
+
+    def __repr__(self):
+        return (
+            f"BSR(m={self.m}, n={self.n}, block={self.R}x{self.C}, "
+            f"nnz_blocks={self.nnz_blocks}, dtype={self.data.dtype})"
+        )
+
+    def todense(self):
+        from .ops import construct
+
+        return construct.bsr_to_dense(self)

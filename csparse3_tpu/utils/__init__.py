@@ -1,0 +1,1 @@
+from .misc import dense_to_str, slice_to_range  # noqa: F401

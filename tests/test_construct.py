@@ -1,0 +1,113 @@
+"""Construction / conversion round-trips vs the scipy oracle
+(test model: reference cscs_to_csr_test.py and test1_operations.py)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import csparse3_tpu as cst
+
+from conftest import assert_csc_equal, rand_sp
+
+
+@pytest.mark.parametrize("seed,shape,density", [
+    (0, (50, 50), 0.05),
+    (1, (80, 30), 0.1),
+    (2, (30, 80), 0.02),
+    (3, (1, 1), 1.0),
+    (4, (200, 7), 0.3),
+])
+def test_from_triplets_vs_scipy(seed, shape, density):
+    rng = np.random.RandomState(seed)
+    k = max(1, int(shape[0] * shape[1] * density))
+    rows = rng.randint(0, shape[0], k)
+    cols = rng.randint(0, shape[1], k)
+    vals = rng.randn(k)
+    ours = cst.from_triplets(rows, cols, vals, shape)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsc()
+    ref.sum_duplicates()
+    assert_csc_equal(ours, ref)
+    assert ours.canonical
+
+
+def test_duplicates_summed():
+    ours = cst.from_triplets([0, 0, 1], [0, 0, 1], [1.0, 2.0, 5.0], (2, 2))
+    assert ours.nnz == 2
+    d = np.asarray(ours.todense())
+    np.testing.assert_array_equal(d, [[3.0, 0.0], [0.0, 5.0]])
+
+
+def test_round_trip_csr_dense(golden63):
+    a = cst.CSC.from_scipy(golden63)
+    # csc -> csr -> csc
+    back = a.to_csr().to_csc()
+    assert_csc_equal(back, golden63)
+    # csr arrays vs scipy csr (golden check, reference cscs_to_csr_test.py)
+    r = a.to_csr()
+    ref = golden63.tocsr()
+    ip, ix, dt = r.np_arrays()
+    np.testing.assert_array_equal(ip, ref.indptr)
+    np.testing.assert_array_equal(ix, ref.indices)
+    np.testing.assert_array_equal(dt, ref.data)
+    # dense
+    np.testing.assert_array_equal(np.asarray(a.todense()), golden63.toarray())
+    # coo
+    assert_csc_equal(a.to_coo().to_csc(), golden63)
+    # from_dense
+    assert_csc_equal(cst.dense_to_csc(golden63.toarray()), golden63)
+
+
+def test_transpose(golden63):
+    a = cst.CSC.from_scipy(golden63)
+    at = a.t()
+    assert_csc_equal(at, golden63.T)
+    assert_csc_equal(at.t(), golden63)
+    assert_csc_equal(a.T, golden63.T)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_transpose_random(seed):
+    a_sp = rand_sp(70, 40, 0.07, seed=seed)
+    a = cst.CSC.from_scipy(a_sp)
+    assert_csc_equal(a.t(), a_sp.T)
+
+
+def test_canonicalize_unsorted():
+    # deliberately unsorted rows within a column
+    indptr = np.array([0, 3, 4], dtype=np.int32)
+    indices = np.array([2, 0, 1, 1], dtype=np.int32)
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    a = cst.CSC(3, 2, indptr, indices, data, canonical=False)
+    c = cst.canonicalize(a)
+    ref = sp.csc_matrix((data, indices, indptr), shape=(3, 2))
+    ref.sort_indices()
+    assert_csc_equal(c, ref)
+
+
+def test_eye_diag_diags():
+    assert_csc_equal(cst.eye(5), sp.eye(5, format="csc"))
+    assert_csc_equal(cst.eye(5, k=1), sp.eye(5, k=1, format="csc"))
+    assert_csc_equal(cst.diag(4, 6, 3.0), sp.diags([3.0] * 4, shape=(4, 6)).tocsc())
+    v = np.arange(1.0, 6.0)
+    assert_csc_equal(cst.diags(v), sp.diags(v).tocsc())
+
+
+def test_bsr_round_trip(golden63):
+    a = cst.CSC.from_scipy(golden63)
+    b = a.to_bsr(block=(2, 2))
+    np.testing.assert_array_equal(np.asarray(b.todense()), golden63.toarray())
+
+
+def test_empty():
+    a = cst.from_triplets([], [], [], (4, 5))
+    assert a.nnz == 0
+    assert np.asarray(a.todense()).sum() == 0
+    assert_csc_equal(a.t(), sp.csc_matrix((5, 4)))
+
+
+def test_scipy_adoption(golden63):
+    a = cst.scipy_to_mat(golden63)
+    assert a.shape == (6, 3)
+    assert a.nnz == 10
+    back = a.to_scipy()
+    assert (back != golden63).nnz == 0

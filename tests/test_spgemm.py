@@ -1,0 +1,70 @@
+"""SpGEMM vs scipy (reference: test1_operations.py A·B; csr_product_test.py
+intent — that reference test is broken, SURVEY §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+import csparse3_tpu as cst
+
+from conftest import assert_csc_equal, rand_sp
+
+
+@pytest.mark.parametrize("seed,ma,k,nb,da,db", [
+    (0, 60, 60, 60, 0.05, 0.05),
+    (1, 40, 70, 30, 0.1, 0.08),
+    (2, 30, 10, 50, 0.3, 0.3),
+    (3, 5, 5, 5, 1.0, 1.0),
+])
+def test_spgemm_vs_scipy(seed, ma, k, nb, da, db):
+    a_sp = rand_sp(ma, k, da, seed=seed)
+    b_sp = rand_sp(k, nb, db, seed=seed + 50)
+    a, b = cst.CSC.from_scipy(a_sp), cst.CSC.from_scipy(b_sp)
+    c = cst.spgemm(a, b)
+    ref = (a_sp @ b_sp).tocsc()
+    assert_csc_equal(c, ref, rtol=1e-11, pattern_exact=False)
+    assert_csc_equal(a.dot(b), ref, rtol=1e-11, pattern_exact=False)
+    assert_csc_equal(a * b, ref, rtol=1e-11, pattern_exact=False)
+
+
+def test_gram():
+    a_sp = rand_sp(40, 60, 0.07, seed=7)
+    a = cst.CSC.from_scipy(a_sp)
+    assert_csc_equal(cst.gram(a), (a_sp @ a_sp.T).tocsc(), rtol=1e-11,
+                     pattern_exact=False)
+
+
+def test_empty_product():
+    a = cst.from_triplets([], [], [], (4, 3))
+    b = cst.from_triplets([0], [0], [1.0], (3, 2))
+    c = cst.spgemm(a, b)
+    assert c.shape == (4, 2)
+    assert c.nnz == 0
+
+
+def test_symbolic_numeric_reuse():
+    """pass1/pass2 split (reference: csc_matmat_pass1/2, csc.py:354-370):
+    structure computed once, numeric multiply re-run under jit with new
+    values on the same patterns."""
+    a_sp = rand_sp(50, 50, 0.06, seed=8)
+    b_sp = rand_sp(50, 50, 0.06, seed=9)
+    a, b = cst.CSC.from_scipy(a_sp), cst.CSC.from_scipy(b_sp)
+    plan = cst.spgemm_symbolic(a, b)
+
+    numeric = jax.jit(plan.numeric)
+    c1 = numeric(a.data, b.data)
+    assert_csc_equal(c1, (a_sp @ b_sp).tocsc(), rtol=1e-11, pattern_exact=False)
+
+    # same patterns, new values
+    a2 = a_sp.copy()
+    a2.data = a2.data * 3.0 + 1.0
+    c2 = numeric(cst.CSC.from_scipy(a2).data, b.data)
+    assert_csc_equal(c2, (a2 @ b_sp).tocsc(), rtol=1e-11, pattern_exact=False)
+
+
+def test_identity_product(golden63):
+    a = cst.CSC.from_scipy(golden63)
+    i6 = cst.eye(6)
+    assert_csc_equal(cst.spgemm(i6, a), golden63)
+    i3 = cst.eye(3)
+    assert_csc_equal(cst.spgemm(a, i3), golden63)
