@@ -1,0 +1,2 @@
+from .grids import Grid, connectivity, ieee14, synthetic_grid, ybus  # noqa: F401
+from .powerflow import FastDecoupled, dc_power_flow, newton_raphson, sbus  # noqa: F401

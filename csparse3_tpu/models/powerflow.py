@@ -1,0 +1,254 @@
+"""Power-flow solvers — the flagship workload (GridCal's use of the
+reference library: solving Ybus-based power-flow systems, SURVEY scope
+note).
+
+Three solver families, all built on the framework's own kernels:
+
+* ``dc_power_flow``   — linear B·theta = P, one LU factor + solve.
+* ``FastDecoupled``   — FDXB fast-decoupled AC power flow: two constant
+                        matrices B' / B'' factored ONCE on host, then every
+                        iteration is {complex SpMV, two level-scheduled
+                        triangular solves} — fully jittable, the
+                        factor-once/solve-many pattern the TPU design
+                        optimizes for (BASELINE configs 3-4).
+* ``newton_raphson``  — full Newton with the exact sparse Jacobian
+                        assembled from Ybus entry streams (fixed pattern,
+                        device values); host refactorization per iteration.
+
+Batched scenario solves (``FastDecoupled.solve_batch``) run many load
+profiles against one factorization — the 1024-RHS benchmark shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..linalg import splu
+from ..ops import construct, matvec
+from ..types import CSC
+from .grids import PQ, PV, SLACK, Grid, ybus
+
+__all__ = ["sbus", "dc_power_flow", "FastDecoupled", "newton_raphson"]
+
+
+def sbus(grid: Grid):
+    """Complex power injections (generation - load) per bus."""
+    return (grid.pg - grid.pd) - 1j * grid.qd
+
+
+# ---------------------------------------------------------------------------
+# DC power flow
+# ---------------------------------------------------------------------------
+
+def dc_power_flow(grid: Grid, ordering="amd"):
+    """theta = B^{-1} P with the slack row/column removed; returns bus
+    angles (radians, slack = 0)."""
+    n = grid.n_bus
+    bsus = 1.0 / grid.x
+    f, t = grid.f, grid.t
+    rows = np.concatenate([f, t, f, t])
+    cols = np.concatenate([f, t, t, f])
+    vals = np.concatenate([bsus, bsus, -bsus, -bsus])
+    B = construct.from_triplets(rows, cols, vals, (n, n))
+    keep = np.flatnonzero(grid.bus_type != SLACK)
+    Br = B[keep, keep]
+    P = (grid.pg - grid.pd)[keep]
+    lu = splu(Br, ordering=ordering)
+    th = np.zeros(n)
+    th[keep] = np.asarray(lu.solve(P))
+    return th
+
+
+# ---------------------------------------------------------------------------
+# Fast-decoupled power flow (XB scheme)
+# ---------------------------------------------------------------------------
+
+class FastDecoupled:
+    """Factor-once fast-decoupled AC power flow.
+
+    Construction does the host work (Ybus, B', B'' assembly + two LU
+    factorizations); ``step``/``run`` are pure jax on device.
+    """
+
+    def __init__(self, grid: Grid, ordering="amd", tol=1e-8, max_iter=50):
+        self.grid = grid
+        self.tol = tol
+        self.max_iter = max_iter
+        n = grid.n_bus
+        self.Y, _, _ = ybus(grid)
+        self.pvpq = np.concatenate([grid.pv, grid.pq])
+        self.pq = grid.pq
+        self.slack = grid.slack
+
+        # B': series susceptance only (r=0, b=0, tap=1), slack removed
+        bp = 1.0 / grid.x
+        f, t = grid.f, grid.t
+        rows = np.concatenate([f, t, f, t])
+        cols = np.concatenate([f, t, t, f])
+        vals = np.concatenate([bp, bp, -bp, -bp])
+        Bp_full = construct.from_triplets(rows, cols, vals, (n, n))
+        Bp = Bp_full[self.pvpq, self.pvpq]
+
+        # B'': -imag(Ybus) on PQ buses
+        ipY, ixY, dtY = self.Y.np_arrays()
+        colsY = np.repeat(np.arange(n), np.diff(ipY))
+        Bpp_full = construct.from_triplets(ixY, colsY, -dtY.imag, (n, n))
+        Bpp = Bpp_full[self.pq, self.pq]
+
+        self.lu_bp = splu(Bp, ordering=ordering)
+        self.lu_bpp = splu(Bpp, ordering=ordering)
+        self._bp_plan = self.lu_bp.solve_plan()
+        self._bpp_plan = self.lu_bpp.solve_plan()
+        self._yplan = matvec.SpMVPlan(self.Y)
+        self._sb = jnp.asarray(sbus(grid))
+        self._vm0 = jnp.asarray(grid.vm0)
+        self._pvpq_j = jnp.asarray(self.pvpq)
+        self._pq_j = jnp.asarray(self.pq)
+
+    # -- jittable pieces ----------------------------------------------------
+    def mismatch(self, vm, va, sb=None):
+        """Power mismatch dS = (S(V) - Sbus) / Vm."""
+        sb = self._sb if sb is None else sb
+        v = vm * jnp.exp(1j * va)
+        s = v * jnp.conj(self._yplan(v))
+        return (s - sb) / vm
+
+    def step(self, carry):
+        """One P-theta / Q-V half-iteration pair (jittable)."""
+        vm, va, sb = carry
+        mis = self.mismatch(vm, va, sb)
+        dva = -self._bp_plan(jnp.real(mis)[self._pvpq_j])
+        va = va.at[self._pvpq_j].add(dva)
+        mis = self.mismatch(vm, va, sb)
+        dvm = -self._bpp_plan(jnp.imag(mis)[self._pq_j])
+        vm = vm.at[self._pq_j].add(dvm)
+        return (vm, va, sb)
+
+    def residual(self, vm, va, sb=None):
+        mis = self.mismatch(vm, va, sb)
+        r = jnp.concatenate(
+            [jnp.real(mis)[self._pvpq_j], jnp.imag(mis)[self._pq_j]]
+        )
+        return jnp.max(jnp.abs(r)) if r.shape[0] else jnp.zeros((), vm.dtype)
+
+    @partial(jax.jit, static_argnums=0)
+    def run(self, vm0, va0, sb):
+        """Full solve under jit: while_loop until tol or max_iter."""
+
+        def cond(state):
+            (vm, va, _), it = state
+            return jnp.logical_and(self.residual(vm, va, sb) > self.tol,
+                                   it < self.max_iter)
+
+        def body(state):
+            carry, it = state
+            return self.step(carry), it + 1
+
+        (vm, va, _), iters = jax.lax.while_loop(cond, body, ((vm0, va0, sb), 0))
+        return vm, va, iters
+
+    def solve(self, flat_start=True):
+        n = self.grid.n_bus
+        vm0 = self._vm0
+        va0 = jnp.zeros(n)
+        vm, va, iters = self.run(vm0, va0, self._sb)
+        res = float(self.residual(vm, va))
+        return np.asarray(vm), np.asarray(va), int(iters), res
+
+    def solve_batch(self, sb_batch):
+        """Solve many scenarios (k, n) against the single factorization —
+        vmapped run (BASELINE config 4 shape)."""
+        n = self.grid.n_bus
+        k = sb_batch.shape[0]
+        vm0 = jnp.broadcast_to(self._vm0, (k, n))
+        va0 = jnp.zeros((k, n))
+        return jax.vmap(self.run)(vm0, va0, jnp.asarray(sb_batch))
+
+
+# ---------------------------------------------------------------------------
+# Newton-Raphson with exact sparse Jacobian
+# ---------------------------------------------------------------------------
+
+def _jacobian(Y: CSC, v, ibus, pvpq, pq):
+    """Sparse power-flow Jacobian from Ybus entry streams (fixed pattern).
+
+    dS/dVa (i,k) = j V_i (delta_ik conj(I_i) - conj(y_ik) conj(V_k))
+    dS/dVm (i,k) = V_i conj(y_ik) conj(V_k)/|V_k| + delta_ik conj(I_i) V_i/|V_i|
+    """
+    k = Y.nnz
+    rows = np.asarray(Y.indices[:k])
+    ip = np.asarray(Y.indptr)
+    cols = np.repeat(np.arange(Y.n), np.diff(ip))
+    y = np.asarray(Y.data[:k])
+    v = np.asarray(v)
+    ibus = np.asarray(ibus)
+    vm = np.abs(v)
+
+    dva = -1j * v[rows] * np.conj(y) * np.conj(v[cols])
+    dvm = v[rows] * np.conj(y) * np.conj(v[cols]) / vm[cols]
+    diag = rows == cols
+    dva[diag] += 1j * v[rows[diag]] * np.conj(ibus[rows[diag]])
+    dvm[diag] += np.conj(ibus[rows[diag]]) * v[rows[diag]] / vm[rows[diag]]
+
+    n = Y.n
+    # index maps: bus id -> position in pvpq / pq (or -1)
+    pos_pvpq = np.full(n, -1)
+    pos_pvpq[pvpq] = np.arange(len(pvpq))
+    pos_pq = np.full(n, -1)
+    pos_pq[pq] = np.arange(len(pq))
+
+    npvpq, npq = len(pvpq), len(pq)
+    blocks = []
+    # J11 = real(dSdVa)[pvpq, pvpq]
+    for vals, rsel, csel, roff, coff, part in [
+        (dva, pos_pvpq, pos_pvpq, 0, 0, np.real),
+        (dvm, pos_pvpq, pos_pq, 0, npvpq, np.real),
+        (dva, pos_pq, pos_pvpq, npvpq, 0, np.imag),
+        (dvm, pos_pq, pos_pq, npvpq, npvpq, np.imag),
+    ]:
+        keep = (rsel[rows] >= 0) & (csel[cols] >= 0)
+        blocks.append((
+            rsel[rows[keep]] + roff,
+            csel[cols[keep]] + coff,
+            part(vals[keep]),
+        ))
+    jr = np.concatenate([b[0] for b in blocks])
+    jc = np.concatenate([b[1] for b in blocks])
+    jv = np.concatenate([b[2] for b in blocks])
+    dim = npvpq + npq
+    return construct.from_triplets(jr, jc, jv, (dim, dim))
+
+
+def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):
+    """Full Newton power flow; returns (vm, va, iterations, residual)."""
+    n = grid.n_bus
+    Y, _, _ = ybus(grid)
+    yplan = matvec.SpMVPlan(Y)
+    sb = sbus(grid)
+    pvpq = np.concatenate([grid.pv, grid.pq])
+    pq = grid.pq
+    vm = grid.vm0.astype(np.float64).copy()
+    va = np.zeros(n)
+
+    for it in range(max_iter):
+        v = vm * np.exp(1j * va)
+        ibus = np.asarray(yplan(jnp.asarray(v)))
+        mis = v * np.conj(ibus) - sb
+        f = np.concatenate([mis.real[pvpq], mis.imag[pq]])
+        nrm = np.max(np.abs(f)) if f.size else 0.0
+        if nrm < tol:
+            return vm, va, it, nrm
+        J = _jacobian(Y, v, ibus, pvpq, pq)
+        lu = splu(J, ordering=ordering)
+        dx = np.asarray(lu.solve(-f))
+        va[pvpq] += dx[: len(pvpq)]
+        vm[pq] += dx[len(pvpq) :]
+    v = vm * np.exp(1j * va)
+    mis = v * np.conj(np.asarray(yplan(jnp.asarray(v)))) - sb
+    f = np.concatenate([mis.real[pvpq], mis.imag[pq]])
+    return vm, va, max_iter, float(np.max(np.abs(f)))

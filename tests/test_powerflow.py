@@ -1,0 +1,127 @@
+"""Power-flow model family: Ybus assembly vs scipy-built oracle, DC / FDPF /
+Newton solvers cross-checked against each other and physics invariants
+(BASELINE configs 1, 3, 4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import csparse3_tpu as cst
+from csparse3_tpu.models import (
+    FastDecoupled,
+    connectivity,
+    dc_power_flow,
+    ieee14,
+    newton_raphson,
+    sbus,
+    synthetic_grid,
+    ybus,
+)
+
+
+def scipy_ybus(grid):
+    """Independent numpy/scipy oracle for Ybus assembly."""
+    ys = 1.0 / (grid.r + 1j * grid.x)
+    bc2 = 1j * grid.b / 2
+    tap = grid.tap.astype(complex)
+    n = grid.n_bus
+    Y = np.zeros((n, n), dtype=complex)
+    for k in range(grid.n_branch):
+        f, t = grid.f[k], grid.t[k]
+        ytt = ys[k] + bc2[k]
+        Y[f, f] += ytt / (tap[k] * np.conj(tap[k]))
+        Y[t, t] += ytt
+        Y[f, t] += -ys[k] / np.conj(tap[k])
+        Y[t, f] += -ys[k] / tap[k]
+    Y[np.arange(n), np.arange(n)] += grid.gs + 1j * grid.bs
+    return Y
+
+
+def test_ybus_ieee14():
+    grid = ieee14()
+    Y, Yf, Yt = ybus(grid)
+    np.testing.assert_allclose(np.asarray(Y.todense()), scipy_ybus(grid),
+                               rtol=1e-12, atol=1e-14)
+    # Yf/Yt consistency: Cf^T Yf + Ct^T Yt + shunts == Ybus
+    Cf, Ct = connectivity(grid)
+    lhs = cst.add(cst.spgemm(Cf.t(), Yf), cst.spgemm(Ct.t(), Yt))
+    sh = cst.diags(grid.gs + 1j * grid.bs)
+    np.testing.assert_allclose(
+        np.asarray(cst.add(lhs, sh).todense()), np.asarray(Y.todense()),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_ybus_synthetic():
+    grid = synthetic_grid(300, seed=1)
+    Y, _, _ = ybus(grid)
+    np.testing.assert_allclose(np.asarray(Y.todense()), scipy_ybus(grid),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_dc_power_flow_balance():
+    grid = ieee14()
+    th = dc_power_flow(grid)
+    assert th[grid.slack[0]] == 0.0
+    # flows from angles satisfy P balance at every non-slack bus
+    bsus = 1.0 / grid.x
+    pf = bsus * (th[grid.f] - th[grid.t])
+    inj = np.zeros(grid.n_bus)
+    np.add.at(inj, grid.f, pf)
+    np.add.at(inj, grid.t, -pf)
+    keep = grid.bus_type != 2
+    np.testing.assert_allclose(inj[keep], (grid.pg - grid.pd)[keep], atol=1e-9)
+
+
+def test_newton_ieee14():
+    grid = ieee14()
+    vm, va, iters, res = newton_raphson(grid)
+    assert res < 1e-10
+    assert iters <= 6
+    # physical sanity: magnitudes near 1, PV setpoints held
+    assert np.all(vm > 0.9) and np.all(vm < 1.1)
+    np.testing.assert_allclose(vm[grid.pv], grid.vm0[grid.pv], atol=1e-12)
+    # power balance at PQ buses
+    Y, _, _ = ybus(grid)
+    v = vm * np.exp(1j * va)
+    s = v * np.conj(np.asarray(Y.todense()) @ v)
+    np.testing.assert_allclose(s.real[grid.pq], (grid.pg - grid.pd)[grid.pq],
+                               atol=1e-9)
+
+
+def test_fdpf_matches_newton():
+    grid = ieee14()
+    vm_n, va_n, _, _ = newton_raphson(grid)
+    fd = FastDecoupled(grid, tol=1e-10, max_iter=100)
+    vm, va, iters, res = fd.solve()
+    assert res < 1e-8
+    np.testing.assert_allclose(vm, vm_n, atol=1e-7)
+    np.testing.assert_allclose(va, va_n, atol=1e-7)
+
+
+def test_fdpf_synthetic():
+    grid = synthetic_grid(200, seed=3)
+    fd = FastDecoupled(grid, tol=1e-8, max_iter=200)
+    vm, va, iters, res = fd.solve()
+    assert res < 1e-8, f"FDPF did not converge: res={res}"
+
+
+def test_fdpf_batch():
+    grid = ieee14()
+    fd = FastDecoupled(grid, tol=1e-9, max_iter=60)
+    base = sbus(grid)
+    rng = np.random.RandomState(0)
+    scale = 1.0 + 0.1 * rng.randn(8)[:, None]
+    batch = base[None, :] * scale
+    vm, va, iters = fd.solve_batch(batch)
+    assert vm.shape == (8, grid.n_bus)
+    # each scenario individually converged
+    for i in range(8):
+        r = float(fd.residual(vm[i], va[i], batch[i]))
+        assert r < 1e-9, f"scenario {i}: residual {r}"
+
+
+def test_newton_synthetic_grid():
+    grid = synthetic_grid(150, seed=5)
+    vm, va, iters, res = newton_raphson(grid, tol=1e-9)
+    assert res < 1e-9
