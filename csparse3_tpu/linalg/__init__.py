@@ -8,3 +8,4 @@ from .trisolve import (  # noqa: F401
     usolve,
     utsolve,
 )
+from .iterative import bicgstab, cg, gmres, ilu0_prec, jacobi_prec  # noqa: F401

@@ -44,39 +44,29 @@ def _check_shapes(a: CSC, b: CSC):
         raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
 
 
-def _key_dtype(m: int, n: int):
-    """Fused (col*m + row) key dtype; int64 only when int32 would overflow."""
-    if m * n < 2**31 - 1:
-        return jnp.int32
-    if not jax.config.jax_enable_x64:
-        raise ValueError(
-            f"matrix {m}x{n} needs int64 merge keys; enable jax_enable_x64 "
-            "(mirrors the nnz overflow guard at reference csr.h:591-596)"
-        )
-    return jnp.int64
-
-
-def _keys(a: CSC):
-    """Per-entry fused sort key: col * m + row (sorted ascending when
-    the matrix is canonical CSC)."""
-    kd = _key_dtype(a.m, a.n)
-    k = a.nnz
-    cols = construct.expand_indptr(a.indptr, k).astype(kd)
-    return cols * a.m + a.indices[:k].astype(kd)
+def _keys_np(a: CSC):
+    """Per-entry fused int64 key: col * m + row (ascending when canonical).
+    Host-side; int64 always (the reference's overflow guard csr.h:591-596
+    concerns int32 — host merges just use the wider type)."""
+    ip, rows, _ = a.np_arrays()
+    cols = construct.expand_indptr_np(ip).astype(np.int64)
+    return cols * a.m + rows.astype(np.int64)
 
 
 def axpby(alpha, a: CSC, beta, b: CSC) -> CSC:
     """alpha*A + beta*B with exact union pattern
-    (reference: csc_add_ff semantics, csc_numba.py:183-219)."""
+    (reference: csc_add_ff semantics, csc_numba.py:183-219).  Host-eager
+    (output nnz is data-dependent)."""
     _check_shapes(a, b)
-    ka, kb = a.nnz, b.nnz
-    rows = jnp.concatenate([a.indices[:ka], b.indices[:kb]])
-    cols = jnp.concatenate(
-        [construct.expand_indptr(a.indptr, ka), construct.expand_indptr(b.indptr, kb)]
+    ipa, rowsa, va = a.np_arrays()
+    ipb, rowsb, vb = b.np_arrays()
+    rows = np.concatenate([rowsa, rowsb])
+    cols = np.concatenate(
+        [construct.expand_indptr_np(ipa), construct.expand_indptr_np(ipb)]
     )
-    dtype = jnp.result_type(a.data.dtype, b.data.dtype)
-    vals = jnp.concatenate(
-        [jnp.asarray(alpha, dtype) * a.data[:ka], jnp.asarray(beta, dtype) * b.data[:kb]]
+    dtype = np.result_type(va.dtype, vb.dtype)
+    vals = np.concatenate(
+        [np.asarray(alpha, dtype) * va, np.asarray(beta, dtype) * vb]
     )
     return construct.from_triplets(rows, cols, vals, a.shape)
 
@@ -96,38 +86,33 @@ def scale(a: CSC, alpha) -> CSC:
     )
 
 
-def _lookup(keys_sorted, data, query_keys):
+def _lookup_np(keys_sorted, data, query_keys):
     """Value of each query key in a sorted (keys, data) stream, 0 if absent."""
-    pos = jnp.searchsorted(keys_sorted, query_keys)
-    pos_c = jnp.clip(pos, 0, max(keys_sorted.shape[0] - 1, 0))
     if keys_sorted.shape[0] == 0:
-        hit = jnp.zeros(query_keys.shape, dtype=bool)
-        vals = jnp.zeros(query_keys.shape, dtype=data.dtype)
-    else:
-        hit = keys_sorted[pos_c] == query_keys
-        vals = data[pos_c]
-    return jnp.where(hit, vals, jnp.zeros((), dtype=data.dtype)), hit
+        return (
+            np.zeros(query_keys.shape, dtype=data.dtype),
+            np.zeros(query_keys.shape, dtype=bool),
+        )
+    pos = np.searchsorted(keys_sorted, query_keys)
+    pos_c = np.clip(pos, 0, keys_sorted.shape[0] - 1)
+    hit = keys_sorted[pos_c] == query_keys
+    return np.where(hit, data[pos_c], data.dtype.type(0)), hit
 
 
 def _union_binop(a: CSC, b: CSC, op: Callable, drop_zeros: bool) -> CSC:
-    """Generic union-pattern binop (reference: csr_binop_csr, csr.h:891)."""
+    """Generic union-pattern binop (reference: csr_binop_csr, csr.h:891).
+    Host-eager merge of sorted key streams."""
     _check_shapes(a, b)
     a = a if a.canonical else construct.canonicalize(a)
     b = b if b.canonical else construct.canonicalize(b)
-    keys_a, keys_b = _keys(a), _keys(b)
-    union = jnp.sort(jnp.concatenate([keys_a, keys_b]))
-    if union.shape[0]:
-        new = jnp.concatenate([jnp.ones((1,), bool), union[1:] != union[:-1]])
-        gid = jnp.cumsum(new) - 1
-        k = int(gid[-1]) + 1
-        ukeys = jnp.zeros_like(union).at[gid].set(union)[:k]
-    else:
-        ukeys = union
-    va, _ = _lookup(keys_a, a.data[: a.nnz], ukeys)
-    vb, _ = _lookup(keys_b, b.data[: b.nnz], ukeys)
+    keys_a, keys_b = _keys_np(a), _keys_np(b)
+    ukeys = np.union1d(keys_a, keys_b)
+    va, _ = _lookup_np(keys_a, a.np_arrays()[2], ukeys)
+    vb, _ = _lookup_np(keys_b, b.np_arrays()[2], ukeys)
     vals = op(va, vb)
-    rows = (ukeys % a.m).astype(get_config().index_dtype)
-    cols = (ukeys // a.m).astype(get_config().index_dtype)
+    idx = np.dtype(get_config().index_dtype)
+    rows = (ukeys % a.m).astype(idx)
+    cols = (ukeys // a.m).astype(idx)
     out = construct.from_triplets(rows, cols, vals, a.shape)
     return eliminate_zeros(out) if drop_zeros else out
 
@@ -138,29 +123,30 @@ def _intersect_binop(a: CSC, b: CSC, op: Callable) -> CSC:
     _check_shapes(a, b)
     a = a if a.canonical else construct.canonicalize(a)
     b = b if b.canonical else construct.canonicalize(b)
-    keys_a, keys_b = _keys(a), _keys(b)
-    va, hit = _lookup(keys_a, a.data[: a.nnz], keys_b)
-    vals = op(va, b.data[: b.nnz])
-    keep = np.flatnonzero(np.asarray(hit))
-    rows = b.indices[: b.nnz][keep]
-    cols = construct.expand_indptr(b.indptr, b.nnz)[keep]
+    keys_a, keys_b = _keys_np(a), _keys_np(b)
+    ipb, rowsb, vb = b.np_arrays()
+    va, hit = _lookup_np(keys_a, a.np_arrays()[2], keys_b)
+    vals = op(va, vb)
+    keep = np.flatnonzero(hit)
+    rows = rowsb[keep]
+    cols = construct.expand_indptr_np(ipb)[keep]
     return construct.from_triplets(rows, cols, vals[keep], a.shape)
 
 
 def elmul(a: CSC, b: CSC) -> CSC:
-    return _intersect_binop(a, b, jnp.multiply)
+    return _intersect_binop(a, b, np.multiply)
 
 
 def eldiv(a: CSC, b: CSC) -> CSC:
-    return _intersect_binop(a, b, jnp.divide)
+    return _intersect_binop(a, b, np.divide)
 
 
 def maximum(a: CSC, b: CSC) -> CSC:
-    return _union_binop(a, b, jnp.maximum, drop_zeros=False)
+    return _union_binop(a, b, np.maximum, drop_zeros=False)
 
 
 def minimum(a: CSC, b: CSC) -> CSC:
-    return _union_binop(a, b, jnp.minimum, drop_zeros=False)
+    return _union_binop(a, b, np.minimum, drop_zeros=False)
 
 
 _CMP = {

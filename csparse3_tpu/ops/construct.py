@@ -13,9 +13,14 @@ Sorting uses a *stable double argsort* (sort by minor key, then stable sort
 by major key) instead of a fused ``col*m + row`` integer key so that no
 int64 arithmetic is required for >46k-dimensional matrices when x64 is off.
 
-Sizing results (unique nnz after dedup) are data-dependent, so the eager
-API syncs one scalar to host per conversion — the static-shape analogue of
-the reference's dynamic realloc (csc_numba.py:261-278).
+Host/device split (SURVEY §7 design stance: "symbolic passes compute
+exact sizes on host"): ops whose OUTPUT SIZE is data-dependent
+(from_triplets dedup, canonicalize) are host-eager and run entirely in
+numpy — they cannot be jitted anyway (the resulting nnz becomes static
+pytree metadata), and running them as device programs would cost one
+host-device round trip per step.  Fixed-size conversions (transpose,
+csc<->csr) take the numpy path when called eagerly on concrete arrays and
+the XLA path when traced, so they stay usable inside jit.
 """
 
 from __future__ import annotations
@@ -49,6 +54,20 @@ __all__ = [
     "from_triplets",
     "random_csc",
 ]
+
+
+def is_traced(*arrays) -> bool:
+    """True if any argument is a jax tracer (we're under jit/vmap/grad)."""
+    return any(isinstance(x, jax.core.Tracer) for x in arrays)
+
+
+def expand_indptr_np(indptr, nnz: int | None = None):
+    """Host twin of expand_indptr: indptr -> per-entry segment ids."""
+    indptr = np.asarray(indptr)
+    n = indptr.shape[0] - 1
+    reps = np.diff(indptr)
+    out = np.repeat(np.arange(n, dtype=indptr.dtype), reps)
+    return out if nnz is None else out[:nnz]
 
 
 def expand_indptr(indptr, nnz: int):
@@ -108,22 +127,38 @@ def from_triplets(rows, cols, vals, shape, *, sum_duplicates=True) -> CSC:
     """Build a canonical CSC from COO triplets
     (reference: coo_to_csc, src/CSparse3/csc_numba.py:331-357 — which keeps
     duplicates; here duplicates are summed by default, scipy-style, which is
-    what Ybus assembly needs)."""
+    what Ybus assembly needs).
+
+    Host-eager: the output nnz is data-dependent (static pytree metadata),
+    so the build runs in numpy and uploads the final arrays once.
+    """
     m, n = shape
     cfg = get_config()
-    rows = jnp.asarray(rows, dtype=cfg.index_dtype)
-    cols = jnp.asarray(cols, dtype=cfg.index_dtype)
-    vals = jnp.asarray(vals)
+    np_idx = np.dtype(cfg.index_dtype)
+    rows = np.asarray(rows).astype(np_idx, copy=False)
+    cols = np.asarray(cols).astype(np_idx, copy=False)
+    vals = np.asarray(vals)
     if rows.shape[0] == 0:
         return _empty_csc(m, n, vals.dtype)
-    c_s, r_s, v_s = _stable_sort_by(cols, rows, rows, vals)
+    order = np.lexsort((rows, cols))  # by col (major), then row; stable
+    r_s, c_s, v_s = rows[order], cols[order], vals[order]
     if sum_duplicates:
-        c_u, r_u, v_u, k = _dedup_sorted(c_s, r_s, v_s)
-        c_u, r_u, v_u = c_u[:k], r_u[:k], v_u[:k]
+        nnz = r_s.shape[0]
+        new = np.empty(nnz, dtype=bool)
+        new[0] = True
+        new[1:] = (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])
+        gid = np.cumsum(new) - 1
+        k = int(gid[-1]) + 1
+        r_u, c_u = r_s[new], c_s[new]
+        v_u = np.zeros(k, dtype=v_s.dtype)
+        np.add.at(v_u, gid, v_s)
     else:
-        c_u, r_u, v_u = c_s, r_s, v_s
-    indptr = compress_indptr(c_u, n)
-    return CSC(m, n, indptr, r_u, v_u, canonical=True)
+        r_u, c_u, v_u = r_s, c_s, v_s
+    indptr = np.zeros(n + 1, dtype=np_idx)
+    counts = np.bincount(c_u, minlength=n)
+    indptr[1:] = np.cumsum(counts)
+    return CSC(m, n, jnp.asarray(indptr), jnp.asarray(r_u), jnp.asarray(v_u),
+               canonical=True)
 
 
 def coo_to_csc(coo: COO, sum_duplicates: bool = True) -> CSC:
@@ -151,9 +186,28 @@ def csc_to_coo(a: CSC) -> COO:
     return COO(a.m, a.n, a.indices[:k], cols, a.data[:k])
 
 
+def _resort_np(n_major, major, minor, vals, idx_dtype):
+    """Host re-sort of entry streams by (major, minor); returns
+    (indptr over major, minor_sorted, vals_sorted)."""
+    order = np.lexsort((minor, major))
+    mj, mn, vv = major[order], minor[order], vals[order]
+    indptr = np.zeros(n_major + 1, dtype=idx_dtype)
+    indptr[1:] = np.cumsum(np.bincount(mj, minlength=n_major))
+    return indptr, mn.astype(idx_dtype, copy=False), vv
+
+
 def csc_to_csr(a: CSC) -> CSR:
     """CSC -> CSR re-sort (reference: csc_to_csr, csc_numba.py:360-397)."""
     k = a.nnz
+    if not is_traced(a.indptr, a.indices, a.data):
+        ip, rows, vals = a.np_arrays()
+        cols = expand_indptr_np(ip)
+        indptr, c_s, v_s = _resort_np(
+            a.m, rows.astype(np.int64), cols.astype(np.int64), vals,
+            np.dtype(get_config().index_dtype),
+        )
+        return CSR(a.m, a.n, jnp.asarray(indptr), jnp.asarray(c_s),
+                   jnp.asarray(v_s), canonical=a.canonical)
     cols = expand_indptr(a.indptr, k)
     rows = a.indices[:k]
     vals = a.data[:k]
@@ -164,6 +218,15 @@ def csc_to_csr(a: CSC) -> CSR:
 
 def csr_to_csc(a: CSR) -> CSC:
     k = a.nnz
+    if not is_traced(a.indptr, a.indices, a.data):
+        ip, cols, vals = a.np_arrays()
+        rows = expand_indptr_np(ip)
+        indptr, r_s, v_s = _resort_np(
+            a.n, cols.astype(np.int64), rows.astype(np.int64), vals,
+            np.dtype(get_config().index_dtype),
+        )
+        return CSC(a.m, a.n, jnp.asarray(indptr), jnp.asarray(r_s),
+                   jnp.asarray(v_s), canonical=a.canonical)
     rows = expand_indptr(a.indptr, k)
     cols = a.indices[:k]
     vals = a.data[:k]
@@ -179,6 +242,15 @@ def transpose(a: CSC) -> CSC:
     re-sort with roles swapped, i.e. one stable sort by old row index.
     """
     k = a.nnz
+    if not is_traced(a.indptr, a.indices, a.data):
+        ip, old_rows, vals = a.np_arrays()
+        old_cols = expand_indptr_np(ip)
+        indptr, r_s, v_s = _resort_np(
+            a.m, old_rows.astype(np.int64), old_cols.astype(np.int64),
+            vals, np.dtype(get_config().index_dtype),
+        )
+        return CSC(a.n, a.m, jnp.asarray(indptr), jnp.asarray(r_s),
+                   jnp.asarray(v_s), canonical=a.canonical)
     old_cols = expand_indptr(a.indptr, k)
     old_rows = a.indices[:k]
     vals = a.data[:k]

@@ -92,7 +92,13 @@ class SpMVPlan:
     """
 
     def __init__(self, a: CSC):
-        rows, cols, vals = _entry_streams(a)
+        if not construct.is_traced(a.indptr, a.indices, a.data):
+            ip, rows_np, vals_np = a.np_arrays()
+            rows = jnp.asarray(rows_np)
+            cols = jnp.asarray(construct.expand_indptr_np(ip))
+            vals = jnp.asarray(vals_np)
+        else:
+            rows, cols, vals = _entry_streams(a)
         self.m, self.n = a.shape
         self.rows = rows
         self.cols = cols

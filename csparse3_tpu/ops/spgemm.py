@@ -35,43 +35,46 @@ from . import construct
 __all__ = ["spgemm", "spgemm_symbolic", "SpGEMMPlan", "gram"]
 
 
-def _expanded_streams(a: CSC, b: CSC):
-    """Expansion phase: per intermediate product t, indices into A's and B's
-    entry arrays.  Returns (a_pos, b_pos, out_cols) of length total."""
-    kb = b.nnz
-    b_rows = b.indices[:kb]
-    b_cols = construct.expand_indptr(b.indptr, kb)
+def _expanded_streams_np(a: CSC, b: CSC):
+    """Expansion phase (host): per intermediate product t, indices into A's
+    and B's entry arrays.  Returns (a_pos, b_pos, out_cols, total)."""
+    ipa, _, _ = a.np_arrays()
+    ipb, b_rows, _ = b.np_arrays()
+    b_cols = construct.expand_indptr_np(ipb)
     # products contributed by each B entry = nnz of that A column
-    counts = (a.indptr[b_rows + 1] - a.indptr[b_rows]).astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
-    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
-    total = int(offsets[-1]) if kb else 0
+    counts = (ipa[b_rows + 1] - ipa[b_rows]).astype(np.int64)
+    total = int(counts.sum())
     if total == 0:
         return None, None, None, 0
-    t = jnp.arange(total, dtype=offsets.dtype)
-    e = (jnp.searchsorted(offsets, t, side="right") - 1).astype(b_rows.dtype)
-    local = (t - offsets[e]).astype(b_rows.dtype)
-    a_pos = a.indptr[b_rows[e]] + local
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    e = np.repeat(np.arange(len(b_rows), dtype=np.int64), counts)
+    local = np.arange(total, dtype=np.int64) - offsets[e]
+    a_pos = ipa[b_rows[e]].astype(np.int64) + local
     return a_pos, e, b_cols[e], total
 
 
 def spgemm(a: CSC, b: CSC) -> CSC:
     """C = A @ B (reference: CscMat.dot, csc.py:483-500 — the correct
     general-dims path; CscMat.__mul__'s square-only dim quirk at
-    csc.py:354-370 is intentionally NOT replicated, see SURVEY §7)."""
+    csc.py:354-370 is intentionally NOT replicated, see SURVEY §7).
+    Host-eager (output nnz is data-dependent); for repeated products with
+    a fixed pattern use ``spgemm_symbolic`` + ``SpGEMMPlan.numeric``."""
     if a.n != b.m:
         raise ValueError(f"dim mismatch for A@B: {a.shape} @ {b.shape}")
     a = a if a.canonical else construct.canonicalize(a)
     b = b if b.canonical else construct.canonicalize(b)
-    a_pos, b_pos, out_cols, total = _expanded_streams(a, b)
-    dtype = jnp.result_type(a.data.dtype, b.data.dtype)
+    a_pos, b_pos, out_cols, total = _expanded_streams_np(a, b)
+    dtype = np.result_type(a.np_arrays()[2].dtype, b.np_arrays()[2].dtype)
     if total == 0:
         idx = get_config().index_dtype
         return CSC(
             a.m, b.n,
             jnp.zeros((b.n + 1,), idx), jnp.zeros((0,), idx), jnp.zeros((0,), dtype),
         )
-    rows = a.indices[a_pos]
-    vals = a.data[a_pos] * b.data[b_pos]
+    _, a_rows, a_vals = a.np_arrays()
+    _, _, b_vals = b.np_arrays()
+    rows = a_rows[a_pos]
+    vals = a_vals[a_pos] * b_vals[b_pos]
     return construct.from_triplets(rows, out_cols, vals, (a.m, b.n))
 
 
@@ -111,9 +114,10 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
     exact rather than capacity-heuristic)."""
     if a.n != b.m:
         raise ValueError(f"dim mismatch for A@B: {a.shape} @ {b.shape}")
-    a_pos, b_pos, out_cols, total = _expanded_streams(a, b)
+    a_pos, b_pos, out_cols, total = _expanded_streams_np(a, b)
     cfg = get_config()
-    dtype = jnp.result_type(a.data.dtype, b.data.dtype)
+    idx = np.dtype(cfg.index_dtype)
+    dtype = np.result_type(a.np_arrays()[2].dtype, b.np_arrays()[2].dtype)
     if total == 0:
         empty = CSC(
             a.m, b.n,
@@ -123,19 +127,21 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
         )
         z = jnp.zeros((0,), cfg.index_dtype)
         return SpGEMMPlan(z, z, z, z, 0, empty)
-    rows = a.indices[a_pos]
-    # stable double argsort by (col, row)
-    p1 = jnp.argsort(rows, stable=True)
-    p2 = jnp.argsort(out_cols[p1], stable=True)
-    perm = p1[p2]
+    rows = a.np_arrays()[1][a_pos]
+    perm = np.lexsort((rows, out_cols))
     r_s, c_s = rows[perm], out_cols[perm]
-    new = jnp.concatenate(
-        [jnp.ones((1,), bool), (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])]
-    )
-    gid = jnp.cumsum(new) - 1
+    new = np.empty(total, dtype=bool)
+    new[0] = True
+    new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    gid = np.cumsum(new) - 1
     out_nnz = int(gid[-1]) + 1
-    u_rows = jnp.zeros_like(r_s).at[gid].set(r_s)[:out_nnz]
-    u_cols = jnp.zeros_like(c_s).at[gid].set(c_s)[:out_nnz]
-    indptr = construct.compress_indptr(u_cols, b.n)
-    template = CSC(a.m, b.n, indptr, u_rows, jnp.zeros((out_nnz,), dtype))
-    return SpGEMMPlan(a_pos, b_pos, perm, gid, out_nnz, template)
+    u_rows = r_s[new].astype(idx)
+    u_cols = c_s[new].astype(idx)
+    indptr = np.zeros(b.n + 1, dtype=idx)
+    indptr[1:] = np.cumsum(np.bincount(u_cols, minlength=b.n))
+    template = CSC(a.m, b.n, jnp.asarray(indptr), jnp.asarray(u_rows),
+                   jnp.zeros((out_nnz,), dtype))
+    return SpGEMMPlan(
+        jnp.asarray(a_pos), jnp.asarray(b_pos), jnp.asarray(perm),
+        jnp.asarray(gid), out_nnz, template,
+    )

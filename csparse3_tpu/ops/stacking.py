@@ -52,17 +52,19 @@ def block(grid: Sequence[Sequence[Optional[CSC]]]) -> CSC:
         for j, b in enumerate(r):
             if b is None or b.nnz == 0:
                 continue
-            k = b.nnz
-            rows_l.append(b.indices[:k] + row_off[i])
-            cols_l.append(construct.expand_indptr(b.indptr, k) + col_off[j])
-            vals_l.append(b.data[:k])
+            ip, rows, vals = b.np_arrays()
+            rows_l.append(rows.astype(np.int64) + row_off[i])
+            cols_l.append(
+                construct.expand_indptr_np(ip).astype(np.int64) + col_off[j]
+            )
+            vals_l.append(vals)
     shape = (int(row_off[-1]), int(col_off[-1]))
     if not rows_l:
         return construct.from_triplets(
             np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0), shape
         )
     return construct.from_triplets(
-        jnp.concatenate(rows_l), jnp.concatenate(cols_l), jnp.concatenate(vals_l), shape
+        np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l), shape
     )
 
 

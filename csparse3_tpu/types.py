@@ -37,6 +37,16 @@ def _asarray(x, dtype=None):
     return jnp.asarray(x, dtype=dtype)
 
 
+def _host_cache(*arrays):
+    """Keep host copies when a container is constructed from host data, so
+    ``np_arrays`` (the gateway to every host-symbolic op) never pays a
+    device->host transfer.  Only populated for genuine numpy inputs; device
+    arrays and tracers return None (np_arrays falls back to a download)."""
+    if all(isinstance(a, np.ndarray) for a in arrays):
+        return tuple(arrays)
+    return None
+
+
 class _SparseBase:
     """Shared plumbing for 2-D sparse containers."""
 
@@ -79,6 +89,7 @@ class CSC(_SparseBase):
     def __init__(self, m, n, indptr, indices, data, nnz=None, canonical=True):
         self.m = int(m)
         self.n = int(n)
+        self._np = _host_cache(indptr, indices, data)
         self.indptr = _asarray(indptr)
         self.indices = _asarray(indices)
         self.data = _asarray(data)
@@ -101,6 +112,7 @@ class CSC(_SparseBase):
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
         obj.indptr, obj.indices, obj.data = indptr, indices, data
+        obj._np = None
         return obj
 
     def __repr__(self):
@@ -111,6 +123,9 @@ class CSC(_SparseBase):
 
     def np_arrays(self):
         k = self.nnz
+        if self._np is not None:
+            ip, ix, dt = self._np
+            return ip, ix[:k], dt[:k]
         return (
             np.asarray(self.indptr),
             np.asarray(self.indices)[:k],
@@ -292,6 +307,7 @@ class CSR(_SparseBase):
     def __init__(self, m, n, indptr, indices, data, nnz=None, canonical=True):
         self.m = int(m)
         self.n = int(n)
+        self._np = _host_cache(indptr, indices, data)
         self.indptr = _asarray(indptr)
         self.indices = _asarray(indices)
         self.data = _asarray(data)
@@ -313,6 +329,7 @@ class CSR(_SparseBase):
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
         obj.indptr, obj.indices, obj.data = indptr, indices, data
+        obj._np = None
         return obj
 
     def __repr__(self):
@@ -323,6 +340,9 @@ class CSR(_SparseBase):
 
     def np_arrays(self):
         k = self.nnz
+        if self._np is not None:
+            ip, ix, dt = self._np
+            return ip, ix[:k], dt[:k]
         return (
             np.asarray(self.indptr),
             np.asarray(self.indices)[:k],
@@ -359,6 +379,7 @@ class COO(_SparseBase):
     def __init__(self, m, n, rows, cols, data, nnz=None):
         self.m = int(m)
         self.n = int(n)
+        self._np = _host_cache(rows, cols, data)
         self.rows = _asarray(rows)
         self.cols = _asarray(cols)
         self.data = _asarray(data)
@@ -374,6 +395,7 @@ class COO(_SparseBase):
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz = m, n, nnz
         obj.rows, obj.cols, obj.data = rows, cols, data
+        obj._np = None
         return obj
 
     def __repr__(self):
@@ -381,6 +403,9 @@ class COO(_SparseBase):
 
     def np_arrays(self):
         k = self.nnz
+        if self._np is not None:
+            r, c, d = self._np
+            return r[:k], c[:k], d[:k]
         return (
             np.asarray(self.rows)[:k],
             np.asarray(self.cols)[:k],
