@@ -146,7 +146,19 @@ def mindeg(a: CSC) -> np.ndarray:
     return order
 
 
-_ORDERINGS = {"rcm": rcm, "mindeg": mindeg, "amd": mindeg, "natural": natural}
+def amd(a: CSC) -> np.ndarray:
+    """Approximate minimum degree: native quotient-graph AMD when the host
+    extension is built (native/host_ext.cpp::amd_order), else the Python
+    greedy mindeg."""
+    try:
+        from ..native import host_ext
+    except ImportError:
+        return mindeg(a)
+    ip, ix, _ = a.np_arrays()
+    return host_ext.amd(a.n, ip, ix)
+
+
+_ORDERINGS = {"rcm": rcm, "mindeg": mindeg, "amd": amd, "natural": natural}
 
 
 def get_ordering(name, a: CSC) -> np.ndarray:

@@ -143,11 +143,14 @@ def synthetic_grid(n: int, seed: int = 0, chord_frac: float = 0.25) -> Grid:
     down = idx[idx + side < n]
     f = np.concatenate([right, down])
     t = np.concatenate([right + 1, down + side])
-    # random chords
+    # random chords — short-range (within a ~2-row lattice neighborhood),
+    # matching real transmission grids' near-planar locality; long-range
+    # random chords would give the admittance matrix an expander-graph
+    # pattern whose LU fill no ordering can control
     nc = int(n * chord_frac)
     cf = rng.integers(0, n, nc)
-    ct = rng.integers(0, n, nc)
-    keep = cf != ct
+    ct = cf + rng.integers(-2 * side, 2 * side + 1, nc)
+    keep = (cf != ct) & (ct >= 0) & (ct < n)
     f = np.concatenate([f, cf[keep]])
     t = np.concatenate([t, ct[keep]])
     m = len(f)

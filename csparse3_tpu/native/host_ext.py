@@ -1,0 +1,164 @@
+"""ctypes binding of the native host kernels (native/host_ext.cpp).
+
+The reference binds its C++ through SWIG-generated wrappers
+(reference: src/sparsetools/*_wrap.cxx); here a 200-line ctypes shim
+replaces 228k lines of generated code.  Importing this module raises
+ImportError when the shared library is absent — callers (linalg.lu.splu,
+ops.construct) fall back to the numpy host kernels.
+
+Build: ``make -C native`` (or import with CSPARSE3_TPU_BUILD_NATIVE=1 to
+attempt an automatic build).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..linalg.lu_host import HostLU
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libhost_ext.so")
+
+
+def _try_build():
+    root = os.path.dirname(os.path.dirname(_DIR))
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(root, "native")],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception as e:  # missing toolchain, etc.
+        raise ImportError(f"native build failed: {e}") from e
+
+
+if not os.path.exists(_LIB_PATH):
+    if os.environ.get("CSPARSE3_TPU_BUILD_NATIVE", "1") == "1":
+        _try_build()
+    if not os.path.exists(_LIB_PATH):
+        raise ImportError(f"native library not built: {_LIB_PATH}")
+
+_lib = ctypes.CDLL(_LIB_PATH)
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+class _LUResult(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("lnz", ctypes.c_int64),
+        ("unz", ctypes.c_int64),
+        ("nsing", ctypes.c_int64),
+        ("Lp", _i64p),
+        ("Li", _i64p),
+        ("Up", _i64p),
+        ("Ui", _i64p),
+        ("perm_r", _i64p),
+        ("sing", _i64p),
+        ("Lx", ctypes.c_void_p),
+        ("Ux", ctypes.c_void_p),
+    ]
+
+
+for _name in ("lu_factor_d", "lu_factor_z"):
+    fn = getattr(_lib, _name)
+    fn.restype = ctypes.POINTER(_LUResult)
+    fn.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, _i64p, ctypes.c_double,
+    ]
+_lib.lu_free.restype = None
+_lib.lu_free.argtypes = [ctypes.POINTER(_LUResult)]
+_lib.amd_order.restype = None
+_lib.amd_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+_lib.coo_to_csc_d.restype = ctypes.c_int64
+_lib.coo_to_csc_d.argtypes = [
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    _i64p, _i64p, ctypes.c_void_p, _i64p, _i64p, ctypes.c_void_p,
+]
+
+
+def _as_i64(a):
+    return np.ascontiguousarray(np.asarray(a), dtype=np.int64)
+
+
+def _i64_ptr(a):
+    return a.ctypes.data_as(_i64p)
+
+
+def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0) -> HostLU:
+    """Native twin of linalg.lu_host.lu_factor_host (P A Q = L U)."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    Ax = np.ascontiguousarray(np.asarray(Ax))
+    if np.issubdtype(Ax.dtype, np.complexfloating):
+        Ax = Ax.astype(np.complex128, copy=False)
+        fn, vdt = _lib.lu_factor_z, np.complex128
+    else:
+        Ax = Ax.astype(np.float64, copy=False)
+        fn, vdt = _lib.lu_factor_d, np.float64
+    qa = _as_i64(q if q is not None else np.arange(n))
+    res = fn(
+        ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+        Ax.ctypes.data_as(ctypes.c_void_p), _i64_ptr(qa),
+        ctypes.c_double(tol),
+    )
+    r = res.contents
+    try:
+        def icopy(ptr, cnt):
+            if cnt == 0:
+                return np.zeros(0, dtype=np.int64)
+            return np.ctypeslib.as_array(ptr, shape=(cnt,)).copy()
+
+        def vcopy(ptr, cnt):
+            if cnt == 0:
+                return np.zeros(0, dtype=vdt)
+            p = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_double))
+            k = cnt * (2 if vdt == np.complex128 else 1)
+            return np.ctypeslib.as_array(p, shape=(k,)).copy().view(vdt)
+
+        out = HostLU(
+            n=n,
+            Lp=icopy(r.Lp, n + 1),
+            Li=icopy(r.Li, r.lnz),
+            Lx=vcopy(r.Lx, r.lnz),
+            Up=icopy(r.Up, n + 1),
+            Ui=icopy(r.Ui, r.unz),
+            Ux=vcopy(r.Ux, r.unz),
+            perm_r=icopy(r.perm_r, n),
+            perm_c=qa.copy(),
+            singular_cols=icopy(r.sing, r.nsing),
+        )
+    finally:
+        _lib.lu_free(res)
+    return out
+
+
+def amd(n, Ap, Ai) -> np.ndarray:
+    """Approximate-minimum-degree elimination order for the symmetrized
+    pattern of a square CSC (native twin of linalg.ordering.mindeg)."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    out = np.empty(n, dtype=np.int64)
+    _lib.amd_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai), _i64_ptr(out))
+    return out
+
+
+def coo_to_csc(m, n, rows, cols, vals):
+    """Native triplet->CSC assembly (float64; sums duplicates).
+    Returns (indptr, indices, data) trimmed to the unique count."""
+    rows = _as_i64(rows)
+    cols = _as_i64(cols)
+    vals = np.ascontiguousarray(np.asarray(vals), dtype=np.float64)
+    nnz = len(rows)
+    out_p = np.zeros(n + 1, dtype=np.int64)
+    out_i = np.empty(max(nnz, 1), dtype=np.int64)
+    out_x = np.empty(max(nnz, 1), dtype=np.float64)
+    u = _lib.coo_to_csc_d(
+        m, n, nnz, _i64_ptr(rows), _i64_ptr(cols),
+        vals.ctypes.data_as(ctypes.c_void_p), _i64_ptr(out_p), _i64_ptr(out_i),
+        out_x.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_p, out_i[:u], out_x[:u]

@@ -1,0 +1,505 @@
+// csparse3-tpu native host kernels.
+//
+// The reference ships its native compute as templated C++ sparsetools
+// (reference: src/sparsetools/*.h) bound via SWIG; here the native layer
+// covers only the *host-symbolic* pieces that are inherently sequential
+// and latency-bound in Python — sparse LU factorization (the left-looking
+// algorithm of linalg/lu_host.py, reference breadcrumb
+// src/research/scipy_wrappers.py), triplet->CSC assembly, and entry-stream
+// sort/dedup — while all throughput compute stays on the TPU via XLA.
+// Bound with ctypes (plain extern "C"), no SWIG/pybind.
+//
+// Build: make -C native   (produces csparse3_tpu/native/libhost_ext.so)
+
+#include <algorithm>
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+using std::int64_t;
+using cplx = std::complex<double>;
+
+extern "C" {
+
+struct LUResult {
+  int64_t n;
+  int64_t lnz;
+  int64_t unz;
+  int64_t nsing;
+  int64_t* Lp;
+  int64_t* Li;
+  int64_t* Up;
+  int64_t* Ui;
+  int64_t* perm_r;
+  int64_t* sing;
+  void* Lx;
+  void* Ux;
+};
+
+void lu_free(LUResult* r) {
+  if (!r) return;
+  std::free(r->Lp);
+  std::free(r->Li);
+  std::free(r->Up);
+  std::free(r->Ui);
+  std::free(r->perm_r);
+  std::free(r->sing);
+  std::free(r->Lx);
+  std::free(r->Ux);
+  std::free(r);
+}
+
+}  // extern "C"
+
+namespace {
+
+template <typename T>
+double mag(T x) {
+  return std::abs(x);
+}
+
+template <typename T>
+T inf_fill(T x) {
+  return x * std::numeric_limits<double>::infinity();
+}
+template <>
+cplx inf_fill(cplx x) {
+  return x * std::numeric_limits<double>::infinity();
+}
+
+// Export (col, row, val) streams as CSC, sorted by (col, row).
+template <typename T>
+void to_csc(int64_t n, std::vector<int64_t>& cols, std::vector<int64_t>& rows,
+            std::vector<T>& vals, int64_t** out_p, int64_t** out_i,
+            void** out_x, int64_t* out_nnz) {
+  const int64_t nnz = (int64_t)cols.size();
+  std::vector<int64_t> order(nnz);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (cols[a] != cols[b]) return cols[a] < cols[b];
+    return rows[a] < rows[b];
+  });
+  auto* p = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+  auto* i = (int64_t*)std::malloc(std::max<int64_t>(nnz, 1) * sizeof(int64_t));
+  auto* x = (T*)std::malloc(std::max<int64_t>(nnz, 1) * sizeof(T));
+  std::memset(p, 0, (n + 1) * sizeof(int64_t));
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t o = order[k];
+    i[k] = rows[o];
+    x[k] = vals[o];
+    p[cols[o] + 1]++;
+  }
+  for (int64_t c = 0; c < n; ++c) p[c + 1] += p[c];
+  *out_p = p;
+  *out_i = i;
+  *out_x = x;
+  *out_nnz = nnz;
+}
+
+// Left-looking sparse LU with threshold partial pivoting.  Twin of
+// linalg/lu_host.py::lu_factor_host (same reach/eliminate/pivot/split
+// semantics, including SuperLU-style singular handling: zero pivot ->
+// inf/nan fill, column recorded in `sing`).
+template <typename T>
+LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const T* Ax, const int64_t* q, double tol) {
+  std::vector<std::vector<int64_t>> Lrows(n);
+  std::vector<std::vector<T>> Lvals(n);
+  std::vector<int64_t> pinv(n, -1), perm_r(n, -1);
+  std::vector<int64_t> singular;
+
+  std::vector<T> x(n, T(0));
+  std::vector<int64_t> flag(n, -1), in_pattern(n, -1);
+  std::vector<int64_t> stack(n), estack(n), topo(n);
+  std::vector<int64_t> pat_rows;
+  pat_rows.reserve(n);
+
+  std::vector<int64_t> u_cols, u_rows;
+  std::vector<T> u_vals;
+
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t col = q ? q[k] : k;
+    const int64_t a_lo = Ap[col], a_hi = Ap[col + 1];
+
+    // ---- symbolic: reach via DFS over pivot-node graph -------------------
+    int64_t top = n;
+    pat_rows.clear();
+    for (int64_t p = a_lo; p < a_hi; ++p) {
+      const int64_t r = Ai[p];
+      if (in_pattern[r] != k) {
+        in_pattern[r] = k;
+        pat_rows.push_back(r);
+      }
+      const int64_t j0 = pinv[r];
+      if (j0 >= 0 && flag[j0] != k) {
+        int64_t sp = 0;
+        stack[0] = j0;
+        estack[0] = 0;
+        flag[j0] = k;
+        while (sp >= 0) {
+          const int64_t node = stack[sp];
+          const auto& rows_n = Lrows[node];
+          int64_t e = estack[sp];
+          bool advanced = false;
+          while (e < (int64_t)rows_n.size()) {
+            const int64_t rr = rows_n[e];
+            ++e;
+            if (in_pattern[rr] != k) {
+              in_pattern[rr] = k;
+              pat_rows.push_back(rr);
+            }
+            const int64_t jj = pinv[rr];
+            if (jj >= 0 && flag[jj] != k) {
+              flag[jj] = k;
+              estack[sp] = e;
+              ++sp;
+              stack[sp] = jj;
+              estack[sp] = 0;
+              advanced = true;
+              break;
+            }
+          }
+          if (!advanced) {
+            --top;
+            topo[top] = node;
+            --sp;
+          }
+        }
+      }
+    }
+
+    // ---- numeric: x = L^{-1} a -------------------------------------------
+    for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] = T(0);
+    for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] += Ax[p];
+    for (int64_t t = top; t < n; ++t) {
+      const int64_t j = topo[t];
+      const T xj = x[perm_r[j]];
+      if (xj != T(0)) {
+        const auto& rows_j = Lrows[j];
+        const auto& vals_j = Lvals[j];
+        for (size_t e = 0; e < rows_j.size(); ++e) x[rows_j[e]] -= vals_j[e] * xj;
+      }
+    }
+
+    // ---- pivot -----------------------------------------------------------
+    int64_t best_r = -1;
+    double best_a = 0.0;
+    const int64_t diag_r = col;
+    for (const int64_t r : pat_rows) {
+      if (pinv[r] < 0) {
+        const double a_ = mag(x[r]);
+        if (a_ > best_a) {
+          best_a = a_;
+          best_r = r;
+        }
+      }
+    }
+    T pivot_val;
+    if (best_r < 0 || best_a == 0.0) {
+      singular.push_back(k);
+      if (best_r < 0) {
+        for (int64_t r = 0; r < n; ++r)
+          if (pinv[r] < 0) {
+            best_r = r;
+            break;
+          }
+      }
+      pivot_val = T(0);
+    } else {
+      if (pinv[diag_r] < 0 && in_pattern[diag_r] == k &&
+          mag(x[diag_r]) >= tol * best_a)
+        best_r = diag_r;  // threshold diagonal preference
+      pivot_val = x[best_r];
+    }
+    pinv[best_r] = k;
+    perm_r[k] = best_r;
+
+    // ---- split x into U column and L column ------------------------------
+    auto& lr = Lrows[k];
+    auto& lv = Lvals[k];
+    for (const int64_t r : pat_rows) {
+      const int64_t pr = pinv[r];
+      if (r == best_r) continue;
+      if (pr >= 0 && pr < k) {
+        u_cols.push_back(k);
+        u_rows.push_back(pr);
+        u_vals.push_back(x[r]);
+      } else if (pr < 0) {
+        const T xv = x[r];
+        if (xv != T(0)) {
+          lv.push_back(pivot_val != T(0) ? xv / pivot_val : inf_fill(xv));
+          lr.push_back(r);
+        }
+      }
+      x[r] = T(0);
+    }
+    x[best_r] = T(0);
+    u_cols.push_back(k);
+    u_rows.push_back(k);
+    u_vals.push_back(pivot_val);
+  }
+
+  // ---- export: L (unit diag, pivot-space rows) and U --------------------
+  std::vector<int64_t> l_cols, l_rows;
+  std::vector<T> l_vals;
+  int64_t l_count = n;
+  for (int64_t k = 0; k < n; ++k) l_count += (int64_t)Lrows[k].size();
+  l_cols.reserve(l_count);
+  l_rows.reserve(l_count);
+  l_vals.reserve(l_count);
+  for (int64_t k = 0; k < n; ++k) {
+    l_cols.push_back(k);
+    l_rows.push_back(k);
+    l_vals.push_back(T(1));
+    for (size_t e = 0; e < Lrows[k].size(); ++e) {
+      l_cols.push_back(k);
+      l_rows.push_back(pinv[Lrows[k][e]]);
+      l_vals.push_back(Lvals[k][e]);
+    }
+  }
+
+  auto* res = (LUResult*)std::malloc(sizeof(LUResult));
+  res->n = n;
+  res->nsing = (int64_t)singular.size();
+  to_csc(n, l_cols, l_rows, l_vals, &res->Lp, &res->Li, &res->Lx, &res->lnz);
+  to_csc(n, u_cols, u_rows, u_vals, &res->Up, &res->Ui, &res->Ux, &res->unz);
+  res->perm_r = (int64_t*)std::malloc(n * sizeof(int64_t));
+  std::memcpy(res->perm_r, perm_r.data(), n * sizeof(int64_t));
+  res->sing =
+      (int64_t*)std::malloc(std::max<int64_t>(res->nsing, 1) * sizeof(int64_t));
+  if (res->nsing)
+    std::memcpy(res->sing, singular.data(), res->nsing * sizeof(int64_t));
+  return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+LUResult* lu_factor_d(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                      const double* Ax, const int64_t* q, double tol) {
+  return lu_factor<double>(n, Ap, Ai, Ax, q, tol);
+}
+
+LUResult* lu_factor_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                      const void* Ax, const int64_t* q, double tol) {
+  return lu_factor<cplx>(n, Ap, Ai, (const cplx*)Ax, q, tol);
+}
+
+// Triplet -> canonical CSC assembly (sum duplicates).  Returns the unique
+// count; caller passes output buffers of capacity nnz (worst case).
+// Host twin of ops/construct.from_triplets.
+int64_t coo_to_csc_d(int64_t m, int64_t n, int64_t nnz, const int64_t* rows,
+                     const int64_t* cols, const double* vals, int64_t* out_p,
+                     int64_t* out_i, double* out_x) {
+  (void)m;
+  std::vector<int64_t> order(nnz);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (cols[a] != cols[b]) return cols[a] < cols[b];
+    return rows[a] < rows[b];
+  });
+  std::memset(out_p, 0, (n + 1) * sizeof(int64_t));
+  int64_t u = -1;
+  int64_t prev_r = -1, prev_c = -1;
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t o = order[k];
+    if (rows[o] != prev_r || cols[o] != prev_c) {
+      ++u;
+      out_i[u] = rows[o];
+      out_x[u] = vals[o];
+      out_p[cols[o] + 1]++;
+      prev_r = rows[o];
+      prev_c = cols[o];
+    } else {
+      out_x[u] += vals[o];
+    }
+  }
+  for (int64_t c = 0; c < n; ++c) out_p[c + 1] += out_p[c];
+  return u + 1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Approximate minimum degree ordering (quotient graph with element
+// absorption and AMD-style approximate external degrees).  Replaces the
+// Python greedy mindeg (linalg/ordering.py) for large n.  Operates on the
+// symmetrized pattern of a square CSC; returns the elimination order.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DegreeLists {
+  // bucket lists indexed by degree, intrusive doubly linked
+  std::vector<int64_t> head, nxt, prv, deg;
+  int64_t mindeg = 0;
+  explicit DegreeLists(int64_t n) : head(n + 1, -1), nxt(n, -1), prv(n, -1), deg(n, 0) {}
+  void insert(int64_t v, int64_t d) {
+    deg[v] = d;
+    prv[v] = -1;
+    nxt[v] = head[d];
+    if (head[d] >= 0) prv[head[d]] = v;
+    head[d] = v;
+    if (d < mindeg) mindeg = d;
+  }
+  void remove(int64_t v) {
+    if (prv[v] >= 0)
+      nxt[prv[v]] = nxt[v];
+    else
+      head[deg[v]] = nxt[v];
+    if (nxt[v] >= 0) prv[nxt[v]] = prv[v];
+  }
+  int64_t pop_min(int64_t n) {
+    while (mindeg <= n && head[mindeg] < 0) ++mindeg;
+    const int64_t v = head[mindeg];
+    if (v >= 0) remove(v);
+    return v;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Ap/Ai: CSC pattern of a square n x n matrix (values ignored).
+// perm_out: length n, filled with the elimination order.
+void amd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
+               int64_t* perm_out) {
+  // ---- symmetrize pattern (A + A^T, no self loops) -----------------------
+  const int64_t nnz = Ap[n];
+  std::vector<int64_t> cnt(n, 0);
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t r = Ai[p];
+      if (r != c) {
+        cnt[r]++;
+        cnt[c]++;
+      }
+    }
+  std::vector<int64_t> ptr(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ptr[i + 1] = ptr[i] + cnt[i];
+  std::vector<int64_t> adj(ptr[n]);
+  std::vector<int64_t> fill = ptr;
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t r = Ai[p];
+      if (r != c) {
+        adj[fill[r]++] = c;
+        adj[fill[c]++] = r;
+      }
+    }
+  (void)nnz;
+
+  // dedup each adjacency list
+  std::vector<std::vector<int64_t>> var_adj(n), elem_adj(n), elem_vars(n);
+  {
+    std::vector<int64_t> stamp(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+      auto& v = var_adj[i];
+      v.reserve(ptr[i + 1] - ptr[i]);
+      for (int64_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+        const int64_t u = adj[p];
+        if (stamp[u] != i) {
+          stamp[u] = i;
+          v.push_back(u);
+        }
+      }
+    }
+  }
+  adj.clear();
+  adj.shrink_to_fit();
+
+  std::vector<char> alive(n, 1), elem_alive(n, 0);
+  std::vector<int64_t> mark(n, -1), estamp(n, -1), w(n, 0);
+  DegreeLists dl(n);
+  for (int64_t i = 0; i < n; ++i) dl.insert(i, (int64_t)var_adj[i].size());
+
+  std::vector<int64_t> Lp;
+  Lp.reserve(n);
+
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t p = dl.pop_min(n);
+    perm_out[k] = p;
+    alive[p] = 0;
+
+    // ---- build Lp = pattern of the new element ---------------------------
+    Lp.clear();
+    mark[p] = k;
+    for (const int64_t v : var_adj[p])
+      if (alive[v] && mark[v] != k) {
+        mark[v] = k;
+        Lp.push_back(v);
+      }
+    for (const int64_t e : elem_adj[p])
+      if (elem_alive[e]) {
+        for (const int64_t v : elem_vars[e])
+          if (alive[v] && mark[v] != k) {
+            mark[v] = k;
+            Lp.push_back(v);
+          }
+        elem_alive[e] = 0;  // merged into p
+        elem_vars[e].clear();
+        elem_vars[e].shrink_to_fit();
+      }
+    var_adj[p].clear();
+    var_adj[p].shrink_to_fit();
+    elem_adj[p].clear();
+    elem_adj[p].shrink_to_fit();
+    elem_vars[p] = Lp;  // p becomes an element
+    elem_alive[p] = 1;
+
+    // ---- w[e] = |Le \ Lp| for elements touching Lp -----------------------
+    for (const int64_t v : Lp)
+      for (const int64_t e : elem_adj[v])
+        if (elem_alive[e]) {
+          if (estamp[e] != k) {
+            estamp[e] = k;
+            // |Le| counting only alive vars
+            int64_t c = 0;
+            for (const int64_t u : elem_vars[e]) c += alive[u];
+            w[e] = c;
+          }
+          --w[e];
+        }
+
+    // ---- update each variable in Lp --------------------------------------
+    const int64_t lp_sz = (int64_t)Lp.size();
+    for (const int64_t v : Lp) {
+      // prune var list: drop dead vars and members of Lp (now covered by p)
+      auto& va = var_adj[v];
+      size_t out = 0;
+      for (const int64_t u : va)
+        if (alive[u] && mark[u] != k) va[out++] = u;
+      va.resize(out);
+
+      // prune elements: absorb those with Le subset of Lp, approximate degree
+      auto& ea = elem_adj[v];
+      int64_t d = (int64_t)va.size() + (lp_sz - 1);
+      size_t eo = 0;
+      for (const int64_t e : ea)
+        if (elem_alive[e]) {
+          if (estamp[e] == k && w[e] <= 0) {
+            elem_alive[e] = 0;  // absorbed into p
+            elem_vars[e].clear();
+            elem_vars[e].shrink_to_fit();
+          } else {
+            d += (estamp[e] == k) ? w[e] : (int64_t)elem_vars[e].size();
+            ea[eo++] = e;
+          }
+        }
+      ea.resize(eo);
+      ea.push_back(p);
+      if (d > n - k - 1) d = n - k - 1;
+      if (d < 0) d = 0;
+      dl.remove(v);
+      dl.insert(v, d);
+    }
+  }
+}
+
+}  // extern "C"
