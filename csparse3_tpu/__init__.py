@@ -11,6 +11,8 @@ format, Pallas kernels on the hot paths, and jax.sharding distribution.
 
 from .__version__ import __version__  # noqa: F401
 from . import config  # noqa: F401
+from . import linalg, models, parallel  # noqa: F401
+from .utils import io, profiling  # noqa: F401
 from .builder import CooMat, LilMat, TripletBuilder  # noqa: F401
 from .ops.arithmetic import (  # noqa: F401
     add,

@@ -9,3 +9,4 @@ from .trisolve import (  # noqa: F401
     utsolve,
 )
 from .iterative import bicgstab, cg, gmres, ilu0_prec, jacobi_prec  # noqa: F401
+from .refactor import RefactorPlan  # noqa: F401

@@ -105,6 +105,16 @@ class SparseLU:
             self._plan = SolvePlan(lplan, uplan, h.perm_r, h.perm_c)
         return self._plan
 
+    def refactor_plan(self, a: CSC) -> "RefactorPlan":
+        """KLU-style device refactorization plan: freeze this
+        factorization's pattern and pivoting, then ``plan.refactor(data)``
+        re-factors a same-pattern matrix entirely on device (jittable;
+        vmap over data for batched factorizations).  ``a`` must be the
+        canonical CSC this LU was computed from."""
+        from .refactor import RefactorPlan
+
+        return RefactorPlan(self._h, a)
+
     def solve(self, b):
         """x = A^{-1} b on device (b: (n,) or (n, k))."""
         if self.is_singular:

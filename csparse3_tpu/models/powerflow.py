@@ -33,7 +33,10 @@ from ..ops import construct, matvec
 from ..types import CSC
 from .grids import PQ, PV, SLACK, Grid, ybus
 
-__all__ = ["sbus", "dc_power_flow", "FastDecoupled", "newton_raphson"]
+__all__ = [
+    "sbus", "dc_power_flow", "FastDecoupled", "newton_raphson",
+    "NewtonPowerFlow",
+]
 
 
 def sbus(grid: Grid):
@@ -222,6 +225,143 @@ def _jacobian(Y: CSC, v, ibus, pvpq, pq):
     jv = np.concatenate([b[2] for b in blocks])
     dim = npvpq + npq
     return construct.from_triplets(jr, jc, jv, (dim, dim))
+
+
+class NewtonPowerFlow:
+    """Fully-jittable Newton power flow.
+
+    The Jacobian PATTERN is fixed by the Ybus pattern, so: factor it once
+    on host (symbolic + pivoting), then every Newton iteration runs on
+    device — Jacobian values assembled from Ybus entry streams, numeric
+    refactorization via linalg.RefactorPlan (KLU-style), level-scheduled
+    solve, state update — inside one ``lax.while_loop``.  No host
+    round-trip per iteration, unlike ``newton_raphson`` (the host
+    reference implementation kept below).
+    """
+
+    def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):
+        self.grid = grid
+        self.tol = tol
+        self.max_iter = max_iter
+        n = grid.n_bus
+        self.Y, _, _ = ybus(grid)
+        self._yplan = matvec.SpMVPlan(self.Y)
+        self._sb = jnp.asarray(sbus(grid))
+        pvpq = np.concatenate([grid.pv, grid.pq])
+        pq = grid.pq
+        self._pvpq = jnp.asarray(pvpq)
+        self._pq = jnp.asarray(pq)
+        npvpq, npq = len(pvpq), len(pq)
+        self._npvpq = npvpq
+
+        # ---- fixed Jacobian structure from Ybus entry streams ------------
+        ipY, ixY, dtY = self.Y.np_arrays()
+        rows = ixY.astype(np.int64)
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(ipY))
+        self._y_rows = jnp.asarray(rows)
+        self._y_cols = jnp.asarray(cols)
+        self._y_vals = jnp.asarray(dtY)
+        self._diag_mask = jnp.asarray(rows == cols)
+
+        pos_pvpq = np.full(n, -1)
+        pos_pvpq[pvpq] = np.arange(npvpq)
+        pos_pq = np.full(n, -1)
+        pos_pq[pq] = np.arange(npq)
+
+        keeps, jr_l, jc_l, segs = [], [], [], []
+        for bi, (rsel, csel, roff, coff) in enumerate([
+            (pos_pvpq, pos_pvpq, 0, 0),       # J11 real(dS/dVa)
+            (pos_pvpq, pos_pq, 0, npvpq),     # J12 real(dS/dVm)
+            (pos_pq, pos_pvpq, npvpq, 0),     # J21 imag(dS/dVa)
+            (pos_pq, pos_pq, npvpq, npvpq),   # J22 imag(dS/dVm)
+        ]):
+            keep = np.flatnonzero((rsel[rows] >= 0) & (csel[cols] >= 0))
+            keeps.append(keep)
+            jr_l.append(rsel[rows[keep]] + roff)
+            jc_l.append(csel[cols[keep]] + coff)
+            segs.append(len(keep))
+        jr = np.concatenate(jr_l)
+        jc = np.concatenate(jc_l)
+        dim = npvpq + npq
+        # canonical-order permutation: J.data[i] = stream[perm[i]]
+        perm = np.lexsort((jr, jc))
+        self._keep = [jnp.asarray(k) for k in keeps]
+        self._perm = jnp.asarray(perm)
+        self._segs = segs
+
+        # host: factor the pattern once (values at flat start)
+        v0 = grid.vm0.astype(np.complex128)
+        ibus0 = np.asarray(self._yplan(jnp.asarray(v0)))
+        J0 = _jacobian(self.Y, v0, ibus0, pvpq, pq)
+        lu = splu(J0, ordering=ordering)
+        self._rp = lu.refactor_plan(J0)
+
+    # -- device Jacobian values (fixed pattern) -----------------------------
+    def _jac_data(self, v, ibus):
+        rows, cols, y = self._y_rows, self._y_cols, self._y_vals
+        vm = jnp.abs(v)
+        dva = -1j * v[rows] * jnp.conj(y) * jnp.conj(v[cols])
+        dvm = v[rows] * jnp.conj(y) * jnp.conj(v[cols]) / vm[cols]
+        diag_term_a = 1j * v[rows] * jnp.conj(ibus[rows])
+        diag_term_m = jnp.conj(ibus[rows]) * v[rows] / vm[rows]
+        dva = jnp.where(self._diag_mask, dva + diag_term_a, dva)
+        dvm = jnp.where(self._diag_mask, dvm + diag_term_m, dvm)
+        stream = jnp.concatenate([
+            jnp.real(dva)[self._keep[0]],
+            jnp.real(dvm)[self._keep[1]],
+            jnp.imag(dva)[self._keep[2]],
+            jnp.imag(dvm)[self._keep[3]],
+        ])
+        return stream[self._perm]
+
+    def _mismatch_f(self, vm, va, sb):
+        v = vm * jnp.exp(1j * va)
+        ibus = self._yplan(v)
+        mis = v * jnp.conj(ibus) - sb
+        f = jnp.concatenate(
+            [jnp.real(mis)[self._pvpq], jnp.imag(mis)[self._pq]]
+        )
+        return f, v, ibus
+
+    @partial(jax.jit, static_argnums=0)
+    def run(self, vm0, va0, sb):
+        """Solve to tolerance; returns (vm, va, iterations, residual)."""
+
+        def cond(state):
+            vm, va, it = state
+            f, _, _ = self._mismatch_f(vm, va, sb)
+            nrm = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
+            return jnp.logical_and(nrm > self.tol, it < self.max_iter)
+
+        def body(state):
+            vm, va, it = state
+            f, v, ibus = self._mismatch_f(vm, va, sb)
+            plan = self._rp.refactor(self._jac_data(v, ibus))
+            dx = plan(-f)
+            va = va.at[self._pvpq].add(dx[: self._npvpq])
+            vm = vm.at[self._pq].add(dx[self._npvpq :])
+            return (vm, va, it + 1)
+
+        vm, va, it = jax.lax.while_loop(cond, body, (vm0, va0, 0))
+        f, _, _ = self._mismatch_f(vm, va, sb)
+        res = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
+        return vm, va, it, res
+
+    def solve(self, flat_start=True):
+        n = self.grid.n_bus
+        vm0 = jnp.asarray(self.grid.vm0.astype(np.float64))
+        va0 = jnp.zeros(n)
+        vm, va, it, res = self.run(vm0, va0, self._sb)
+        return np.asarray(vm), np.asarray(va), int(it), float(res)
+
+    def solve_batch(self, sb_batch):
+        """Many load scenarios against one symbolic factorization —
+        vmapped device Newton (every scenario refactors on device)."""
+        n = self.grid.n_bus
+        k = sb_batch.shape[0]
+        vm0 = jnp.broadcast_to(jnp.asarray(self.grid.vm0.astype(np.float64)), (k, n))
+        va0 = jnp.zeros((k, n))
+        return jax.vmap(self.run)(vm0, va0, jnp.asarray(sb_batch))
 
 
 def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):

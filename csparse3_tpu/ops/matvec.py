@@ -85,43 +85,99 @@ def spmm(a: CSC, X, *, backend: str | None = None):
 
 
 class SpMVPlan:
-    """Precomputed entry streams for repeated y = A x with fixed structure.
+    """Precomputed structure for repeated y = A x with a fixed pattern.
 
-    A pytree-friendly bundle: pass it into jitted solvers; only ``vals``
-    participates in differentiation.
+    Two device layouts, chosen at build time:
+
+    * ``'ell'`` (default when rows are boundedly dense): the matrix is
+      re-laid-out as padded row-major (m, W) ``cols``/``vals`` slabs — an
+      ELLPACK.  SpMV is then W gathers + a dense multiply-accumulate and
+      contains NO scatter, the op TPUs serialize worst.  Power-grid Ybus
+      rows have degree <= max bus fanout, so W stays ~6-12 and padding
+      waste is small.
+    * ``'stream'``: per-entry (row, col, val) streams + one segment_sum —
+      the general fallback when the max row degree is an outlier
+      (W * m >> nnz).
+
+    A pytree: pass into jitted solvers; only values participate in AD.
     """
 
-    def __init__(self, a: CSC):
-        if not construct.is_traced(a.indptr, a.indices, a.data):
-            ip, rows_np, vals_np = a.np_arrays()
-            rows = jnp.asarray(rows_np)
-            cols = jnp.asarray(construct.expand_indptr_np(ip))
-            vals = jnp.asarray(vals_np)
-        else:
-            rows, cols, vals = _entry_streams(a)
+    def __init__(self, a: CSC, layout: str | None = None, max_waste: float = 4.0):
         self.m, self.n = a.shape
-        self.rows = rows
-        self.cols = cols
-        self.vals = vals
+        if construct.is_traced(a.indptr, a.indices, a.data):
+            # traced structure: only the stream layout is buildable
+            rows, cols, vals = _entry_streams(a)
+            self.layout = "stream"
+            self.rows, self.cols, self.vals = rows, cols, vals
+            return
+        ip, rows_np, vals_np = a.np_arrays()
+        cols_np = construct.expand_indptr_np(ip)
+        counts = np.bincount(rows_np, minlength=self.m)
+        W = int(counts.max()) if counts.size else 0
+        if layout is None:
+            layout = (
+                "ell"
+                if W and W * self.m <= max_waste * max(len(rows_np), 1)
+                else "stream"
+            )
+        self.layout = layout
+        if layout == "stream":
+            self.rows = jnp.asarray(rows_np)
+            self.cols = jnp.asarray(cols_np)
+            self.vals = jnp.asarray(vals_np)
+            return
+        # ELL: row-major resort, pad each row to W
+        W = max(W, 1)
+        order = np.lexsort((cols_np, rows_np))
+        r_s, c_s, v_s = rows_np[order], cols_np[order], vals_np[order]
+        slot = np.arange(len(r_s)) - np.concatenate([[0], np.cumsum(counts)])[r_s]
+        ell_cols = np.zeros((self.m, W), dtype=np.int32)
+        ell_vals = np.zeros((self.m, W), dtype=v_s.dtype)
+        ell_cols[r_s, slot] = c_s
+        ell_vals[r_s, slot] = v_s
+        self.cols = jnp.asarray(ell_cols)
+        self.vals = jnp.asarray(ell_vals)
+        self.rows = None
+
+    @property
+    def W(self) -> int:
+        return self.cols.shape[1] if self.layout == "ell" else 0
 
     def __call__(self, x):
+        if self.layout == "stream":
+            if x.ndim == 1:
+                return _spmv_xla(self.rows, self.cols, self.vals, self.m, x)
+            return _spmm_xla(self.rows, self.cols, self.vals, self.m, x)
+        dtype = jnp.result_type(self.vals.dtype, x.dtype)
         if x.ndim == 1:
-            return _spmv_xla(self.rows, self.cols, self.vals, self.m, x)
-        return _spmm_xla(self.rows, self.cols, self.vals, self.m, x)
+            # (m, W) gather + dense row reduction — scatter-free
+            return jnp.sum(self.vals * x[self.cols], axis=1).astype(dtype)
+        # multi-RHS: accumulate one ELL slot at a time to keep the gather
+        # working set at (m, B) instead of (m, W, B)
+        y = jnp.zeros((self.m, x.shape[1]), dtype=dtype)
+        for w in range(self.cols.shape[1]):
+            y = y + self.vals[:, w, None] * x[self.cols[:, w]]
+        return y
 
 
-jax.tree_util.register_pytree_node(
-    SpMVPlan,
-    lambda p: ((p.rows, p.cols, p.vals), (p.m, p.n)),
-    lambda aux, ch: _plan_unflatten(aux, ch),
-)
+def _plan_flatten(p):
+    if p.layout == "ell":
+        return (p.cols, p.vals), (p.m, p.n, p.layout)
+    return (p.rows, p.cols, p.vals), (p.m, p.n, p.layout)
 
 
 def _plan_unflatten(aux, children):
     obj = object.__new__(SpMVPlan)
-    obj.m, obj.n = aux
-    obj.rows, obj.cols, obj.vals = children
+    obj.m, obj.n, obj.layout = aux
+    if obj.layout == "ell":
+        obj.cols, obj.vals = children
+        obj.rows = None
+    else:
+        obj.rows, obj.cols, obj.vals = children
     return obj
+
+
+jax.tree_util.register_pytree_node(SpMVPlan, _plan_flatten, _plan_unflatten)
 
 
 def bsr_spmm(a: BSR, X):

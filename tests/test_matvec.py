@@ -58,8 +58,8 @@ def test_spmv_grad():
     x = np.random.RandomState(5).randn(20)
 
     def loss(vals, x):
-        p = cst.SpMVPlan.__new__(cst.SpMVPlan)
-        p.m, p.n, p.rows, p.cols, p.vals = plan.m, plan.n, plan.rows, plan.cols, vals
+        leaves, treedef = jax.tree_util.tree_flatten(plan)
+        p = jax.tree_util.tree_unflatten(treedef, leaves[:-1] + [vals])
         return jnp.sum(p(x) ** 2)
 
     g = jax.grad(loss, argnums=1)(plan.vals, jnp.asarray(x))
@@ -76,3 +76,64 @@ def test_bsr_spmm(block):
     np.testing.assert_allclose(np.asarray(cst.bsr_spmm(b, X)), a_sp @ X, rtol=1e-11)
     x = np.random.RandomState(7).randn(34)
     np.testing.assert_allclose(np.asarray(cst.bsr_spmm(b, x)), a_sp @ x, rtol=1e-11)
+
+
+class TestSpMVPlanLayouts:
+    def test_ell_matches_stream(self, rand_pair):
+        import csparse3_tpu as cst
+        from csparse3_tpu.ops.matvec import SpMVPlan
+
+        a, _ = rand_pair
+        A = cst.CSC.from_scipy(a)
+        x = np.random.RandomState(3).rand(a.shape[1])
+        p_ell = SpMVPlan(A, layout="ell")
+        p_str = SpMVPlan(A, layout="stream")
+        assert p_ell.layout == "ell" and p_str.layout == "stream"
+        np.testing.assert_allclose(
+            np.asarray(p_ell(jnp.asarray(x))),
+            np.asarray(p_str(jnp.asarray(x))),
+            rtol=1e-12, atol=1e-13,
+        )
+        np.testing.assert_allclose(np.asarray(p_ell(jnp.asarray(x))), a @ x,
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_ell_multi_rhs(self, rand_pair):
+        import csparse3_tpu as cst
+        from csparse3_tpu.ops.matvec import SpMVPlan
+
+        a, _ = rand_pair
+        A = cst.CSC.from_scipy(a)
+        X = np.random.RandomState(4).rand(a.shape[1], 7)
+        p = SpMVPlan(A, layout="ell")
+        np.testing.assert_allclose(np.asarray(p(jnp.asarray(X))), a @ X,
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_ell_jit_and_pytree(self, rand_pair):
+        import csparse3_tpu as cst
+        from csparse3_tpu.ops.matvec import SpMVPlan
+
+        a, _ = rand_pair
+        A = cst.CSC.from_scipy(a)
+        p = SpMVPlan(A)
+        x = jnp.asarray(np.random.RandomState(5).rand(a.shape[1]))
+        y = jax.jit(lambda pl, v: pl(v))(p, x)
+        np.testing.assert_allclose(np.asarray(y), a @ np.asarray(x),
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_outlier_row_falls_back_to_stream(self):
+        import csparse3_tpu as cst
+        from csparse3_tpu.ops.matvec import SpMVPlan
+
+        # one dense row in an otherwise ultra-sparse matrix
+        n = 500
+        rows = np.concatenate([np.zeros(n, np.int64), np.arange(n)])
+        cols = np.concatenate([np.arange(n), np.arange(n)])
+        vals = np.ones(2 * n)
+        A = cst.from_triplets(rows, cols, vals, (n, n))
+        p = SpMVPlan(A)
+        assert p.layout == "stream"
+        x = np.random.RandomState(6).rand(n)
+        np.testing.assert_allclose(
+            np.asarray(p(jnp.asarray(x))), A.to_scipy() @ x,
+            rtol=1e-12, atol=1e-13,
+        )

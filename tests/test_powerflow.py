@@ -125,3 +125,45 @@ def test_newton_synthetic_grid():
     grid = synthetic_grid(150, seed=5)
     vm, va, iters, res = newton_raphson(grid, tol=1e-9)
     assert res < 1e-9
+
+
+class TestNewtonDevice:
+    def test_matches_host_newton_ieee14(self):
+        from csparse3_tpu.models.grids import ieee14
+        from csparse3_tpu.models.powerflow import NewtonPowerFlow, newton_raphson
+
+        g = ieee14()
+        vm, va, it, res = NewtonPowerFlow(g).solve()
+        vm_r, va_r, _, _ = newton_raphson(g)
+        assert res < 1e-9
+        np.testing.assert_allclose(vm, vm_r, atol=1e-10)
+        np.testing.assert_allclose(va, va_r, atol=1e-10)
+
+    def test_power_balance_synthetic(self):
+        from csparse3_tpu.models.grids import synthetic_grid, ybus
+        from csparse3_tpu.models.powerflow import NewtonPowerFlow, sbus
+
+        g = synthetic_grid(150, seed=9)
+        npf = NewtonPowerFlow(g)
+        vm, va, it, res = npf.solve()
+        assert res < 1e-9
+        # physics check: injections at PQ buses match specified load
+        Y, _, _ = ybus(g)
+        v = vm * np.exp(1j * va)
+        s = v * np.conj(Y.to_scipy() @ v)
+        sb = sbus(g)
+        pq = g.pq
+        np.testing.assert_allclose(s.real[pq], sb.real[pq], atol=1e-8)
+        np.testing.assert_allclose(s.imag[pq], sb.imag[pq], atol=1e-8)
+
+    def test_batched_scenarios(self):
+        from csparse3_tpu.models.grids import synthetic_grid
+        from csparse3_tpu.models.powerflow import NewtonPowerFlow, sbus
+
+        g = synthetic_grid(80, seed=10)
+        npf = NewtonPowerFlow(g)
+        sb = sbus(g)
+        batch = np.stack([sb * s for s in (0.8, 0.9, 1.0)])
+        vm, va, it, res = npf.solve_batch(batch)
+        assert np.asarray(res).max() < 1e-9
+        assert vm.shape == (3, 80)
