@@ -24,6 +24,8 @@ from .ops.arithmetic import (  # noqa: F401
     maximum,
     minimum,
     scale,
+    scale_columns,
+    scale_rows,
     sub,
 )
 from .ops.construct import (  # noqa: F401
@@ -31,8 +33,10 @@ from .ops.construct import (  # noqa: F401
     coo_to_csc,
     csc_to_bsr,
     csc_to_csr,
+    csc_to_dia,
     csr_to_csc,
     dense_to_csc,
+    dia_to_csc,
     diag,
     diags,
     eye,
@@ -41,12 +45,14 @@ from .ops.construct import (  # noqa: F401
     transpose,
 )
 from .ops.graph import component_labels, islands  # noqa: F401
-from .ops.matvec import SpMVPlan, bsr_spmm, spmm, spmv  # noqa: F401
+from .ops.slicing import sample_values, submatrix  # noqa: F401
+from .ops.validate import has_canonical_format, has_sorted_indices, validate  # noqa: F401
+from .ops.matvec import SpMVPlan, bsr_spmm, dia_spmv, spmm, spmv  # noqa: F401
 from .ops.norms import norm  # noqa: F401
 from .ops.reductions import diagonal, sum_duplicates  # noqa: F401
 from .ops.spgemm import SpGEMMPlan, gram, spgemm, spgemm_symbolic  # noqa: F401
 from .ops.stacking import block, hstack, pack_4_by_4, vstack  # noqa: F401
-from .types import BSR, COO, CSC, CSR  # noqa: F401
+from .types import BSR, COO, CSC, CSR, DIA  # noqa: F401
 from .utils.misc import dense_to_str, slice_to_range  # noqa: F401
 
 # Reference-compatible aliases (src/CSparse3/csc.py public surface)

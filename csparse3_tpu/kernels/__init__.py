@@ -1,0 +1,1 @@
+from .bsr_spmm_pallas import bsr_spmm_pallas  # noqa: F401

@@ -36,6 +36,8 @@ __all__ = [
     "compare",
     "equal",
     "eliminate_zeros",
+    "scale_rows",
+    "scale_columns",
 ]
 
 
@@ -202,3 +204,26 @@ def eliminate_zeros(a: CSC) -> CSC:
     keep = np.flatnonzero(vals != 0)
     cols = np.repeat(np.arange(a.n), np.diff(ip))
     return construct.from_triplets(rows[keep], cols[keep], vals[keep], a.shape)
+
+
+def scale_rows(a: CSC, d) -> CSC:
+    """Row scaling diag(d) @ A (reference: csr_scale_rows, csr.h:103).
+    Jittable: the pattern is unchanged, values gather d by row id."""
+    d = jnp.asarray(d)
+    k = a.nnz
+    data = a.data.at[:k].multiply(d[a.indices[:k]])
+    return CSC(a.m, a.n, a.indptr, a.indices, data, nnz=a.nnz,
+               canonical=a.canonical)
+
+
+def scale_columns(a: CSC, d) -> CSC:
+    """Column scaling A @ diag(d) (reference: csr_scale_columns, csr.h:125)."""
+    d = jnp.asarray(d)
+    k = a.nnz
+    if construct.is_traced(a.indptr, a.indices, a.data, d):
+        cols = construct.expand_indptr(a.indptr, k)
+    else:
+        cols = jnp.asarray(construct.expand_indptr_np(np.asarray(a.indptr), k))
+    data = a.data.at[:k].multiply(d[cols])
+    return CSC(a.m, a.n, a.indptr, a.indices, data, nnz=a.nnz,
+               canonical=a.canonical)

@@ -53,6 +53,8 @@ __all__ = [
     "diags",
     "from_triplets",
     "random_csc",
+    "csc_to_dia",
+    "dia_to_csc",
 ]
 
 
@@ -157,8 +159,10 @@ def from_triplets(rows, cols, vals, shape, *, sum_duplicates=True) -> CSC:
     indptr = np.zeros(n + 1, dtype=np_idx)
     counts = np.bincount(c_u, minlength=n)
     indptr[1:] = np.cumsum(counts)
-    return CSC(m, n, jnp.asarray(indptr), jnp.asarray(r_u), jnp.asarray(v_u),
-               canonical=True)
+    # pass numpy straight through: the CSC constructor keeps a host cache
+    # (types._host_cache) so later host-symbolic ops skip the download
+    return CSC(m, n, indptr, np.ascontiguousarray(r_u),
+               np.ascontiguousarray(v_u), canonical=True)
 
 
 def coo_to_csc(coo: COO, sum_duplicates: bool = True) -> CSC:
@@ -170,13 +174,13 @@ def coo_to_csc(coo: COO, sum_duplicates: bool = True) -> CSC:
 
 
 def _empty_csc(m, n, dtype) -> CSC:
-    idx = get_config().index_dtype
+    idx = np.dtype(get_config().index_dtype)
     return CSC(
         m,
         n,
-        jnp.zeros((n + 1,), dtype=idx),
-        jnp.zeros((0,), dtype=idx),
-        jnp.zeros((0,), dtype=dtype),
+        np.zeros(n + 1, dtype=idx),
+        np.zeros(0, dtype=idx),
+        np.zeros(0, dtype=dtype),
     )
 
 
@@ -206,8 +210,8 @@ def csc_to_csr(a: CSC) -> CSR:
             a.m, rows.astype(np.int64), cols.astype(np.int64), vals,
             np.dtype(get_config().index_dtype),
         )
-        return CSR(a.m, a.n, jnp.asarray(indptr), jnp.asarray(c_s),
-                   jnp.asarray(v_s), canonical=a.canonical)
+        return CSR(a.m, a.n, indptr, np.ascontiguousarray(c_s),
+                   np.ascontiguousarray(v_s), canonical=a.canonical)
     cols = expand_indptr(a.indptr, k)
     rows = a.indices[:k]
     vals = a.data[:k]
@@ -225,8 +229,8 @@ def csr_to_csc(a: CSR) -> CSC:
             a.n, cols.astype(np.int64), rows.astype(np.int64), vals,
             np.dtype(get_config().index_dtype),
         )
-        return CSC(a.m, a.n, jnp.asarray(indptr), jnp.asarray(r_s),
-                   jnp.asarray(v_s), canonical=a.canonical)
+        return CSC(a.m, a.n, indptr, np.ascontiguousarray(r_s),
+                   np.ascontiguousarray(v_s), canonical=a.canonical)
     rows = expand_indptr(a.indptr, k)
     cols = a.indices[:k]
     vals = a.data[:k]
@@ -249,8 +253,8 @@ def transpose(a: CSC) -> CSC:
             a.m, old_rows.astype(np.int64), old_cols.astype(np.int64),
             vals, np.dtype(get_config().index_dtype),
         )
-        return CSC(a.n, a.m, jnp.asarray(indptr), jnp.asarray(r_s),
-                   jnp.asarray(v_s), canonical=a.canonical)
+        return CSC(a.n, a.m, indptr, np.ascontiguousarray(r_s),
+                   np.ascontiguousarray(v_s), canonical=a.canonical)
     old_cols = expand_indptr(a.indptr, k)
     old_rows = a.indices[:k]
     vals = a.data[:k]
@@ -364,3 +368,41 @@ def random_csc(m, n, density=0.01, seed=0, dtype=None) -> CSC:
     cols = rng.integers(0, n, size=k)
     vals = rng.standard_normal(k).astype(dtype)
     return from_triplets(rows, cols, vals, (m, n))
+
+
+def csc_to_dia(a: CSC):
+    """CSC -> DIA (host; the diagonal count is data-dependent)."""
+    from ..types import DIA
+
+    ip, rows, vals = a.np_arrays()
+    cols = expand_indptr_np(ip).astype(np.int64)
+    offs_all = cols - rows.astype(np.int64)
+    offsets = np.unique(offs_all)
+    data = np.zeros((len(offsets), a.n), dtype=vals.dtype)
+    di = np.searchsorted(offsets, offs_all)
+    data[di, cols] = vals
+    return DIA(a.m, a.n, offsets.astype(np.int32), data)
+
+
+def dia_to_csc(a) -> CSC:
+    """DIA -> CSC (host)."""
+    offs = np.asarray(a.offsets)
+    dat = np.asarray(a.data)
+    rows_l, cols_l, vals_l = [], [], []
+    for i, off in enumerate(offs):
+        off = int(off)
+        j_lo, j_hi = max(0, off), min(a.n, a.m + off)
+        if j_hi <= j_lo:
+            continue
+        j = np.arange(j_lo, j_hi)
+        v = dat[i, j_lo:j_hi]
+        nz = v != 0
+        rows_l.append(j[nz] - off)
+        cols_l.append(j[nz])
+        vals_l.append(v[nz])
+    if not rows_l:
+        return _empty_csc(a.m, a.n, dat.dtype)
+    return from_triplets(
+        np.concatenate(rows_l), np.concatenate(cols_l),
+        np.concatenate(vals_l), (a.m, a.n),
+    )

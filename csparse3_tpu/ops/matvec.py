@@ -31,7 +31,7 @@ from ..config import get_config
 from ..types import BSR, CSC
 from . import construct
 
-__all__ = ["spmv", "spmm", "SpMVPlan", "bsr_spmm"]
+__all__ = ["spmv", "spmm", "SpMVPlan", "bsr_spmm", "dia_spmv"]
 
 
 def _entry_streams(a: CSC):
@@ -74,6 +74,10 @@ def spmm(a: CSC, X, *, backend: str | None = None):
     X = jnp.asarray(X)
     if X.shape[0] != a.n:
         raise ValueError(f"dim mismatch: A is {a.shape}, X is {X.shape}")
+    if backend == "pallas":
+        from ..kernels import spmv_pallas
+
+        return spmv_pallas.spmm(a, X)
     rows, cols, vals = _entry_streams(a)
     if backend == "numpy":
         Y = np.zeros((a.m, X.shape[1]), dtype=np.result_type(vals.dtype, X.dtype))
@@ -205,3 +209,30 @@ def bsr_spmm(a: BSR, X):
     Yb = jax.ops.segment_sum(prod, brows, num_segments=mb)
     Y = Yb.reshape(mb * R, k)[: a.m]
     return Y[:, 0] if squeeze else Y
+
+
+def dia_spmv(a, x):
+    """y = A @ x for DIA format (reference: dia_matvec,
+    src/sparsetools/dia.h:30-58).
+
+    Per diagonal ``off``: y[j - off] += data[i, j] * x[j] over the valid
+    j range — on TPU this is a shifted dense multiply-add per diagonal
+    with NO gathers or scatters, the speed-of-light form for banded
+    matrices (RCM-ordered grid Ybus).  Unrolled over the (static, small)
+    diagonal count.
+    """
+    from ..types import DIA
+
+    assert isinstance(a, DIA)
+    x = jnp.asarray(x)
+    offs = np.asarray(a.offsets)
+    y = jnp.zeros((a.m,), dtype=jnp.result_type(a.data.dtype, x.dtype))
+    for i, off in enumerate(offs):
+        off = int(off)
+        j_lo = max(0, off)
+        j_hi = min(a.n, a.m + off)
+        if j_hi <= j_lo:
+            continue
+        seg = a.data[i, j_lo:j_hi] * x[j_lo:j_hi]
+        y = y.at[j_lo - off : j_hi - off].add(seg)
+    return y

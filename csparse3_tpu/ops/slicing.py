@@ -26,7 +26,7 @@ from ..types import CSC
 from . import construct
 from ..utils.misc import slice_to_range
 
-__all__ = ["getitem", "submatrix"]
+__all__ = ["getitem", "submatrix", "sample_values"]
 
 
 def _norm_key(key, dim):
@@ -105,3 +105,24 @@ def submatrix(a: CSC, rows: np.ndarray, cols: np.ndarray) -> CSC:
     return construct.from_triplets(
         new_rows, out_cols[keep], sub_vals[keep], (len(rows), len(cols))
     )
+
+
+def sample_values(a: CSC, rows, cols):
+    """Vectorized point lookup A[rows[i], cols[i]] -> values (0 where the
+    entry is absent; duplicates summed for non-canonical matrices).
+    Reference: csr_sample_values, src/sparsetools/csr.h:1458."""
+    rows = np.asarray(rows).ravel()
+    cols = np.asarray(cols).ravel()
+    ip, ix, dt = a.np_arrays()
+    ecols = np.repeat(np.arange(a.n, dtype=np.int64), np.diff(ip))
+    keys = ecols * a.m + ix.astype(np.int64)
+    if not a.canonical:
+        order = np.argsort(keys, kind="stable")
+        keys, dt = keys[order], dt[order]
+    q = cols.astype(np.int64) * a.m + rows.astype(np.int64)
+    lo = np.searchsorted(keys, q, side="left")
+    hi = np.searchsorted(keys, q, side="right")
+    out = np.zeros(len(q), dtype=dt.dtype)
+    for t in np.flatnonzero(hi > lo):
+        out[t] = dt[lo[t]:hi[t]].sum()
+    return out

@@ -139,8 +139,7 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
     u_cols = c_s[new].astype(idx)
     indptr = np.zeros(b.n + 1, dtype=idx)
     indptr[1:] = np.cumsum(np.bincount(u_cols, minlength=b.n))
-    template = CSC(a.m, b.n, jnp.asarray(indptr), jnp.asarray(u_rows),
-                   jnp.zeros((out_nnz,), dtype))
+    template = CSC(a.m, b.n, indptr, u_rows, np.zeros(out_nnz, dtype=dtype))
     return SpGEMMPlan(
         jnp.asarray(a_pos), jnp.asarray(b_pos), jnp.asarray(perm),
         jnp.asarray(gid), out_nnz, template,

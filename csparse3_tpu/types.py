@@ -28,7 +28,7 @@ import numpy as np
 
 from .config import get_config
 
-__all__ = ["CSC", "CSR", "COO", "BSR", "Dense"]
+__all__ = ["CSC", "CSR", "COO", "BSR", "DIA", "Dense"]
 
 Dense = Any  # alias for plain (m, n) arrays in signatures
 
@@ -497,3 +497,67 @@ class BSR(_SparseBase):
         from .ops import construct
 
         return construct.bsr_to_dense(self)
+
+
+@jax.tree_util.register_pytree_node_class
+class DIA(_SparseBase):
+    """Diagonal-offset sparse matrix (reference: src/sparsetools/dia.h).
+
+    ``offsets`` (k,) int32, ``data`` (k, n) — data[i, j] is the value at
+    (j - offsets[i], j), scipy dia_matrix layout.  The natural TPU format
+    for banded matrices: SpMV is k shifted dense multiply-adds (pure
+    slicing, no gather/scatter at all).
+    """
+
+    def __init__(self, m, n, offsets, data):
+        self.m = int(m)
+        self.n = int(n)
+        self.offsets = _asarray(offsets)
+        self.data = _asarray(data)
+
+    @property
+    def nnz(self) -> int:  # stored count (incl. explicit zeros in bands)
+        total = 0
+        offs = np.asarray(self.offsets)
+        for off in offs:
+            lo = max(0, int(off))
+            hi = min(self.n, self.m + int(off))
+            total += max(0, hi - lo)
+        return total
+
+    def tree_flatten(self):
+        return (self.offsets, self.data), (self.m, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.m, obj.n = aux
+        obj.offsets, obj.data = children
+        return obj
+
+    def __repr__(self):
+        return (
+            f"DIA(m={self.m}, n={self.n}, ndiag={self.data.shape[0]}, "
+            f"dtype={self.data.dtype})"
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.dia_matrix(
+            (np.asarray(self.data), np.asarray(self.offsets)),
+            shape=self.shape,
+        )
+
+    @classmethod
+    def from_scipy(cls, a) -> "DIA":
+        a = a.todia()
+        return cls(a.shape[0], a.shape[1], a.offsets, a.data)
+
+    def to_csc(self):
+        from .ops import construct
+
+        return construct.dia_to_csc(self)
+
+    def todense(self):
+        return self.to_csc().todense()

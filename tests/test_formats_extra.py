@@ -1,0 +1,106 @@
+"""DIA format, scaling, sampling, validation — parity additions
+(reference: dia.h, csr.h scale/sample/has_* kernels)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import csparse3_tpu as cst
+
+from conftest import rand_sp
+
+
+class TestDIA:
+    def test_roundtrip_scipy(self):
+        a = sp.diags(
+            [np.arange(1.0, 9), 2 * np.ones(9), -np.ones(7)], [-1, 0, 2]
+        ).tocsc()
+        A = cst.CSC.from_scipy(a)
+        D = cst.csc_to_dia(A)
+        np.testing.assert_allclose(D.to_scipy().toarray(), a.toarray())
+        back = cst.dia_to_csc(D)
+        np.testing.assert_allclose(np.asarray(back.todense()), a.toarray())
+
+    def test_dia_spmv_matches(self):
+        a = sp.diags(
+            [np.random.RandomState(0).rand(40 - abs(o)) for o in (-3, -1, 0, 2, 5)],
+            [-3, -1, 0, 2, 5],
+        ).tocsc()
+        D = cst.csc_to_dia(cst.CSC.from_scipy(a))
+        x = np.random.RandomState(1).rand(40)
+        y = cst.dia_spmv(D, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-13)
+
+    def test_dia_from_scipy_rect(self):
+        a = sp.random(20, 30, 0.1, random_state=2).todia()
+        D = cst.DIA.from_scipy(a)
+        x = np.random.RandomState(3).rand(30)
+        np.testing.assert_allclose(
+            np.asarray(cst.dia_spmv(D, jnp.asarray(x))), a @ x,
+            rtol=1e-12, atol=1e-13,
+        )
+
+
+class TestScaling:
+    def test_scale_rows_cols(self, rand_pair):
+        a, _ = rand_pair
+        A = cst.CSC.from_scipy(a)
+        dr = np.random.RandomState(4).rand(a.shape[0])
+        dc = np.random.RandomState(5).rand(a.shape[1])
+        R = cst.scale_rows(A, jnp.asarray(dr))
+        C = cst.scale_columns(A, jnp.asarray(dc))
+        np.testing.assert_allclose(
+            np.asarray(R.todense()), (sp.diags(dr) @ a).toarray(), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(C.todense()), (a @ sp.diags(dc)).toarray(), rtol=1e-12
+        )
+
+
+class TestSampling:
+    def test_sample_values(self, golden63):
+        A = cst.CSC.from_scipy(golden63)
+        ri = np.array([0, 1, 5, 2, 3])
+        ci = np.array([0, 1, 1, 2, 0])
+        out = cst.sample_values(A, ri, ci)
+        ref = np.array([golden63[r, c] for r, c in zip(ri, ci)])
+        np.testing.assert_allclose(out, ref)
+
+    def test_sample_absent_is_zero(self, golden63):
+        A = cst.CSC.from_scipy(golden63)
+        assert cst.sample_values(A, [0], [1])[0] == 0
+
+
+class TestValidate:
+    def test_good_matrix_passes(self, golden63):
+        A = cst.CSC.from_scipy(golden63)
+        cst.validate(A, check_sorted=True)
+        assert cst.has_sorted_indices(A)
+        assert cst.has_canonical_format(A)
+
+    def test_bad_indptr_raises(self):
+        A = cst.CSC(3, 3, np.array([0, 2, 1, 3]), np.array([0, 1, 2]),
+                    np.ones(3))
+        with pytest.raises(ValueError, match="monotone"):
+            cst.validate(A)
+
+    def test_out_of_bounds_raises(self):
+        A = cst.CSC(3, 3, np.array([0, 1, 2, 3]), np.array([0, 5, 2]),
+                    np.ones(3))
+        with pytest.raises(ValueError, match="bounds"):
+            cst.validate(A)
+
+    def test_unsorted_detected(self):
+        A = cst.CSC(3, 3, np.array([0, 3, 3, 3]), np.array([2, 0, 1]),
+                    np.ones(3), canonical=False)
+        assert not cst.has_sorted_indices(A)
+        assert not cst.has_canonical_format(A)
+        with pytest.raises(ValueError, match="canonical"):
+            cst.validate(A, check_sorted=True)
+
+    def test_duplicates_not_canonical(self):
+        A = cst.CSC(3, 3, np.array([0, 2, 2, 2]), np.array([1, 1, ]),
+                    np.ones(2), canonical=False)
+        assert cst.has_sorted_indices(A)
+        assert not cst.has_canonical_format(A)
