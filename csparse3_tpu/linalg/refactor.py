@@ -88,96 +88,102 @@ class RefactorPlan:
         def posU(r, k):
             return lnz + np.searchsorted(keysU, k * key + r)
 
-        # ---- A-value scatter map (A entries -> X positions) ---------------
-        ip, rows, _ = a_csc.np_arrays()
-        acols = np.repeat(np.arange(n), np.diff(ip))
-        k_of = qinv[acols]
-        pr = pinv[rows]
-        in_U = pr <= k_of
-        a_dst = np.where(in_U, posU(pr, k_of), posL(pr, k_of))
-
-        # ---- elementary update triples ------------------------------------
-        # per source column j: L off-diag rows (r > j) x U row-j off-diag
-        # target columns (k > j)
-        l_off_rows = Li[Li != colsL]          # requires diag-first layout
-        l_off_cols = colsL[Li != colsL]
         l_off_pos = np.flatnonzero(Li != colsL)
-        u_off_rows = Ui[Ui != colsU]
-        u_off_cols = colsU[Ui != colsU]
         u_off_pos = np.flatnonzero(Ui != colsU) + lnz
+        ip, rows, _ = a_csc.np_arrays()
 
-        # group U off-diag by ROW j (the source column of the update)
-        order_u = np.argsort(u_off_rows, kind="stable")
-        u_by_row_cols = u_off_cols[order_u]
-        u_by_row_pos = u_off_pos[order_u]
-        cnt_u = np.bincount(u_off_rows, minlength=n)
-        off_u = np.concatenate([[0], np.cumsum(cnt_u)])
-        # group L off-diag by COLUMN j
-        cnt_l = np.bincount(l_off_cols, minlength=n)
-        off_l = np.concatenate([[0], np.cumsum(cnt_l)])
-        # (L is built per column contiguously; positions within a column
-        # are already grouped because keysL is column-major sorted)
-        l_by_col_rows = l_off_rows
-        l_by_col_pos = l_off_pos
+        built = None
+        try:
+            from ..native import host_ext
 
-        flops_j = cnt_u * cnt_l
-        total = int(flops_j.sum())
-        j_of = np.repeat(np.arange(n), flops_j)
-        base = np.concatenate([[0], np.cumsum(flops_j)])
-        t_local = np.arange(total) - base[j_of]
-        cl = cnt_l[j_of]
-        ui_idx = t_local // np.maximum(cl, 1)
-        li_idx = t_local - ui_idx * cl
-        upd_k = u_by_row_cols[off_u[j_of] + ui_idx]
-        upd_r = l_by_col_rows[off_l[j_of] + li_idx]
-        upd_L = l_by_col_pos[off_l[j_of] + li_idx]
-        upd_U = u_by_row_pos[off_u[j_of] + ui_idx]
-        below = upd_r > upd_k
-        upd_dst = np.where(below, posL(upd_r, upd_k), posU(upd_r, upd_k))
+            built = host_ext.refactor_build(
+                n, Lp, Li, Up, Ui, ip, rows, host.perm_r, host.perm_c
+            )
+        except ImportError:
+            pass
 
-        # ---- column levels over the combined dependency DAG ---------------
-        dep_rows = np.concatenate([u_off_cols, l_off_rows])  # dependent col
-        dep_cols = np.concatenate([u_off_rows, l_off_cols])  # source col
-        lev = level_schedule(n, dep_rows, dep_cols, lower=True)
-        nlev = int(lev.max()) + 1 if n else 1
-
-        # ---- build interleaved division/update steps ----------------------
-        # division: per column k, its L off-diag cells / pivot cell U(k,k)
-        div_dst_all = l_off_pos
-        div_piv_all = posU(l_off_cols, l_off_cols)
-        div_lev = lev[l_off_cols]
-        upd_lev = lev[j_of]
+        if built is not None:
+            a_dst = built["a_dst"]
+            nlev = built["nlev"]
+            upd_dst_s = built["upd_dst"]
+            upd_L_s = built["upd_L"]
+            upd_U_s = built["upd_U"]
+            div_dst_s = built["div_dst"]
+            div_piv_s = built["div_piv"]
+            doff = np.concatenate(
+                [[0], np.cumsum(np.bincount(built["div_lev"], minlength=nlev))]
+            )
+            uoff = np.concatenate(
+                [[0], np.cumsum(np.bincount(built["upd_lev"], minlength=nlev))]
+            )
+        else:
+            (a_dst, nlev, upd_dst_s, upd_L_s, upd_U_s, uoff,
+             div_dst_s, div_piv_s, doff) = self._build_numpy(
+                n, Lp, Li, Up, Ui, colsL, colsU, lnz, posL, posU,
+                pinv, qinv, ip, rows, l_off_pos, u_off_pos,
+            )
 
         D1 = lnz + unz      # dummy slot that stays 1.0 (division-safe)
         D0 = lnz + unz + 1  # dummy slot that stays 0.0 (update-safe src)
 
-        steps = []  # (div_dst, div_piv, upd_dst, upd_L, upd_U) variable len
+        # one step per level: its divisions then its updates (executed in
+        # that order inside the scan body); over-cap levels spill into
+        # extra update-only steps
+        empty = np.zeros(0, dtype=np.int64)
+        steps = []  # (div_dst, div_piv, upd_dst, upd_L, upd_U), ordered
         for level in range(nlev):
-            dmask = div_lev == level
-            for c in _chunk((div_dst_all[dmask], div_piv_all[dmask]), chunk_cap) or []:
-                steps.append((c[0], c[1], None, None, None))
-            umask = upd_lev == level
-            for c in _chunk(
-                (upd_dst[umask], upd_L[umask], upd_U[umask]), chunk_cap
-            ) or []:
-                steps.append((None, None, c[0], c[1], c[2]))
+            dlo, dhi = doff[level], doff[level + 1]
+            ulo, uhi = uoff[level], uoff[level + 1]
+            uchunks = _chunk(
+                (upd_dst_s[ulo:uhi], upd_L_s[ulo:uhi], upd_U_s[ulo:uhi]),
+                chunk_cap,
+            ) or [(empty, empty, empty)]
+            steps.append((
+                div_dst_s[dlo:dhi], div_piv_s[dlo:dhi], *uchunks[0],
+            ))
+            for c in uchunks[1:]:
+                steps.append((empty, empty, *c))
 
-        Wd = max([len(s[0]) for s in steps if s[0] is not None] or [1])
-        Wu = max([len(s[2]) for s in steps if s[2] is not None] or [1])
-        ns = max(len(steps), 1)
-        sd = np.full((ns, Wd), D1, dtype=np.int64)
-        sp_ = np.full((ns, Wd), D1, dtype=np.int64)
-        ud = np.full((ns, Wu), D1, dtype=np.int64)
-        ul = np.full((ns, Wu), D0, dtype=np.int64)
-        uu = np.full((ns, Wu), D0, dtype=np.int64)
-        for i, (dd, dp, u_d, u_l, u_u) in enumerate(steps):
-            if dd is not None:
+        # ---- segment consecutive steps by width class ---------------------
+        # slabs are padded per SEGMENT (not globally): elimination DAGs go
+        # wide -> narrow, so contiguous segments of similar width avoid the
+        # nlev x max_width blowup of a single global pad
+        segments = []  # [steps, max_wd, max_wu]
+        for st in steps:
+            wd, wu = max(len(st[0]), 1), max(len(st[2]), 1)
+            if segments:
+                _, md, mu = segments[-1]
+                grow = max(wd, md) * max(wu, mu)
+                cur = md * mu
+                # accept into segment unless the padded area would blow up
+                # or this step is much smaller than the segment pad
+                if grow <= 2 * cur and wd * 8 >= md and wu * 8 >= mu:
+                    segments[-1][0].append(st)
+                    segments[-1][1] = max(md, wd)
+                    segments[-1][2] = max(mu, wu)
+                    continue
+            segments.append([[st], wd, wu])
+
+        # int32 slabs: X has < 2^31 cells by construction; halves host
+        # packing time and device footprint
+        def pack(seg_steps, Wd, Wu):
+            ns = len(seg_steps)
+            sd = np.full((ns, Wd), D1, dtype=np.int32)
+            sp_ = np.full((ns, Wd), D1, dtype=np.int32)
+            ud = np.full((ns, Wu), D1, dtype=np.int32)
+            ul = np.full((ns, Wu), D0, dtype=np.int32)
+            uu = np.full((ns, Wu), D0, dtype=np.int32)
+            for i, (dd, dp, u_d, u_l, u_u) in enumerate(seg_steps):
                 sd[i, : len(dd)] = dd
                 sp_[i, : len(dd)] = dp
-            if u_d is not None:
                 ud[i, : len(u_d)] = u_d
                 ul[i, : len(u_l)] = u_l
                 uu[i, : len(u_u)] = u_u
+            return tuple(jnp.asarray(x) for x in (sd, sp_, ud, ul, uu))
+
+        self.slab_groups = [
+            pack(seg, wd, wu) for seg, wd, wu in segments
+        ]
 
         # ---- static metadata & device arrays ------------------------------
         self.n = n
@@ -185,11 +191,6 @@ class RefactorPlan:
         self.dtype = host.Lx.dtype
         self.a_dst = jnp.asarray(a_dst)
         self.l_unit = jnp.asarray(posL(np.arange(n), np.arange(n)))
-        self.sd = jnp.asarray(sd)
-        self.sp = jnp.asarray(sp_)
-        self.ud = jnp.asarray(ud)
-        self.ul = jnp.asarray(ul)
-        self.uu = jnp.asarray(uu)
         self.perm_r = jnp.asarray(host.perm_r)
         self.perm_c = jnp.asarray(host.perm_c)
 
@@ -204,6 +205,67 @@ class RefactorPlan:
         self._l_offpos = jnp.asarray(l_off_pos)
         self._u_offpos = jnp.asarray(u_off_pos)
         self._u_diagpos = jnp.asarray(posU(np.arange(n), np.arange(n)))
+
+    @staticmethod
+    def _build_numpy(n, Lp, Li, Up, Ui, colsL, colsU, lnz, posL, posU,
+                     pinv, qinv, ip, rows, l_off_pos, u_off_pos):
+        """Pure-numpy fallback of native host_ext.refactor_build."""
+        acols = np.repeat(np.arange(n), np.diff(ip))
+        k_of = qinv[acols]
+        pr = pinv[rows]
+        a_dst = np.where(pr <= k_of, posU(pr, k_of), posL(pr, k_of))
+
+        # per source column j: L off-diag rows (r > j) x U row-j off-diag
+        # target columns (k > j)
+        l_off_rows = Li[Li != colsL]          # diag-first layout
+        l_off_cols = colsL[Li != colsL]
+        u_off_rows = Ui[Ui != colsU]
+        u_off_cols = colsU[Ui != colsU]
+
+        order_u = np.argsort(u_off_rows, kind="stable")
+        u_by_row_cols = u_off_cols[order_u]
+        u_by_row_pos = u_off_pos[order_u]
+        cnt_u = np.bincount(u_off_rows, minlength=n)
+        off_u = np.concatenate([[0], np.cumsum(cnt_u)])
+        cnt_l = np.bincount(l_off_cols, minlength=n)
+        off_l = np.concatenate([[0], np.cumsum(cnt_l)])
+
+        flops_j = cnt_u * cnt_l
+        total = int(flops_j.sum())
+        j_of = np.repeat(np.arange(n), flops_j)
+        base = np.concatenate([[0], np.cumsum(flops_j)])
+        t_local = np.arange(total) - base[j_of]
+        cl = cnt_l[j_of]
+        ui_idx = t_local // np.maximum(cl, 1)
+        li_idx = t_local - ui_idx * cl
+        upd_k = u_by_row_cols[off_u[j_of] + ui_idx]
+        upd_r = l_off_rows[off_l[j_of] + li_idx]
+        upd_L = l_off_pos[off_l[j_of] + li_idx]
+        upd_U = u_by_row_pos[off_u[j_of] + ui_idx]
+        below = upd_r > upd_k
+        upd_dst = np.where(below, posL(upd_r, upd_k), posU(upd_r, upd_k))
+
+        dep_rows = np.concatenate([u_off_cols, l_off_rows])  # dependent col
+        dep_cols = np.concatenate([u_off_rows, l_off_cols])  # source col
+        lev = level_schedule(n, dep_rows, dep_cols, lower=True)
+        nlev = int(lev.max()) + 1 if n else 1
+
+        div_piv_all = posU(l_off_cols, l_off_cols)
+        div_lev = lev[l_off_cols]
+        upd_lev = lev[j_of]
+        dorder = np.argsort(div_lev, kind="stable")
+        uorder = np.argsort(upd_lev, kind="stable")
+        doff = np.concatenate(
+            [[0], np.cumsum(np.bincount(div_lev, minlength=nlev))]
+        )
+        uoff = np.concatenate(
+            [[0], np.cumsum(np.bincount(upd_lev, minlength=nlev))]
+        )
+        return (
+            a_dst, nlev,
+            upd_dst[uorder], upd_L[uorder], upd_U[uorder], uoff,
+            l_off_pos[dorder], div_piv_all[dorder], doff,
+        )
 
     @staticmethod
     def _slab_map(n, Fp, Fi, lower):
@@ -238,8 +300,8 @@ class RefactorPlan:
     # pytree: everything device is a leaf; templates flatten recursively
     def tree_flatten(self):
         leaves = (
-            self.a_dst, self.l_unit, self.sd, self.sp, self.ud, self.ul,
-            self.uu, self.perm_r, self.perm_c, self._ltpl, self._utpl,
+            self.a_dst, self.l_unit, self.slab_groups,
+            self.perm_r, self.perm_c, self._ltpl, self._utpl,
             self._l_slab[0], self._l_slab[1], self._u_slab[0], self._u_slab[1],
             self._l_offpos, self._u_offpos, self._u_diagpos,
         )
@@ -251,7 +313,7 @@ class RefactorPlan:
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.n, obj.lnz, obj.unz, obj.dtype, lmeta, umeta) = aux
-        (obj.a_dst, obj.l_unit, obj.sd, obj.sp, obj.ud, obj.ul, obj.uu,
+        (obj.a_dst, obj.l_unit, obj.slab_groups,
          obj.perm_r, obj.perm_c, obj._ltpl, obj._utpl,
          l0, l1, u0, u1, obj._l_offpos, obj._u_offpos, obj._u_diagpos) = leaves
         obj._l_slab = (l0, l1, lmeta)
@@ -278,7 +340,8 @@ class RefactorPlan:
             X = X.at[self.lnz + self.unz + 1].set(0)
             return X, None
 
-        X, _ = jax.lax.scan(body, X, (self.sd, self.sp, self.ud, self.ul, self.uu))
+        for group in self.slab_groups:
+            X, _ = jax.lax.scan(body, X, group)
         return X[: self.lnz], X[self.lnz : self.lnz + self.unz]
 
     def _retarget(self, tpl: TriSolvePlan, slab, off_vals, dinv, meta):

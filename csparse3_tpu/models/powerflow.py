@@ -107,59 +107,98 @@ class FastDecoupled:
         self.lu_bpp = splu(Bpp, ordering=ordering)
         self._bp_plan = self.lu_bp.solve_plan()
         self._bpp_plan = self.lu_bpp.solve_plan()
-        self._yplan = matvec.SpMVPlan(self.Y)
-        self._sb = jnp.asarray(sbus(grid))
+        # split-complex Ybus action: all device arithmetic is REAL pairs
+        # (TPUs have no complex ALU; see ops.matvec.SplitSpMV)
+        self._yplan = matvec.SplitSpMV(self.Y)
+        sb = sbus(grid)
+        self._sbr = jnp.asarray(sb.real)
+        self._sbi = jnp.asarray(sb.imag)
         self._vm0 = jnp.asarray(grid.vm0)
         self._pvpq_j = jnp.asarray(self.pvpq)
         self._pq_j = jnp.asarray(self.pq)
 
     # -- jittable pieces ----------------------------------------------------
-    def mismatch(self, vm, va, sb=None):
-        """Power mismatch dS = (S(V) - Sbus) / Vm."""
-        sb = self._sb if sb is None else sb
-        v = vm * jnp.exp(1j * va)
-        s = v * jnp.conj(self._yplan(v))
-        return (s - sb) / vm
+    def mismatch(self, vm, va, sbr=None, sbi=None):
+        """Power mismatch dS = (S(V) - Sbus) / Vm as (real, imag) parts."""
+        sbr = self._sbr if sbr is None else sbr
+        sbi = self._sbi if sbi is None else sbi
+        vr = vm * jnp.cos(va)
+        vi = vm * jnp.sin(va)
+        yr, yi = self._yplan(vr, vi)
+        # s = v * conj(Y v)
+        sr = vr * yr + vi * yi
+        si = vi * yr - vr * yi
+        return (sr - sbr) / vm, (si - sbi) / vm
 
     def step(self, carry):
         """One P-theta / Q-V half-iteration pair (jittable)."""
-        vm, va, sb = carry
-        mis = self.mismatch(vm, va, sb)
-        dva = -self._bp_plan(jnp.real(mis)[self._pvpq_j])
+        vm, va, sbr, sbi = carry
+        mr, _ = self.mismatch(vm, va, sbr, sbi)
+        dva = -self._bp_plan(mr[self._pvpq_j])
         va = va.at[self._pvpq_j].add(dva)
-        mis = self.mismatch(vm, va, sb)
-        dvm = -self._bpp_plan(jnp.imag(mis)[self._pq_j])
+        _, mi = self.mismatch(vm, va, sbr, sbi)
+        dvm = -self._bpp_plan(mi[self._pq_j])
         vm = vm.at[self._pq_j].add(dvm)
-        return (vm, va, sb)
+        return (vm, va, sbr, sbi)
 
-    def residual(self, vm, va, sb=None):
-        mis = self.mismatch(vm, va, sb)
-        r = jnp.concatenate(
-            [jnp.real(mis)[self._pvpq_j], jnp.imag(mis)[self._pq_j]]
-        )
+    def residual(self, vm, va, sbr=None, sbi=None):
+        mr, mi = self.mismatch(vm, va, sbr, sbi)
+        r = jnp.concatenate([mr[self._pvpq_j], mi[self._pq_j]])
         return jnp.max(jnp.abs(r)) if r.shape[0] else jnp.zeros((), vm.dtype)
 
+    # -- functional export (state as explicit pytree, not closures) ---------
+    @property
+    def plans(self):
+        """All device state as one pytree — pass to ``functional_step`` so
+        jitted callers carry the solver state as *arguments* instead of
+        trace-time closure constants."""
+        return (
+            self._bp_plan, self._bpp_plan, self._yplan,
+            self._pvpq_j, self._pq_j,
+        )
+
+    @staticmethod
+    def functional_step(plans, vm, va, sbr, sbi):
+        """Pure-function twin of ``step`` (same math, no self capture)."""
+        bp_plan, bpp_plan, yplan, pvpq, pq = plans
+
+        def mismatch(vm, va):
+            vr = vm * jnp.cos(va)
+            vi = vm * jnp.sin(va)
+            yr, yi = yplan(vr, vi)
+            sr = vr * yr + vi * yi
+            si = vi * yr - vr * yi
+            return (sr - sbr) / vm, (si - sbi) / vm
+
+        mr, _ = mismatch(vm, va)
+        va = va.at[pvpq].add(-bp_plan(mr[pvpq]))
+        _, mi = mismatch(vm, va)
+        vm = vm.at[pq].add(-bpp_plan(mi[pq]))
+        return vm, va
+
     @partial(jax.jit, static_argnums=0)
-    def run(self, vm0, va0, sb):
+    def run(self, vm0, va0, sbr, sbi):
         """Full solve under jit: while_loop until tol or max_iter."""
 
         def cond(state):
-            (vm, va, _), it = state
-            return jnp.logical_and(self.residual(vm, va, sb) > self.tol,
+            (vm, va, sr, si), it = state
+            return jnp.logical_and(self.residual(vm, va, sr, si) > self.tol,
                                    it < self.max_iter)
 
         def body(state):
             carry, it = state
             return self.step(carry), it + 1
 
-        (vm, va, _), iters = jax.lax.while_loop(cond, body, ((vm0, va0, sb), 0))
+        (vm, va, _, _), iters = jax.lax.while_loop(
+            cond, body, ((vm0, va0, sbr, sbi), 0)
+        )
         return vm, va, iters
 
     def solve(self, flat_start=True):
         n = self.grid.n_bus
         vm0 = self._vm0
         va0 = jnp.zeros(n)
-        vm, va, iters = self.run(vm0, va0, self._sb)
+        vm, va, iters = self.run(vm0, va0, self._sbr, self._sbi)
         res = float(self.residual(vm, va))
         return np.asarray(vm), np.asarray(va), int(iters), res
 
@@ -168,9 +207,12 @@ class FastDecoupled:
         vmapped run (BASELINE config 4 shape)."""
         n = self.grid.n_bus
         k = sb_batch.shape[0]
+        sb_batch = np.asarray(sb_batch)
         vm0 = jnp.broadcast_to(self._vm0, (k, n))
         va0 = jnp.zeros((k, n))
-        return jax.vmap(self.run)(vm0, va0, jnp.asarray(sb_batch))
+        return jax.vmap(self.run)(
+            vm0, va0, jnp.asarray(sb_batch.real), jnp.asarray(sb_batch.imag)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -245,8 +287,10 @@ class NewtonPowerFlow:
         self.max_iter = max_iter
         n = grid.n_bus
         self.Y, _, _ = ybus(grid)
-        self._yplan = matvec.SpMVPlan(self.Y)
-        self._sb = jnp.asarray(sbus(grid))
+        self._yplan = matvec.SplitSpMV(self.Y)
+        sb = sbus(grid)
+        self._sbr = jnp.asarray(sb.real)
+        self._sbi = jnp.asarray(sb.imag)
         pvpq = np.concatenate([grid.pv, grid.pq])
         pq = grid.pq
         self._pvpq = jnp.asarray(pvpq)
@@ -260,7 +304,8 @@ class NewtonPowerFlow:
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(ipY))
         self._y_rows = jnp.asarray(rows)
         self._y_cols = jnp.asarray(cols)
-        self._y_vals = jnp.asarray(dtY)
+        self._ygr = jnp.asarray(np.ascontiguousarray(dtY.real))
+        self._ygi = jnp.asarray(np.ascontiguousarray(dtY.imag))
         self._diag_mask = jnp.asarray(rows == cols)
 
         pos_pvpq = np.full(n, -1)
@@ -291,59 +336,78 @@ class NewtonPowerFlow:
 
         # host: factor the pattern once (values at flat start)
         v0 = grid.vm0.astype(np.complex128)
-        ibus0 = np.asarray(self._yplan(jnp.asarray(v0)))
+        i0r, i0i = self._yplan(jnp.asarray(v0.real), jnp.asarray(v0.imag))
+        ibus0 = np.asarray(i0r) + 1j * np.asarray(i0i)
         J0 = _jacobian(self.Y, v0, ibus0, pvpq, pq)
         lu = splu(J0, ordering=ordering)
         self._rp = lu.refactor_plan(J0)
 
-    # -- device Jacobian values (fixed pattern) -----------------------------
-    def _jac_data(self, v, ibus):
-        rows, cols, y = self._y_rows, self._y_cols, self._y_vals
-        vm = jnp.abs(v)
-        dva = -1j * v[rows] * jnp.conj(y) * jnp.conj(v[cols])
-        dvm = v[rows] * jnp.conj(y) * jnp.conj(v[cols]) / vm[cols]
-        diag_term_a = 1j * v[rows] * jnp.conj(ibus[rows])
-        diag_term_m = jnp.conj(ibus[rows]) * v[rows] / vm[rows]
-        dva = jnp.where(self._diag_mask, dva + diag_term_a, dva)
-        dvm = jnp.where(self._diag_mask, dvm + diag_term_m, dvm)
+    # -- device Jacobian values (fixed pattern, split-complex real math) ----
+    def _jac_data(self, vr, vi, vm, ir, ii):
+        """Real/imag parts of dS/dVa and dS/dVm per Ybus entry, expanded to
+        real arithmetic (no complex dtypes on device):
+
+          t = conj(y) conj(v_col);  dVa = -i v_row t (+ i v conj(I) on diag)
+          dVm = v_row t / |v_col|   (+ conj(I) v/|v| on diag)
+        """
+        rows, cols = self._y_rows, self._y_cols
+        gr, gi = self._ygr, self._ygi
+        vrr, vri = vr[rows], vi[rows]
+        vcr, vci = vr[cols], vi[cols]
+        t_r = gr * vcr - gi * vci
+        t_i = -(gr * vci + gi * vcr)
+        # p + iq = v_row * t
+        p = vrr * t_r - vri * t_i
+        q = vrr * t_i + vri * t_r
+        dva_r, dva_i = q, -p
+        dvm_r, dvm_i = p / vm[cols], q / vm[cols]
+        irr, iir = ir[rows], ii[rows]
+        dva_r = jnp.where(self._diag_mask, dva_r + vrr * iir - vri * irr, dva_r)
+        dva_i = jnp.where(self._diag_mask, dva_i + vrr * irr + vri * iir, dva_i)
+        dvm_r = jnp.where(
+            self._diag_mask, dvm_r + (vrr * irr + vri * iir) / vm[rows], dvm_r
+        )
+        dvm_i = jnp.where(
+            self._diag_mask, dvm_i + (vri * irr - vrr * iir) / vm[rows], dvm_i
+        )
         stream = jnp.concatenate([
-            jnp.real(dva)[self._keep[0]],
-            jnp.real(dvm)[self._keep[1]],
-            jnp.imag(dva)[self._keep[2]],
-            jnp.imag(dvm)[self._keep[3]],
+            dva_r[self._keep[0]],
+            dvm_r[self._keep[1]],
+            dva_i[self._keep[2]],
+            dvm_i[self._keep[3]],
         ])
         return stream[self._perm]
 
-    def _mismatch_f(self, vm, va, sb):
-        v = vm * jnp.exp(1j * va)
-        ibus = self._yplan(v)
-        mis = v * jnp.conj(ibus) - sb
-        f = jnp.concatenate(
-            [jnp.real(mis)[self._pvpq], jnp.imag(mis)[self._pq]]
-        )
-        return f, v, ibus
+    def _mismatch_f(self, vm, va, sbr, sbi):
+        vr = vm * jnp.cos(va)
+        vi = vm * jnp.sin(va)
+        ir, ii = self._yplan(vr, vi)
+        mis_r = vr * ir + vi * ii - sbr
+        mis_i = vi * ir - vr * ii - sbi
+        f = jnp.concatenate([mis_r[self._pvpq], mis_i[self._pq]])
+        return f, (vr, vi), (ir, ii)
 
     @partial(jax.jit, static_argnums=0)
-    def run(self, vm0, va0, sb):
+    def run(self, vm0, va0, sbr, sbi):
         """Solve to tolerance; returns (vm, va, iterations, residual)."""
 
         def cond(state):
             vm, va, it = state
-            f, _, _ = self._mismatch_f(vm, va, sb)
+            f, _, _ = self._mismatch_f(vm, va, sbr, sbi)
             nrm = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
             return jnp.logical_and(nrm > self.tol, it < self.max_iter)
 
         def body(state):
             vm, va, it = state
-            f, v, ibus = self._mismatch_f(vm, va, sb)
-            plan = self._rp.refactor(self._jac_data(v, ibus))
+            f, (vr, vi), (ir, ii) = self._mismatch_f(vm, va, sbr, sbi)
+            plan = self._rp.refactor(self._jac_data(vr, vi, vm, ir, ii))
             dx = plan(-f)
             va = va.at[self._pvpq].add(dx[: self._npvpq])
             vm = vm.at[self._pq].add(dx[self._npvpq :])
             return (vm, va, it + 1)
 
         vm, va, it = jax.lax.while_loop(cond, body, (vm0, va0, 0))
-        f, _, _ = self._mismatch_f(vm, va, sb)
+        f, _, _ = self._mismatch_f(vm, va, sbr, sbi)
         res = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
         return vm, va, it, res
 
@@ -351,7 +415,7 @@ class NewtonPowerFlow:
         n = self.grid.n_bus
         vm0 = jnp.asarray(self.grid.vm0.astype(np.float64))
         va0 = jnp.zeros(n)
-        vm, va, it, res = self.run(vm0, va0, self._sb)
+        vm, va, it, res = self.run(vm0, va0, self._sbr, self._sbi)
         return np.asarray(vm), np.asarray(va), int(it), float(res)
 
     def solve_batch(self, sb_batch):
@@ -359,9 +423,12 @@ class NewtonPowerFlow:
         vmapped device Newton (every scenario refactors on device)."""
         n = self.grid.n_bus
         k = sb_batch.shape[0]
+        sb_batch = np.asarray(sb_batch)
         vm0 = jnp.broadcast_to(jnp.asarray(self.grid.vm0.astype(np.float64)), (k, n))
         va0 = jnp.zeros((k, n))
-        return jax.vmap(self.run)(vm0, va0, jnp.asarray(sb_batch))
+        return jax.vmap(self.run)(
+            vm0, va0, jnp.asarray(sb_batch.real), jnp.asarray(sb_batch.imag)
+        )
 
 
 def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):

@@ -162,3 +162,61 @@ def coo_to_csc(m, n, rows, cols, vals):
         out_x.ctypes.data_as(ctypes.c_void_p),
     )
     return out_p, out_i[:u], out_x[:u]
+
+
+class _RefactorBuild(ctypes.Structure):
+    _fields_ = [
+        ("total", ctypes.c_int64),
+        ("ndiv", ctypes.c_int64),
+        ("nlev", ctypes.c_int64),
+        ("upd_dst", _i64p),
+        ("upd_L", _i64p),
+        ("upd_U", _i64p),
+        ("upd_lev", _i64p),
+        ("div_dst", _i64p),
+        ("div_piv", _i64p),
+        ("div_lev", _i64p),
+        ("a_dst", _i64p),
+    ]
+
+
+_lib.refactor_build.restype = ctypes.POINTER(_RefactorBuild)
+_lib.refactor_build.argtypes = [
+    ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+    ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+]
+_lib.refactor_free.restype = None
+_lib.refactor_free.argtypes = [ctypes.POINTER(_RefactorBuild)]
+
+
+def refactor_build(n, Lp, Li, Up, Ui, Ap, Ai, perm_r, q):
+    """Native symbolic build for linalg.refactor.RefactorPlan: update
+    triples + division pairs (level-sorted) and the A->X scatter map."""
+    Lp, Li, Up, Ui = map(_as_i64, (Lp, Li, Up, Ui))
+    Ap, Ai, perm_r, q = map(_as_i64, (Ap, Ai, perm_r, q))
+    a_nnz = len(Ai)
+    res = _lib.refactor_build(
+        n, _i64_ptr(Lp), _i64_ptr(Li), _i64_ptr(Up), _i64_ptr(Ui),
+        a_nnz, _i64_ptr(Ap), _i64_ptr(Ai), _i64_ptr(perm_r), _i64_ptr(q),
+    )
+    r = res.contents
+    try:
+        def cp(ptr, cnt):
+            if cnt == 0:
+                return np.zeros(0, dtype=np.int64)
+            return np.ctypeslib.as_array(ptr, shape=(cnt,)).copy()
+
+        out = dict(
+            nlev=int(r.nlev),
+            upd_dst=cp(r.upd_dst, r.total),
+            upd_L=cp(r.upd_L, r.total),
+            upd_U=cp(r.upd_U, r.total),
+            upd_lev=cp(r.upd_lev, r.total),
+            div_dst=cp(r.div_dst, r.ndiv),
+            div_piv=cp(r.div_piv, r.ndiv),
+            div_lev=cp(r.div_lev, r.ndiv),
+            a_dst=cp(r.a_dst, a_nnz),
+        )
+    finally:
+        _lib.refactor_free(res)
+    return out

@@ -31,7 +31,7 @@ from ..config import get_config
 from ..types import BSR, CSC
 from . import construct
 
-__all__ = ["spmv", "spmm", "SpMVPlan", "bsr_spmm", "dia_spmv"]
+__all__ = ["spmv", "spmm", "SpMVPlan", "SplitSpMV", "bsr_spmm", "dia_spmv"]
 
 
 def _entry_streams(a: CSC):
@@ -236,3 +236,52 @@ def dia_spmv(a, x):
         seg = a.data[i, j_lo:j_hi] * x[j_lo:j_hi]
         y = y.at[j_lo - off : j_hi - off].add(seg)
     return y
+
+
+class SplitSpMV:
+    """Split-complex SpMV: a complex matrix held as two real ELL plans.
+
+    TPUs have no complex ALU — XLA decomposes complex arithmetic into
+    real pairs anyway, and some TPU runtimes handle complex buffers
+    poorly.  This plan makes the decomposition explicit and fully real:
+
+        y_r = A_r x_r - A_i x_i        y_i = A_r x_i + A_i x_r
+
+    ``__call__`` takes and returns (real, imag) pairs of arrays.  For a
+    real matrix A_i is dropped and the two products collapse to one.
+    """
+
+    def __init__(self, a: CSC, layout: str | None = None):
+        ip, rows, vals = a.np_arrays()
+        self.iscomplex = np.iscomplexobj(vals)
+        re = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.real),
+                 canonical=a.canonical)
+        self.re = SpMVPlan(re, layout=layout)
+        if self.iscomplex:
+            im = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.imag),
+                     canonical=a.canonical)
+            self.im = SpMVPlan(im, layout=layout)
+        else:
+            self.im = None
+
+    def __call__(self, xr, xi):
+        if self.im is None:
+            return self.re(xr), self.re(xi)
+        return (
+            self.re(xr) - self.im(xi),
+            self.re(xi) + self.im(xr),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    SplitSpMV,
+    lambda p: ((p.re, p.im), (p.iscomplex,)),
+    lambda aux, ch: _split_unflatten(aux, ch),
+)
+
+
+def _split_unflatten(aux, ch):
+    obj = object.__new__(SplitSpMV)
+    obj.iscomplex = aux[0]
+    obj.re, obj.im = ch
+    return obj

@@ -37,6 +37,16 @@ def _asarray(x, dtype=None):
     return jnp.asarray(x, dtype=dtype)
 
 
+def _lazy(obj, field):
+    """Convert a container field to a device array on first access and
+    cache it; host-only lifecycles never upload."""
+    v = getattr(obj, field)
+    if not isinstance(v, jax.Array):
+        v = _asarray(v)
+        setattr(obj, field, v)
+    return v
+
+
 def _host_cache(*arrays):
     """Keep host copies when a container is constructed from host data, so
     ``np_arrays`` (the gateway to every host-symbolic op) never pays a
@@ -64,7 +74,8 @@ class _SparseBase:
 
     @property
     def capacity(self) -> int:
-        return int(self.data.shape[0])
+        return int(np.shape(getattr(self, "_data", None)
+                            if hasattr(self, "_data") else self.data)[0])
 
     # -- numpy views (host) ------------------------------------------------
     def np_arrays(self):
@@ -90,11 +101,17 @@ class CSC(_SparseBase):
         self.m = int(m)
         self.n = int(n)
         self._np = _host_cache(indptr, indices, data)
-        self.indptr = _asarray(indptr)
-        self.indices = _asarray(indices)
-        self.data = _asarray(data)
-        self.nnz = int(nnz) if nnz is not None else int(self.indices.shape[0])
+        # device conversion is LAZY (see _lazy): host-only intermediates
+        # (builders, symbolic phases) never pay an upload
+        self._indptr = indptr
+        self._indices = indices
+        self._data = data
+        self.nnz = int(nnz) if nnz is not None else int(np.shape(indices)[0])
         self.canonical = bool(canonical)
+
+    indptr = property(lambda self: _lazy(self, "_indptr"))
+    indices = property(lambda self: _lazy(self, "_indices"))
+    data = property(lambda self: _lazy(self, "_data"))
 
     # pytree protocol
     def tree_flatten(self):
@@ -111,7 +128,7 @@ class CSC(_SparseBase):
         indptr, indices, data = children
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
-        obj.indptr, obj.indices, obj.data = indptr, indices, data
+        obj._indptr, obj._indices, obj._data = indptr, indices, data
         obj._np = None
         return obj
 
@@ -308,11 +325,15 @@ class CSR(_SparseBase):
         self.m = int(m)
         self.n = int(n)
         self._np = _host_cache(indptr, indices, data)
-        self.indptr = _asarray(indptr)
-        self.indices = _asarray(indices)
-        self.data = _asarray(data)
-        self.nnz = int(nnz) if nnz is not None else int(self.indices.shape[0])
+        self._indptr = indptr
+        self._indices = indices
+        self._data = data
+        self.nnz = int(nnz) if nnz is not None else int(np.shape(indices)[0])
         self.canonical = bool(canonical)
+
+    indptr = property(lambda self: _lazy(self, "_indptr"))
+    indices = property(lambda self: _lazy(self, "_indices"))
+    data = property(lambda self: _lazy(self, "_data"))
 
     def tree_flatten(self):
         return (self.indptr, self.indices, self.data), (
@@ -328,7 +349,7 @@ class CSR(_SparseBase):
         indptr, indices, data = children
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz, obj.canonical = m, n, nnz, canonical
-        obj.indptr, obj.indices, obj.data = indptr, indices, data
+        obj._indptr, obj._indices, obj._data = indptr, indices, data
         obj._np = None
         return obj
 
@@ -380,10 +401,14 @@ class COO(_SparseBase):
         self.m = int(m)
         self.n = int(n)
         self._np = _host_cache(rows, cols, data)
-        self.rows = _asarray(rows)
-        self.cols = _asarray(cols)
-        self.data = _asarray(data)
-        self.nnz = int(nnz) if nnz is not None else int(self.rows.shape[0])
+        self._rows = rows
+        self._cols = cols
+        self._data = data
+        self.nnz = int(nnz) if nnz is not None else int(np.shape(rows)[0])
+
+    rows = property(lambda self: _lazy(self, "_rows"))
+    cols = property(lambda self: _lazy(self, "_cols"))
+    data = property(lambda self: _lazy(self, "_data"))
 
     def tree_flatten(self):
         return (self.rows, self.cols, self.data), (self.m, self.n, self.nnz)
@@ -394,7 +419,7 @@ class COO(_SparseBase):
         rows, cols, data = children
         obj = object.__new__(cls)
         obj.m, obj.n, obj.nnz = m, n, nnz
-        obj.rows, obj.cols, obj.data = rows, cols, data
+        obj._rows, obj._cols, obj._data = rows, cols, data
         obj._np = None
         return obj
 

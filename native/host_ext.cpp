@@ -503,3 +503,181 @@ void amd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Refactorization-plan builder (host symbolic for linalg/refactor.py).
+// Computes, from a fixed L/U pattern: per-column wavefront levels, the
+// elementary update triples (dst, srcL, srcU) counting-sorted by source
+// level, the division pairs, and the A->X scatter map.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct RefactorBuild {
+  int64_t total;   // update triples
+  int64_t ndiv;    // division pairs (= L off-diag count)
+  int64_t nlev;
+  int64_t* upd_dst;
+  int64_t* upd_L;
+  int64_t* upd_U;
+  int64_t* upd_lev;  // sorted ascending
+  int64_t* div_dst;
+  int64_t* div_piv;
+  int64_t* div_lev;  // sorted ascending
+  int64_t* a_dst;    // per A entry
+};
+
+void refactor_free(RefactorBuild* r) {
+  if (!r) return;
+  std::free(r->upd_dst);
+  std::free(r->upd_L);
+  std::free(r->upd_U);
+  std::free(r->upd_lev);
+  std::free(r->div_dst);
+  std::free(r->div_piv);
+  std::free(r->div_lev);
+  std::free(r->a_dst);
+  std::free(r);
+}
+
+RefactorBuild* refactor_build(int64_t n, const int64_t* Lp, const int64_t* Li,
+                              const int64_t* Up, const int64_t* Ui,
+                              int64_t a_nnz, const int64_t* Ap,
+                              const int64_t* Ai, const int64_t* perm_r,
+                              const int64_t* q) {
+  const int64_t lnz = Lp[n];
+
+  auto posL = [&](int64_t r, int64_t k) -> int64_t {
+    const int64_t* lo = Li + Lp[k];
+    const int64_t* hi = Li + Lp[k + 1];
+    return (std::lower_bound(lo, hi, r) - Li);
+  };
+  auto posU = [&](int64_t r, int64_t k) -> int64_t {
+    const int64_t* lo = Ui + Up[k];
+    const int64_t* hi = Ui + Up[k + 1];
+    return lnz + (std::lower_bound(lo, hi, r) - Ui);
+  };
+
+  // U off-diag grouped by ROW (source column of updates)
+  std::vector<int64_t> urow_cnt(n + 1, 0);
+  for (int64_t k = 0; k < n; ++k)
+    for (int64_t p = Up[k]; p < Up[k + 1]; ++p)
+      if (Ui[p] != k) urow_cnt[Ui[p] + 1]++;
+  std::vector<int64_t> urow_ptr(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) urow_ptr[i + 1] = urow_ptr[i] + urow_cnt[i + 1];
+  std::vector<int64_t> urow_col(urow_ptr[n]), urow_pos(urow_ptr[n]);
+  {
+    std::vector<int64_t> fill = urow_ptr;
+    for (int64_t k = 0; k < n; ++k)
+      for (int64_t p = Up[k]; p < Up[k + 1]; ++p)
+        if (Ui[p] != k) {
+          const int64_t j = Ui[p];
+          urow_col[fill[j]] = k;
+          urow_pos[fill[j]] = lnz + p;
+          fill[j]++;
+        }
+  }
+
+  // levels: single ascending pass (all edges go low -> high)
+  std::vector<int64_t> lev(n, 0);
+  for (int64_t j = 0; j < n; ++j) {
+    for (int64_t p = Up[j]; p < Up[j + 1]; ++p)  // U(i, j), i < j
+      if (Ui[p] != j && lev[Ui[p]] + 1 > lev[j]) lev[j] = lev[Ui[p]] + 1;
+    for (int64_t p = Lp[j]; p < Lp[j + 1]; ++p)  // L(r, j), r > j
+      if (Li[p] != j && lev[j] + 1 > lev[Li[p]]) lev[Li[p]] = lev[j] + 1;
+  }
+  int64_t nlev = 1;
+  for (int64_t j = 0; j < n; ++j) nlev = std::max(nlev, lev[j] + 1);
+
+  // total update triples
+  int64_t total = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    const int64_t cu = urow_ptr[j + 1] - urow_ptr[j];
+    const int64_t cl = Lp[j + 1] - Lp[j] - 1;  // off-diag count
+    total += cu * cl;
+  }
+
+  auto* res = (RefactorBuild*)std::malloc(sizeof(RefactorBuild));
+  res->total = total;
+  res->nlev = nlev;
+  res->upd_dst = (int64_t*)std::malloc(std::max<int64_t>(total, 1) * 8);
+  res->upd_L = (int64_t*)std::malloc(std::max<int64_t>(total, 1) * 8);
+  res->upd_U = (int64_t*)std::malloc(std::max<int64_t>(total, 1) * 8);
+  res->upd_lev = (int64_t*)std::malloc(std::max<int64_t>(total, 1) * 8);
+
+  // counting sort by level: offsets
+  std::vector<int64_t> lev_cnt(nlev + 1, 0);
+  for (int64_t j = 0; j < n; ++j) {
+    const int64_t cu = urow_ptr[j + 1] - urow_ptr[j];
+    const int64_t cl = Lp[j + 1] - Lp[j] - 1;
+    lev_cnt[lev[j] + 1] += cu * cl;
+  }
+  for (int64_t l = 0; l < nlev; ++l) lev_cnt[l + 1] += lev_cnt[l];
+  std::vector<int64_t> lev_fill(lev_cnt.begin(), lev_cnt.end() - 1);
+
+  for (int64_t j = 0; j < n; ++j) {
+    const int64_t l = lev[j];
+    for (int64_t up = urow_ptr[j]; up < urow_ptr[j + 1]; ++up) {
+      const int64_t k = urow_col[up];
+      const int64_t srcU = urow_pos[up];
+      for (int64_t p = Lp[j]; p < Lp[j + 1]; ++p) {
+        const int64_t r = Li[p];
+        if (r == j) continue;
+        int64_t dst;
+        if (r > k)
+          dst = posL(r, k);
+        else
+          dst = posU(r, k);  // includes r == k (pivot cell)
+        const int64_t t = lev_fill[l]++;
+        res->upd_dst[t] = dst;
+        res->upd_L[t] = p;
+        res->upd_U[t] = srcU;
+        res->upd_lev[t] = l;
+      }
+    }
+  }
+
+  // divisions: L off-diag cells of column k / pivot U(k,k); sort by level
+  const int64_t ndiv = lnz - n;
+  res->ndiv = ndiv;
+  res->div_dst = (int64_t*)std::malloc(std::max<int64_t>(ndiv, 1) * 8);
+  res->div_piv = (int64_t*)std::malloc(std::max<int64_t>(ndiv, 1) * 8);
+  res->div_lev = (int64_t*)std::malloc(std::max<int64_t>(ndiv, 1) * 8);
+  std::vector<int64_t> dcnt(nlev + 1, 0);
+  for (int64_t k = 0; k < n; ++k)
+    dcnt[lev[k] + 1] += Lp[k + 1] - Lp[k] - 1;
+  for (int64_t l = 0; l < nlev; ++l) dcnt[l + 1] += dcnt[l];
+  std::vector<int64_t> dfill(dcnt.begin(), dcnt.end() - 1);
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t piv = posU(k, k);
+    const int64_t l = lev[k];
+    for (int64_t p = Lp[k]; p < Lp[k + 1]; ++p)
+      if (Li[p] != k) {
+        const int64_t t = dfill[l]++;
+        res->div_dst[t] = p;
+        res->div_piv[t] = piv;
+        res->div_lev[t] = l;
+      }
+  }
+
+  // A -> X scatter map
+  std::vector<int64_t> pinv(n), qinv(n);
+  for (int64_t k = 0; k < n; ++k) {
+    pinv[perm_r[k]] = k;
+    qinv[q[k]] = k;
+  }
+  res->a_dst = (int64_t*)std::malloc(std::max<int64_t>(a_nnz, 1) * 8);
+  {
+    int64_t t = 0;
+    for (int64_t c = 0; c < n; ++c) {
+      const int64_t k = qinv[c];
+      for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p, ++t) {
+        const int64_t pr = pinv[Ai[p]];
+        res->a_dst[t] = (pr <= k) ? posU(pr, k) : posL(pr, k);
+      }
+    }
+  }
+  return res;
+}
+
+}  // extern "C"

@@ -2,6 +2,7 @@
 Newton solvers cross-checked against each other and physics invariants
 (BASELINE configs 1, 3, 4)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -117,7 +118,7 @@ def test_fdpf_batch():
     assert vm.shape == (8, grid.n_bus)
     # each scenario individually converged
     for i in range(8):
-        r = float(fd.residual(vm[i], va[i], batch[i]))
+        r = float(fd.residual(vm[i], va[i], jnp.asarray(batch[i].real), jnp.asarray(batch[i].imag)))
         assert r < 1e-9, f"scenario {i}: residual {r}"
 
 
