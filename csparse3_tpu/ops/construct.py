@@ -248,10 +248,22 @@ def transpose(a: CSC) -> CSC:
     k = a.nnz
     if not is_traced(a.indptr, a.indices, a.data):
         ip, old_rows, vals = a.np_arrays()
+        idx = np.dtype(get_config().index_dtype)
+        if np.issubdtype(vals.dtype, np.floating) or np.issubdtype(
+                vals.dtype, np.complexfloating):
+            try:
+                from ..native import host_ext
+
+                Tp, Ti, Tx = host_ext.csc_transpose(a.m, a.n, ip, old_rows, vals)
+                return CSC(a.n, a.m, Tp.astype(idx), Ti.astype(idx),
+                           Tx.astype(vals.dtype, copy=False),
+                           canonical=a.canonical)
+            except ImportError:
+                pass
         old_cols = expand_indptr_np(ip)
         indptr, r_s, v_s = _resort_np(
             a.m, old_rows.astype(np.int64), old_cols.astype(np.int64),
-            vals, np.dtype(get_config().index_dtype),
+            vals, idx,
         )
         return CSC(a.n, a.m, indptr, np.ascontiguousarray(r_s),
                    np.ascontiguousarray(v_s), canonical=a.canonical)

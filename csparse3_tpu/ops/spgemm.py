@@ -63,6 +63,21 @@ def spgemm(a: CSC, b: CSC) -> CSC:
         raise ValueError(f"dim mismatch for A@B: {a.shape} @ {b.shape}")
     a = a if a.canonical else construct.canonicalize(a)
     b = b if b.canonical else construct.canonicalize(b)
+    try:
+        from ..native import host_ext
+
+        ipa, ixa, dta = a.np_arrays()
+        ipb, ixb, dtb = b.np_arrays()
+        if np.issubdtype(np.result_type(dta, dtb), np.floating) or \
+                np.issubdtype(np.result_type(dta, dtb), np.complexfloating):
+            Cp, Ci, Cx = host_ext.csc_spgemm(
+                a.m, ipa, ixa, dta, b.n, ipb, ixb, dtb
+            )
+            idx = np.dtype(get_config().index_dtype)
+            return CSC(a.m, b.n, Cp.astype(idx), Ci.astype(idx), Cx,
+                       canonical=True)
+    except ImportError:
+        pass
     a_pos, b_pos, out_cols, total = _expanded_streams_np(a, b)
     dtype = np.result_type(a.np_arrays()[2].dtype, b.np_arrays()[2].dtype)
     if total == 0:

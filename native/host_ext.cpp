@@ -681,3 +681,132 @@ RefactorBuild* refactor_build(int64_t n, const int64_t* Lp, const int64_t* Li,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Two-phase CSC SpGEMM (Gustavson), real and complex.  Mirrors the
+// reference's csc_matmat_pass1/pass2 delegation (src/sparsetools/csc.h:116)
+// but emits canonical (row-sorted, duplicate-free) columns directly.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+int64_t spgemm_pass1(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                     int64_t nB, const int64_t* Bp, const int64_t* Bi,
+                     int64_t* Cp) {
+  std::vector<int64_t> mask(m, -1);
+  int64_t nnz = 0;
+  Cp[0] = 0;
+  for (int64_t j = 0; j < nB; ++j) {
+    int64_t cnt = 0;
+    for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
+      const int64_t k = Bi[pb];
+      for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
+        const int64_t r = Ai[pa];
+        if (mask[r] != j) {
+          mask[r] = j;
+          ++cnt;
+        }
+      }
+    }
+    nnz += cnt;
+    Cp[j + 1] = nnz;
+  }
+  return nnz;
+}
+
+template <typename T>
+void spgemm_pass2(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                  const T* Ax, int64_t nB, const int64_t* Bp,
+                  const int64_t* Bi, const T* Bx, const int64_t* Cp,
+                  int64_t* Ci, T* Cx) {
+  std::vector<int64_t> mask(m, -1);
+  std::vector<T> acc(m, T(0));
+  for (int64_t j = 0; j < nB; ++j) {
+    int64_t head = Cp[j];
+    for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
+      const int64_t k = Bi[pb];
+      const T bv = Bx[pb];
+      for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
+        const int64_t r = Ai[pa];
+        if (mask[r] != j) {
+          mask[r] = j;
+          Ci[head++] = r;
+          acc[r] = Ax[pa] * bv;
+        } else {
+          acc[r] += Ax[pa] * bv;
+        }
+      }
+    }
+    std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
+    for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t csc_spgemm_size(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                        int64_t nB, const int64_t* Bp, const int64_t* Bi,
+                        int64_t* Cp) {
+  return spgemm_pass1<double>(m, Ap, Ai, nB, Bp, Bi, Cp);
+}
+
+void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                          const double* Ax, int64_t nB, const int64_t* Bp,
+                          const int64_t* Bi, const double* Bx,
+                          const int64_t* Cp, int64_t* Ci, double* Cx) {
+  spgemm_pass2<double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx);
+}
+
+void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                          const void* Ax, int64_t nB, const int64_t* Bp,
+                          const int64_t* Bi, const void* Bx,
+                          const int64_t* Cp, int64_t* Ci, void* Cx) {
+  spgemm_pass2<cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
+                     (const cplx*)Bx, Cp, Ci, (cplx*)Cx);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CSC transpose via count-cumsum-scatter (reference: csr_tocsc,
+// src/sparsetools/csr.h:418-461) — O(nnz), no sort.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+void transpose_impl(int64_t m, int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const T* Ax, int64_t* Tp, int64_t* Ti, T* Tx) {
+  const int64_t nnz = Ap[n];
+  std::memset(Tp, 0, (m + 1) * sizeof(int64_t));
+  for (int64_t p = 0; p < nnz; ++p) Tp[Ai[p] + 1]++;
+  for (int64_t r = 0; r < m; ++r) Tp[r + 1] += Tp[r];
+  std::vector<int64_t> fill(Tp, Tp + m);
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t t = fill[Ai[p]]++;
+      Ti[t] = c;
+      Tx[t] = Ax[p];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void csc_transpose_d(int64_t m, int64_t n, const int64_t* Ap,
+                     const int64_t* Ai, const double* Ax, int64_t* Tp,
+                     int64_t* Ti, double* Tx) {
+  transpose_impl<double>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
+}
+
+void csc_transpose_z(int64_t m, int64_t n, const int64_t* Ap,
+                     const int64_t* Ai, const void* Ax, int64_t* Tp,
+                     int64_t* Ti, void* Tx) {
+  transpose_impl<cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti, (cplx*)Tx);
+}
+
+}  // extern "C"

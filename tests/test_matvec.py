@@ -137,3 +137,42 @@ class TestSpMVPlanLayouts:
             np.asarray(p(jnp.asarray(x))), A.to_scipy() @ x,
             rtol=1e-12, atol=1e-13,
         )
+
+
+class TestDIAPlan:
+    def test_matches_scipy_after_rcm(self):
+        from csparse3_tpu.linalg.ordering import rcm
+        from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+        g = synthetic_grid(500, seed=3)
+        Y, _, _ = ybus(g)
+        p = rcm(Y)
+        Yp = Y[p, p]
+        plan = cst.SplitDIA(Yp)
+        v = np.random.RandomState(0).rand(500) + 1j * np.random.RandomState(1).rand(500)
+        yr, yi = jax.jit(lambda q, a, b: q(a, b))(
+            plan, jnp.asarray(v.real), jnp.asarray(v.imag)
+        )
+        ref = Yp.to_scipy() @ v
+        np.testing.assert_allclose(
+            np.asarray(yr) + 1j * np.asarray(yi), ref, rtol=1e-11, atol=1e-12
+        )
+
+    def test_real_multi_rhs(self, rand_pair):
+        a, _ = rand_pair
+        A = cst.CSC.from_scipy(a)
+        plan = cst.DIAPlan(A)
+        X = np.random.RandomState(4).rand(a.shape[1], 6)
+        np.testing.assert_allclose(
+            np.asarray(plan(jnp.asarray(X))), a @ X, rtol=1e-11, atol=1e-12
+        )
+
+    def test_rectangular(self):
+        import scipy.sparse as sp
+
+        a = sp.random(40, 60, 0.1, random_state=5, format="csc")
+        plan = cst.DIAPlan(cst.CSC.from_scipy(a))
+        x = np.random.RandomState(6).rand(60)
+        np.testing.assert_allclose(
+            np.asarray(plan(jnp.asarray(x))), a @ x, rtol=1e-11, atol=1e-12
+        )
