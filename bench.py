@@ -212,7 +212,7 @@ _KINDS = {
 }
 
 
-def _sub(kind, reps, timeout=400, attempts=2):
+def _sub(kind, reps, timeout=300, attempts=3):
     err = "unknown"
     for a in range(attempts):
         print(f"[bench] {kind} reps={reps} (attempt {a}) ...",

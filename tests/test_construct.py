@@ -111,3 +111,27 @@ def test_scipy_adoption(golden63):
     assert a.nnz == 10
     back = a.to_scipy()
     assert (back != golden63).nnz == 0
+
+
+def test_full_format_roundtrip(golden63):
+    """coo -> csc -> csr -> csc -> bsr -> dense -> csc -> dia -> csc."""
+    import csparse3_tpu as cst
+
+    A = cst.CSC.from_scipy(golden63)
+    coo = A.to_coo()
+    back = coo.to_csc()
+    np.testing.assert_allclose(np.asarray(back.todense()), golden63.toarray())
+    csr = back.to_csr()
+    back2 = csr.to_csc()
+    np.testing.assert_allclose(np.asarray(back2.todense()), golden63.toarray())
+    bsr = back2.to_bsr(block=(2, 2))
+    np.testing.assert_allclose(np.asarray(bsr.todense()), golden63.toarray())
+    dense = back2.todense()
+    np.testing.assert_allclose(
+        np.asarray(cst.CSC.from_dense(np.asarray(dense)).todense()),
+        golden63.toarray(),
+    )
+    dia = cst.csc_to_dia(back2)
+    np.testing.assert_allclose(
+        np.asarray(cst.dia_to_csc(dia).todense()), golden63.toarray()
+    )
