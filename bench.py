@@ -103,9 +103,10 @@ def run_lusolve(reps: int):
     B = cst.from_triplets(rows, cols, vals, (ng, ng))
     Breg = cst.add(B, cst.diags(np.full(ng, 3.0)))
     t0 = time.perf_counter()
-    lu = splu(Breg, ordering="amd")
+    lu = splu(Breg, ordering="rcm", tol=0.0)  # banded, no row exchanges
     t_factor = time.perf_counter() - t0
-    splan = lu.solve_plan()
+    # block-bidiagonal MXU solve path (gather/scatter-free)
+    splan = lu.banded_solve_plan()
     RHS = jnp.asarray(np.random.RandomState(1).rand(ng, 1024))
 
     @functools.partial(jax.jit, static_argnums=2)
@@ -242,8 +243,13 @@ def _delta(kind, r1, r2, **kw):
     b = _sub(kind, r2, **kw)
     if "error" in a or "error" in b:
         return None, a, b
-    per = (b["t"] - a["t"]) / (r2 - r1)
-    return max(per, 1e-9), a, b
+    d = b["t"] - a["t"]
+    if d <= 0.02 * max(a["t"], 0.05):
+        # delta drowned by per-process noise: unreliable, don't report
+        a = dict(a)
+        a["error"] = f"delta unreliable (t1={a['t']:.3f}, t2={b['t']:.3f})"
+        return None, a, b
+    return d / (r2 - r1), a, b
 
 
 def main():

@@ -105,6 +105,15 @@ class SparseLU:
             self._plan = SolvePlan(lplan, uplan, h.perm_r, h.perm_c)
         return self._plan
 
+    def banded_solve_plan(self, s: int | None = None):
+        """Block-bidiagonal MXU solve plan (linalg.banded) — requires a
+        no-row-exchange banded factorization (ordering='rcm', tol=0 on a
+        diagonally dominant matrix).  Falls back with ValueError if the
+        factors exceed the block bandwidth."""
+        from .banded import BandedSolvePlan
+
+        return BandedSolvePlan(self._h, s=s)
+
     def refactor_plan(self, a: CSC) -> "RefactorPlan":
         """KLU-style device refactorization plan: freeze this
         factorization's pattern and pivoting, then ``plan.refactor(data)``

@@ -27,7 +27,7 @@ import numpy as np
 from ..ops import construct
 from ..types import CSC
 
-__all__ = ["Grid", "ieee14", "synthetic_grid", "ybus", "connectivity"]
+__all__ = ["Grid", "ieee14", "synthetic_grid", "ybus", "connectivity", "reorder_grid", "rcm_grid"]
 
 # bus types
 PQ, PV, SLACK = 0, 1, 2
@@ -226,3 +226,28 @@ def connectivity(grid: Grid):
     Cf = construct.from_triplets(br, grid.f, ones, (m, n))
     Ct = construct.from_triplets(br, grid.t, ones, (m, n))
     return Cf, Ct
+
+
+def reorder_grid(grid: Grid, perm) -> Grid:
+    """Renumber buses by ``perm`` (new index k = old bus perm[k]) — e.g.
+    an RCM order, making Ybus banded so the gather-free DIA/banded device
+    kernels apply.  Returns a new Grid; results map back via
+    vm_old[perm] = vm_new."""
+    perm = np.asarray(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return grid._replace(
+        f=inv[grid.f], t=inv[grid.t],
+        bus_type=grid.bus_type[perm], pd=grid.pd[perm], qd=grid.qd[perm],
+        pg=grid.pg[perm], vm0=grid.vm0[perm], gs=grid.gs[perm],
+        bs=grid.bs[perm],
+    )
+
+
+def rcm_grid(grid: Grid):
+    """(reordered grid, perm) with buses in RCM order of the Ybus pattern."""
+    from ..linalg.ordering import rcm
+
+    Y, _, _ = ybus(grid)
+    perm = rcm(Y)
+    return reorder_grid(grid, perm), perm

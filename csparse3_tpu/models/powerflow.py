@@ -78,7 +78,14 @@ class FastDecoupled:
     factorizations); ``step``/``run`` are pure jax on device.
     """
 
-    def __init__(self, grid: Grid, ordering="amd", tol=1e-8, max_iter=50):
+    def __init__(self, grid: Grid, ordering="amd", tol=1e-8, max_iter=50,
+                 spmv="ell", solver="level"):
+        """spmv: 'ell' (gather-based; CPU/GPU-friendly) or 'dia'
+        (gather-free banded slabs; the TPU path — reorder the grid with
+        models.grids.rcm_grid first so Ybus is banded).
+        solver: 'level' (level-scheduled TriSolvePlan) or 'banded'
+        (block-bidiagonal MXU sweeps; factors with ordering='rcm',
+        tol=0)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
@@ -103,13 +110,22 @@ class FastDecoupled:
         Bpp_full = construct.from_triplets(ixY, colsY, -dtY.imag, (n, n))
         Bpp = Bpp_full[self.pq, self.pq]
 
-        self.lu_bp = splu(Bp, ordering=ordering)
-        self.lu_bpp = splu(Bpp, ordering=ordering)
-        self._bp_plan = self.lu_bp.solve_plan()
-        self._bpp_plan = self.lu_bpp.solve_plan()
+        if solver == "banded":
+            self.lu_bp = splu(Bp, ordering="rcm", tol=0.0)
+            self.lu_bpp = splu(Bpp, ordering="rcm", tol=0.0)
+            self._bp_plan = self.lu_bp.banded_solve_plan()
+            self._bpp_plan = self.lu_bpp.banded_solve_plan()
+        else:
+            self.lu_bp = splu(Bp, ordering=ordering)
+            self.lu_bpp = splu(Bpp, ordering=ordering)
+            self._bp_plan = self.lu_bp.solve_plan()
+            self._bpp_plan = self.lu_bpp.solve_plan()
         # split-complex Ybus action: all device arithmetic is REAL pairs
-        # (TPUs have no complex ALU; see ops.matvec.SplitSpMV)
-        self._yplan = matvec.SplitSpMV(self.Y)
+        # (TPUs have no complex ALU; see ops.matvec.SplitSpMV / SplitDIA)
+        self._yplan = (
+            matvec.SplitDIA(self.Y) if spmv == "dia"
+            else matvec.SplitSpMV(self.Y)
+        )
         sb = sbus(grid)
         self._sbr = jnp.asarray(sb.real)
         self._sbi = jnp.asarray(sb.imag)
