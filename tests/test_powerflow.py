@@ -168,3 +168,24 @@ class TestNewtonDevice:
         vm, va, it, res = npf.solve_batch(batch)
         assert np.asarray(res).max() < 1e-9
         assert vm.shape == (3, 80)
+
+
+def test_reordered_grid_same_solution():
+    """Power-flow solutions are invariant under bus renumbering
+    (models.grids.rcm_grid), and the gather-free dia/banded path agrees
+    with the default path."""
+    from csparse3_tpu.models.grids import rcm_grid, synthetic_grid
+    from csparse3_tpu.models.powerflow import FastDecoupled
+
+    g = synthetic_grid(120, seed=11)
+    fd = FastDecoupled(g, tol=1e-10, max_iter=80)
+    vm, va, _, res = fd.solve()
+    assert res < 1e-9
+
+    g2, perm = rcm_grid(g)
+    fd2 = FastDecoupled(g2, tol=1e-10, max_iter=80, spmv="dia",
+                        solver="banded")
+    vm2, va2, _, res2 = fd2.solve()
+    assert res2 < 1e-9
+    np.testing.assert_allclose(vm2, vm[perm], atol=1e-8)
+    np.testing.assert_allclose(va2, va[perm], atol=1e-8)
