@@ -297,13 +297,19 @@ class NewtonPowerFlow:
     reference implementation kept below).
     """
 
-    def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):
+    def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="amd",
+                 spmv="ell"):
+        """spmv: 'ell' or 'dia' (gather-free banded slabs; pair with
+        models.grids.rcm_grid so Ybus is banded)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
         n = grid.n_bus
         self.Y, _, _ = ybus(grid)
-        self._yplan = matvec.SplitSpMV(self.Y)
+        self._yplan = (
+            matvec.SplitDIA(self.Y) if spmv == "dia"
+            else matvec.SplitSpMV(self.Y)
+        )
         sb = sbus(grid)
         self._sbr = jnp.asarray(sb.real)
         self._sbi = jnp.asarray(sb.imag)
