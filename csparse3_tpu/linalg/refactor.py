@@ -48,12 +48,6 @@ def _chunk(arrs, cap):
     ]
 
 
-def _pad_to(a, width, fill):
-    out = np.full(width, fill, dtype=np.int64)
-    out[: len(a)] = a
-    return out
-
-
 @jax.tree_util.register_pytree_node_class
 class RefactorPlan:
     """Built from a host factorization + the matrix it factored.

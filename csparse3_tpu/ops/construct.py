@@ -102,29 +102,6 @@ def _stable_sort_by(major, minor, *payloads):
     return (major[p2],) + tuple(p[perm] for p in payloads)
 
 
-def _dedup_sorted(keys_major, keys_minor, vals, *, sum_dup=True):
-    """Collapse duplicate (major, minor) pairs in sorted triplet streams.
-
-    Returns (major, minor, vals, nunique) with arrays still full-length;
-    entries [nunique:] are garbage to be trimmed by the caller.
-    """
-    nnz = keys_major.shape[0]
-    if nnz == 0:
-        return keys_major, keys_minor, vals, 0
-    prev_major = jnp.concatenate([keys_major[:1] - 1, keys_major[:-1]])
-    prev_minor = jnp.concatenate([keys_minor[:1] - 1, keys_minor[:-1]])
-    new_group = (keys_major != prev_major) | (keys_minor != prev_minor)
-    gid = jnp.cumsum(new_group) - 1
-    nunique = int(gid[-1]) + 1
-    out_major = jnp.zeros((nnz,), dtype=keys_major.dtype).at[gid].set(keys_major)
-    out_minor = jnp.zeros((nnz,), dtype=keys_minor.dtype).at[gid].set(keys_minor)
-    if sum_dup:
-        out_vals = jax.ops.segment_sum(vals, gid, num_segments=nnz)
-    else:  # last writer wins (LIL semantics)
-        out_vals = jnp.zeros((nnz,), dtype=vals.dtype).at[gid].set(vals)
-    return out_major, out_minor, out_vals, nunique
-
-
 def from_triplets(rows, cols, vals, shape, *, sum_duplicates=True) -> CSC:
     """Build a canonical CSC from COO triplets
     (reference: coo_to_csc, src/CSparse3/csc_numba.py:331-357 — which keeps
