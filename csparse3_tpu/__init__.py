@@ -9,6 +9,10 @@ segment-reduction and sort-based kernels under XLA, MXU-aligned BSR compute
 format, Pallas kernels on the hot paths, and jax.sharding distribution.
 """
 
+from .utils.hostmem import tune_host_allocator as _tune_host_allocator
+
+_tune_host_allocator()  # see utils/hostmem.py: sandboxed-host fault cost
+
 from .__version__ import __version__  # noqa: F401
 from . import config  # noqa: F401
 from . import linalg, models, parallel  # noqa: F401

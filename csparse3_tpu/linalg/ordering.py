@@ -47,9 +47,22 @@ def natural(a: CSC) -> np.ndarray:
 
 def rcm(a: CSC) -> np.ndarray:
     """Reverse Cuthill-McKee: BFS from a pseudo-peripheral node, neighbors
-    visited in increasing-degree order, result reversed."""
+    visited in increasing-degree order, result reversed.  Uses the native
+    C++ kernel when built (native/host_ext.cpp::rcm_order); the Python BFS
+    below is the oracle/fallback."""
     if a.m != a.n:
         raise ValueError("ordering expects a square matrix")
+    try:
+        from ..native import host_ext
+
+        ip, ix, _ = a.np_arrays()
+        return host_ext.rcm(a.n, ip, ix)
+    except ImportError:
+        pass
+    return _rcm_py(a)
+
+
+def _rcm_py(a: CSC) -> np.ndarray:
     n = a.n
     indptr, adj = symmetrize_pattern(a)
     deg = np.diff(indptr)

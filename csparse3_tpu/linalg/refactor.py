@@ -339,15 +339,24 @@ class RefactorPlan:
         return X[: self.lnz], X[self.lnz : self.lnz + self.unz]
 
     def _retarget(self, tpl: TriSolvePlan, slab, off_vals, dinv, meta):
+        # The template plan's slabs are level-unrolled to (nsteps, K, W)
+        # with padding levels appended at the end, so the flat index
+        # lev * W + slot is valid in the larger unrolled buffer; the pad
+        # region keeps the identity fill (0 for values, 1 for 1/diag).
         e_flat, r_flat, (nlev, We, Wr) = slab[0], slab[1], meta
-        e_vals = jnp.zeros(nlev * We, dtype=off_vals.dtype).at[e_flat].set(off_vals)
-        r_dinv = jnp.ones(nlev * Wr, dtype=dinv.dtype).at[r_flat].set(dinv)
+        e_shape = tpl.e_vals.shape
+        r_shape = tpl.r_dinv.shape
+        e_vals = (
+            jnp.zeros(int(np.prod(e_shape)), dtype=off_vals.dtype)
+            .at[e_flat].set(off_vals).reshape(e_shape)
+        )
+        r_dinv = (
+            jnp.ones(int(np.prod(r_shape)), dtype=dinv.dtype)
+            .at[r_flat].set(dinv).reshape(r_shape)
+        )
         leaves, treedef = jax.tree_util.tree_flatten(tpl)
         # leaves: (e_rows, e_cols, e_vals, r_rows, r_dinv)
-        new_leaves = [
-            leaves[0], leaves[1], e_vals.reshape(nlev, We),
-            leaves[3], r_dinv.reshape(nlev, Wr),
-        ]
+        new_leaves = [leaves[0], leaves[1], e_vals, leaves[3], r_dinv]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     def refactor(self, new_data) -> SolvePlan:

@@ -188,7 +188,8 @@ class TriSolvePlan:
     static shapes (b may be (n,) or (n, k) for batched RHS).
     """
 
-    def __init__(self, n, Fp, Fi, Fx, lower: bool, unit_diag_value=None):
+    def __init__(self, n, Fp, Fi, Fx, lower: bool, unit_diag_value=None,
+                 unroll: int = 8):
         Fp = np.asarray(Fp)
         Fi = np.asarray(Fi)
         Fx = np.asarray(Fx)
@@ -201,32 +202,53 @@ class TriSolvePlan:
         slabs = _build_slabs(n, rows[off], cols[off], Fx[off], diag, lower)
         self.n = n
         self.lower = lower
-        self.e_rows = jnp.asarray(slabs.e_rows)
-        self.e_cols = jnp.asarray(slabs.e_cols)
-        self.e_vals = jnp.asarray(slabs.e_vals)
-        self.r_rows = jnp.asarray(slabs.r_rows)
-        self.r_dinv = jnp.asarray(slabs.r_dinv)
+        # Unroll K dependency levels into each scan step: sparse-factor
+        # levels are narrow, so at small/medium n the solve is bound by
+        # per-scan-iteration dispatch latency, not flops.  Shapes go from
+        # (nlev, W) to (ceil(nlev/K), K, W); padding levels are all-dummy
+        # (row n = drop slot, dinv 1).
+        K = max(int(unroll), 1)
+        nlev = slabs.e_rows.shape[0]
+        nsteps = -(-nlev // K)
+        pad = nsteps * K - nlev
+
+        def pad_lev(a, padval):
+            if pad:
+                fill = np.full((pad, a.shape[1]), padval, dtype=a.dtype)
+                a = np.concatenate([a, fill], axis=0)
+            return a.reshape(nsteps, K, a.shape[1])
+
+        self.e_rows = jnp.asarray(pad_lev(slabs.e_rows, n))
+        self.e_cols = jnp.asarray(pad_lev(slabs.e_cols, n))
+        self.e_vals = jnp.asarray(pad_lev(slabs.e_vals, 0))
+        self.r_rows = jnp.asarray(pad_lev(slabs.r_rows, n))
+        self.r_dinv = jnp.asarray(pad_lev(slabs.r_dinv, 1))
+        self._nlev = nlev
 
     # pytree
     def tree_flatten(self):
         return (
             (self.e_rows, self.e_cols, self.e_vals, self.r_rows, self.r_dinv),
-            (self.n, self.lower),
+            (self.n, self.lower, self._nlev),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = object.__new__(cls)
-        obj.n, obj.lower = aux
+        obj.n, obj.lower, obj._nlev = aux
         obj.e_rows, obj.e_cols, obj.e_vals, obj.r_rows, obj.r_dinv = ch
         return obj
 
     @property
     def nlevels(self):
-        return self.e_rows.shape[0]
+        return self._nlev
+
+    @property
+    def unroll(self):
+        return self.e_rows.shape[1]
 
     def solve(self, b):
-        """x = F^{-1} b, device, O(nlevels) sequential steps."""
+        """x = F^{-1} b, device, O(nlevels / unroll) sequential scan steps."""
         b = jnp.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -235,12 +257,14 @@ class TriSolvePlan:
         # workspace with one dummy slot at index n
         x = jnp.zeros((self.n + 1, k), dtype=jnp.result_type(b.dtype, self.e_vals.dtype))
         x = x.at[: self.n].set(b)
+        K = self.e_rows.shape[1]
 
         def body(x, slab):
             er, ec, ev, rr, rd = slab
-            contrib = ev[:, None] * x[ec]
-            x = x.at[er].add(-contrib, mode="drop")
-            x = x.at[rr].multiply(rd[:, None], mode="drop")
+            for i in range(K):  # unrolled in-trace
+                contrib = ev[i][:, None] * x[ec[i]]
+                x = x.at[er[i]].add(-contrib, mode="drop")
+                x = x.at[rr[i]].multiply(rd[i][:, None], mode="drop")
             return x, None
 
         x, _ = jax.lax.scan(

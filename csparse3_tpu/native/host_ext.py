@@ -73,6 +73,8 @@ _lib.lu_free.restype = None
 _lib.lu_free.argtypes = [ctypes.POINTER(_LUResult)]
 _lib.amd_order.restype = None
 _lib.amd_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+_lib.rcm_order.restype = None
+_lib.rcm_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
 _lib.coo_to_csc_d.restype = ctypes.c_int64
 _lib.coo_to_csc_d.argtypes = [
     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -143,6 +145,16 @@ def amd(n, Ap, Ai) -> np.ndarray:
     Ai = _as_i64(Ai)
     out = np.empty(n, dtype=np.int64)
     _lib.amd_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai), _i64_ptr(out))
+    return out
+
+
+def rcm(n, Ap, Ai) -> np.ndarray:
+    """Reverse Cuthill-McKee order (native twin of linalg.ordering.rcm;
+    tie-breaking may differ, the bandwidth profile is the contract)."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    out = np.empty(n, dtype=np.int64)
+    _lib.rcm_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai), _i64_ptr(out))
     return out
 
 

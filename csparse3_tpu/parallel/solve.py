@@ -41,9 +41,9 @@ from .spmv import _part_specs, spmv_local
 __all__ = ["BlockJacobi", "dist_cg", "dist_bicgstab"]
 
 
-def _pad2(a, shape, fill):
+def _padn(a, shape, fill):
     out = np.full(shape, fill, dtype=a.dtype)
-    out[: a.shape[0], : a.shape[1]] = a
+    out[tuple(slice(0, s) for s in a.shape)] = a
     return out
 
 
@@ -99,9 +99,10 @@ class BlockJacobi:
         # pad plan slabs to common static shapes across shards
         def stack(get, fill):
             arrs = [np.asarray(get(p)) for p in plans]
-            nl = max(x.shape[0] for x in arrs)
-            w = max(x.shape[1] for x in arrs)
-            return jnp.asarray(np.stack([_pad2(x, (nl, w), fill) for x in arrs]))
+            shape = tuple(
+                max(x.shape[d] for x in arrs) for d in range(arrs[0].ndim)
+            )
+            return jnp.asarray(np.stack([_padn(x, shape, fill) for x in arrs]))
 
         leaves = (
             stack(lambda p: p.lplan.e_rows, mloc),

@@ -12,7 +12,9 @@
 // Build: make -C native   (produces csparse3_tpu/native/libhost_ext.so)
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
 #include <complex>
 #include <cstdint>
 #include <cstdlib>
@@ -71,44 +73,63 @@ cplx inf_fill(cplx x) {
   return x * std::numeric_limits<double>::infinity();
 }
 
-// Export (col, row, val) streams as CSC, sorted by (col, row).
-template <typename T>
-void to_csc(int64_t n, std::vector<int64_t>& cols, std::vector<int64_t>& rows,
-            std::vector<T>& vals, int64_t** out_p, int64_t** out_i,
-            void** out_x, int64_t* out_nnz) {
-  const int64_t nnz = (int64_t)cols.size();
-  std::vector<int64_t> order(nnz);
-  std::iota(order.begin(), order.end(), 0);
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    if (cols[a] != cols[b]) return cols[a] < cols[b];
-    return rows[a] < rows[b];
-  });
-  auto* p = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
-  auto* i = (int64_t*)std::malloc(std::max<int64_t>(nnz, 1) * sizeof(int64_t));
-  auto* x = (T*)std::malloc(std::max<int64_t>(nnz, 1) * sizeof(T));
-  std::memset(p, 0, (n + 1) * sizeof(int64_t));
-  for (int64_t k = 0; k < nnz; ++k) {
-    const int64_t o = order[k];
-    i[k] = rows[o];
-    x[k] = vals[o];
-    p[cols[o] + 1]++;
-  }
-  for (int64_t c = 0; c < n; ++c) p[c + 1] += p[c];
-  *out_p = p;
-  *out_i = i;
-  *out_x = x;
-  *out_nnz = nnz;
-}
-
-// Left-looking sparse LU with threshold partial pivoting.  Twin of
+// Left-looking sparse LU with threshold partial pivoting (Gilbert-Peierls
+// with Eisenstat-Liu symmetric pruning, as in KLU/SuperLU).  Twin of
 // linalg/lu_host.py::lu_factor_host (same reach/eliminate/pivot/split
 // semantics, including SuperLU-style singular handling: zero pivot ->
 // inf/nan fill, column recorded in `sing`).
+//
+// L is built in one contiguous growable buffer (original-row space); each
+// finished column j carries a pruned length plen[j]: once a symmetric
+// pivot pair (U(j,k) != 0 and pivrow_k in L(:,j)) is found, the column is
+// partitioned so that DFS traversals only scan the already-pivotal front —
+// the non-pivotal tail is reachable through column k instead.  This drops
+// the symbolic cost from O(lnz) scans per column to near the true edge
+// count, which is the main gap between naive GP and KLU-class solvers.
+#ifdef LU_PROFILE
+struct LuProf {
+  double dfs = 0, numeric = 0, split = 0, prune = 0, exp = 0;
+  int64_t dfs_edges = 0, num_flops = 0, prune_scans = 0, prune_hits = 0;
+  ~LuProf() {
+    std::fprintf(stderr,
+                 "[luprof] dfs=%.3fs numeric=%.3fs split=%.3fs prune=%.3fs "
+                 "export=%.3fs | edges=%lld flops=%lld scans=%lld hits=%lld\n",
+                 dfs, numeric, split, prune, exp, (long long)dfs_edges,
+                 (long long)num_flops, (long long)prune_scans,
+                 (long long)prune_hits);
+  }
+};
+static LuProf g_luprof;
+#define LU_TIC auto _t0 = std::chrono::steady_clock::now()
+#define LU_TOC(field)                                                     \
+  do {                                                                    \
+    auto _t1 = std::chrono::steady_clock::now();                          \
+    g_luprof.field += std::chrono::duration<double>(_t1 - _t0).count();   \
+    _t0 = _t1;                                                            \
+  } while (0)
+#else
+#define LU_TIC
+#define LU_TOC(field)
+#endif
+
 template <typename T>
 LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
                     const T* Ax, const int64_t* q, double tol) {
-  std::vector<std::vector<int64_t>> Lrows(n);
-  std::vector<std::vector<T>> Lvals(n);
+  // L under construction: contiguous (column-appended) buffers.
+  std::vector<int64_t> Lcp(n + 1, 0);
+  std::vector<int64_t> Lrow;
+  std::vector<T> Lval;
+  Lrow.reserve((size_t)(4 * Ap[n] + n));
+  Lval.reserve((size_t)(4 * Ap[n] + n));
+  std::vector<int64_t> plen(n, -1);  // pruned front length; -1 = unpruned
+
+  // U: emitted in column order directly.
+  std::vector<int64_t> Up(n + 1, 0);
+  std::vector<int64_t> Urow;
+  std::vector<T> Uval;
+  Urow.reserve((size_t)(2 * Ap[n] + n));
+  Uval.reserve((size_t)(2 * Ap[n] + n));
+
   std::vector<int64_t> pinv(n, -1), perm_r(n, -1);
   std::vector<int64_t> singular;
 
@@ -118,14 +139,13 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
   std::vector<int64_t> pat_rows;
   pat_rows.reserve(n);
 
-  std::vector<int64_t> u_cols, u_rows;
-  std::vector<T> u_vals;
-
   for (int64_t k = 0; k < n; ++k) {
     const int64_t col = q ? q[k] : k;
     const int64_t a_lo = Ap[col], a_hi = Ap[col + 1];
+    LU_TIC;
 
     // ---- symbolic: reach via DFS over pivot-node graph -------------------
+    // Pruned columns are traversed only over their pivotal front.
     int64_t top = n;
     pat_rows.clear();
     for (int64_t p = a_lo; p < a_hi; ++p) {
@@ -142,12 +162,17 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
         flag[j0] = k;
         while (sp >= 0) {
           const int64_t node = stack[sp];
-          const auto& rows_n = Lrows[node];
-          int64_t e = estack[sp];
+          const int64_t lo = Lcp[node];
+          const int64_t hi =
+              plen[node] >= 0 ? lo + plen[node] : Lcp[node + 1];
+          int64_t e = lo + estack[sp];
           bool advanced = false;
-          while (e < (int64_t)rows_n.size()) {
-            const int64_t rr = rows_n[e];
+          while (e < hi) {
+            const int64_t rr = Lrow[e];
             ++e;
+#ifdef LU_PROFILE
+            g_luprof.dfs_edges += 1;
+#endif
             if (in_pattern[rr] != k) {
               in_pattern[rr] = k;
               pat_rows.push_back(rr);
@@ -155,7 +180,7 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
             const int64_t jj = pinv[rr];
             if (jj >= 0 && flag[jj] != k) {
               flag[jj] = k;
-              estack[sp] = e;
+              estack[sp] = e - lo;
               ++sp;
               stack[sp] = jj;
               estack[sp] = 0;
@@ -172,19 +197,25 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
       }
     }
 
-    // ---- numeric: x = L^{-1} a -------------------------------------------
+    LU_TOC(dfs);
+    // ---- numeric: x = L^{-1} a (full column spans, pruned or not) --------
     for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] = T(0);
     for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] += Ax[p];
     for (int64_t t = top; t < n; ++t) {
       const int64_t j = topo[t];
       const T xj = x[perm_r[j]];
       if (xj != T(0)) {
-        const auto& rows_j = Lrows[j];
-        const auto& vals_j = Lvals[j];
-        for (size_t e = 0; e < rows_j.size(); ++e) x[rows_j[e]] -= vals_j[e] * xj;
+        const int64_t* rj = Lrow.data() + Lcp[j];
+        const T* vj = Lval.data() + Lcp[j];
+        const int64_t len = Lcp[j + 1] - Lcp[j];
+#ifdef LU_PROFILE
+        g_luprof.num_flops += len;
+#endif
+        for (int64_t e = 0; e < len; ++e) x[rj[e]] -= vj[e] * xj;
       }
     }
 
+    LU_TOC(numeric);
     // ---- pivot -----------------------------------------------------------
     int64_t best_r = -1;
     double best_a = 0.0;
@@ -219,60 +250,123 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
     perm_r[k] = best_r;
 
     // ---- split x into U column and L column ------------------------------
-    auto& lr = Lrows[k];
-    auto& lv = Lvals[k];
     for (const int64_t r : pat_rows) {
       const int64_t pr = pinv[r];
       if (r == best_r) continue;
       if (pr >= 0 && pr < k) {
-        u_cols.push_back(k);
-        u_rows.push_back(pr);
-        u_vals.push_back(x[r]);
+        Urow.push_back(pr);
+        Uval.push_back(x[r]);
       } else if (pr < 0) {
         const T xv = x[r];
         if (xv != T(0)) {
-          lv.push_back(pivot_val != T(0) ? xv / pivot_val : inf_fill(xv));
-          lr.push_back(r);
+          Lval.push_back(pivot_val != T(0) ? xv / pivot_val : inf_fill(xv));
+          Lrow.push_back(r);
         }
       }
       x[r] = T(0);
     }
     x[best_r] = T(0);
-    u_cols.push_back(k);
-    u_rows.push_back(k);
-    u_vals.push_back(pivot_val);
-  }
+    Urow.push_back(k);
+    Uval.push_back(pivot_val);
+    Lcp[k + 1] = (int64_t)Lrow.size();
+    Up[k + 1] = (int64_t)Urow.size();
 
-  // ---- export: L (unit diag, pivot-space rows) and U --------------------
-  std::vector<int64_t> l_cols, l_rows;
-  std::vector<T> l_vals;
-  int64_t l_count = n;
-  for (int64_t k = 0; k < n; ++k) l_count += (int64_t)Lrows[k].size();
-  l_cols.reserve(l_count);
-  l_rows.reserve(l_count);
-  l_vals.reserve(l_count);
-  for (int64_t k = 0; k < n; ++k) {
-    l_cols.push_back(k);
-    l_rows.push_back(k);
-    l_vals.push_back(T(1));
-    for (size_t e = 0; e < Lrows[k].size(); ++e) {
-      l_cols.push_back(k);
-      l_rows.push_back(pinv[Lrows[k][e]]);
-      l_vals.push_back(Lvals[k][e]);
+    LU_TOC(split);
+    // ---- symmetric pruning ----------------------------------------------
+    // For each j with U(j,k) != 0: if pivrow_k appears in L(:,j), partition
+    // the column so pivotal rows come first; future DFS stops there.
+    for (int64_t p = Up[k]; p < Up[k + 1] - 1; ++p) {  // skip the pivot entry
+      const int64_t j = Urow[p];
+      if (plen[j] >= 0) continue;  // already pruned
+      const int64_t lo = Lcp[j], hi = Lcp[j + 1];
+#ifdef LU_PROFILE
+      g_luprof.prune_scans += hi - lo;
+#endif
+      bool found = false;
+      for (int64_t e = lo; e < hi; ++e)
+        if (Lrow[e] == best_r) {
+          found = true;
+          break;
+        }
+      if (!found) continue;
+      int64_t i = lo, jj = hi - 1;
+      while (i <= jj) {
+        if (pinv[Lrow[i]] >= 0) {
+          ++i;
+        } else {
+          std::swap(Lrow[i], Lrow[jj]);
+          std::swap(Lval[i], Lval[jj]);
+          --jj;
+        }
+      }
+      plen[j] = i - lo;
+#ifdef LU_PROFILE
+      g_luprof.prune_hits += 1;
+#endif
     }
+    LU_TOC(prune);
   }
 
+  LU_TIC;
+  // ---- export: canonical CSC (per-column row sort), L with unit diag ----
   auto* res = (LUResult*)std::malloc(sizeof(LUResult));
   res->n = n;
   res->nsing = (int64_t)singular.size();
-  to_csc(n, l_cols, l_rows, l_vals, &res->Lp, &res->Li, &res->Lx, &res->lnz);
-  to_csc(n, u_cols, u_rows, u_vals, &res->Up, &res->Ui, &res->Ux, &res->unz);
+
+  const int64_t lnz = n + (int64_t)Lrow.size();
+  const int64_t unz = (int64_t)Urow.size();
+  res->lnz = lnz;
+  res->unz = unz;
+  res->Lp = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+  res->Li = (int64_t*)std::malloc(std::max<int64_t>(lnz, 1) * sizeof(int64_t));
+  auto* Lx = (T*)std::malloc(std::max<int64_t>(lnz, 1) * sizeof(T));
+  res->Lx = Lx;
+  res->Up = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+  res->Ui = (int64_t*)std::malloc(std::max<int64_t>(unz, 1) * sizeof(int64_t));
+  auto* Ux = (T*)std::malloc(std::max<int64_t>(unz, 1) * sizeof(T));
+  res->Ux = Ux;
+
+  std::vector<std::pair<int64_t, T>> scratch;
+  int64_t out = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    res->Lp[k] = out;
+    res->Li[out] = k;  // unit diagonal, smallest pivot-space row
+    Lx[out++] = T(1);
+    const int64_t lo = Lcp[k], hi = Lcp[k + 1];
+    scratch.clear();
+    for (int64_t e = lo; e < hi; ++e)
+      scratch.emplace_back(pinv[Lrow[e]], Lval[e]);
+    std::sort(scratch.begin(), scratch.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (const auto& pr : scratch) {
+      res->Li[out] = pr.first;
+      Lx[out++] = pr.second;
+    }
+  }
+  res->Lp[n] = out;
+
+  out = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    res->Up[k] = out;
+    const int64_t lo = Up[k], hi = Up[k + 1];
+    scratch.clear();
+    for (int64_t e = lo; e < hi; ++e) scratch.emplace_back(Urow[e], Uval[e]);
+    std::sort(scratch.begin(), scratch.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (const auto& pr : scratch) {
+      res->Ui[out] = pr.first;
+      Ux[out++] = pr.second;
+    }
+  }
+  res->Up[n] = out;
+
   res->perm_r = (int64_t*)std::malloc(n * sizeof(int64_t));
   std::memcpy(res->perm_r, perm_r.data(), n * sizeof(int64_t));
   res->sing =
       (int64_t*)std::malloc(std::max<int64_t>(res->nsing, 1) * sizeof(int64_t));
   if (res->nsing)
     std::memcpy(res->sing, singular.data(), res->nsing * sizeof(int64_t));
+  LU_TOC(exp);
   return res;
 }
 
@@ -807,6 +901,151 @@ void csc_transpose_z(int64_t m, int64_t n, const int64_t* Ap,
                      const int64_t* Ai, const void* Ax, int64_t* Tp,
                      int64_t* Ti, void* Tx) {
   transpose_impl<cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti, (cplx*)Tx);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering (native twin of linalg/ordering.py::rcm).
+// BFS from a George-Liu pseudo-peripheral node per component, neighbors
+// visited in increasing-degree order, result reversed.  Tie-breaking may
+// differ from the Python implementation; only the bandwidth profile is
+// contractual.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Symmetrize the pattern of a square CSC into a deduped adjacency
+// (ptr, adj), no self loops, each list sorted ascending.
+void symmetrize_adj(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    std::vector<int64_t>& ptr, std::vector<int64_t>& adj) {
+  std::vector<int64_t> cnt(n, 0);
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t r = Ai[p];
+      if (r != c) {
+        cnt[r]++;
+        cnt[c]++;
+      }
+    }
+  ptr.assign(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ptr[i + 1] = ptr[i] + cnt[i];
+  std::vector<int64_t> raw(ptr[n]);
+  std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t r = Ai[p];
+      if (r != c) {
+        raw[fill[r]++] = c;
+        raw[fill[c]++] = r;
+      }
+    }
+  // dedup per list (sort + unique), rebuild compactly
+  adj.clear();
+  adj.reserve(raw.size());
+  std::vector<int64_t> newptr(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = ptr[i], hi = fill[i];
+    std::sort(raw.begin() + lo, raw.begin() + hi);
+    int64_t prev = -1;
+    for (int64_t p = lo; p < hi; ++p)
+      if (raw[p] != prev) {
+        adj.push_back(raw[p]);
+        prev = raw[p];
+      }
+    newptr[i + 1] = (int64_t)adj.size();
+  }
+  ptr.swap(newptr);
+}
+
+}  // namespace
+
+extern "C" {
+
+void rcm_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
+               int64_t* perm_out) {
+  std::vector<int64_t> ptr, adj;
+  symmetrize_adj(n, Ap, Ai, ptr, adj);
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; ++i) deg[i] = ptr[i + 1] - ptr[i];
+
+  std::vector<char> visited(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> level(n, -1);
+  std::vector<int64_t> frontier, nxt, scratch;
+
+  // component seeds in (degree, id) order
+  std::vector<int64_t> seeds(n);
+  std::iota(seeds.begin(), seeds.end(), 0);
+  std::stable_sort(seeds.begin(), seeds.end(),
+                   [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+
+  // BFS level structure from u over the unvisited component; returns
+  // (depth, farthest-min-degree node); stamps `level` with `stamp`.
+  auto bfs_far = [&](int64_t u, int64_t stamp, int64_t* out_far) -> int64_t {
+    frontier.clear();
+    frontier.push_back(u);
+    level[u] = stamp;
+    int64_t depth = 0;
+    int64_t far = u;
+    while (true) {
+      nxt.clear();
+      for (const int64_t v : frontier)
+        for (int64_t p = ptr[v]; p < ptr[v + 1]; ++p) {
+          const int64_t w = adj[p];
+          if (!visited[w] && level[w] != stamp) {
+            level[w] = stamp;
+            nxt.push_back(w);
+          }
+        }
+      if (nxt.empty()) break;
+      ++depth;
+      frontier.swap(nxt);
+    }
+    // farthest level is in `frontier`; min degree wins
+    far = frontier[0];
+    for (const int64_t v : frontier)
+      if (deg[v] < deg[far]) far = v;
+    *out_far = far;
+    return depth;
+  };
+
+  int64_t stamp = 0;
+  size_t seed_ptr = 0;
+  while ((int64_t)order.size() < n) {
+    while (visited[seeds[seed_ptr]]) ++seed_ptr;
+    // George-Liu pseudo-peripheral node
+    int64_t u = seeds[seed_ptr];
+    int64_t last_ecc = -1;
+    for (int iter = 0; iter < 16; ++iter) {
+      int64_t far;
+      const int64_t ecc = bfs_far(u, ++stamp, &far);
+      if (ecc <= last_ecc) break;
+      last_ecc = ecc;
+      u = far;
+    }
+    // Cuthill-McKee BFS from u
+    const size_t head0 = order.size();
+    order.push_back(u);
+    visited[u] = 1;
+    size_t head = head0;
+    while (head < order.size()) {
+      const int64_t v = order[head++];
+      scratch.clear();
+      for (int64_t p = ptr[v]; p < ptr[v + 1]; ++p) {
+        const int64_t w = adj[p];
+        if (!visited[w]) {
+          visited[w] = 1;
+          scratch.push_back(w);
+        }
+      }
+      std::stable_sort(scratch.begin(), scratch.end(),
+                       [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+      for (const int64_t w : scratch) order.push_back(w);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
 }
 
 }  // extern "C"
