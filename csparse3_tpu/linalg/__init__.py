@@ -1,5 +1,6 @@
 from .lu import SolvePlan, SparseLU, splu, spsolve  # noqa: F401
-from .ordering import get_ordering, mindeg, natural, rcm  # noqa: F401
+from .ordering import amd, get_ordering, mindeg, natural, nd, rcm  # noqa: F401
+from .btf import BTFLU, btf, btf_splu, max_transversal  # noqa: F401
 from .trisolve import (  # noqa: F401
     TriSolvePlan,
     level_schedule,

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..types import CSC
 
-__all__ = ["rcm", "mindeg", "natural", "get_ordering", "symmetrize_pattern"]
+__all__ = ["rcm", "mindeg", "amd", "nd", "natural", "get_ordering", "symmetrize_pattern"]
 
 
 def symmetrize_pattern(a: CSC):
@@ -171,7 +171,21 @@ def amd(a: CSC) -> np.ndarray:
     return host_ext.amd(a.n, ip, ix)
 
 
-_ORDERINGS = {"rcm": rcm, "mindeg": mindeg, "amd": amd, "natural": natural}
+def nd(a: CSC, leaf_size: int = 5000) -> np.ndarray:
+    """Nested dissection (native only): BFS level-set separators with AMD
+    leaves.  The fill-controlling ordering for large near-planar grids;
+    falls back to amd when the host extension is not built."""
+    try:
+        from ..native import host_ext
+    except ImportError:
+        return amd(a)
+    ip, ix, _ = a.np_arrays()
+    return host_ext.nd(a.n, ip, ix, leaf_size)
+
+
+_ORDERINGS = {
+    "rcm": rcm, "mindeg": mindeg, "amd": amd, "nd": nd, "natural": natural,
+}
 
 
 def get_ordering(name, a: CSC) -> np.ndarray:

@@ -35,26 +35,37 @@ __all__ = ["lsolve", "usolve", "ltsolve", "utsolve", "TriSolvePlan", "level_sche
 
 def lsolve(Lp, Li, Lx, b):
     """x = L^{-1} b for lower-triangular CSC L with explicit diagonal
-    (diagonal entry first in each column)."""
+    (diagonal entry first in each column).  b: (n,) or (n, k)."""
     x = np.array(b, copy=True)
     n = len(Lp) - 1
+    vec = x.ndim == 1
     for j in range(n):
         lo, hi = Lp[j], Lp[j + 1]
         x[j] /= Lx[lo]
         rows = Li[lo + 1 : hi]
-        x[rows] -= Lx[lo + 1 : hi] * x[j]
+        coeff = Lx[lo + 1 : hi]
+        if vec:
+            x[rows] -= coeff * x[j]
+        else:
+            x[rows] -= coeff[:, None] * x[j][None, :]
     return x
 
 
 def usolve(Up, Ui, Ux, b):
-    """x = U^{-1} b for upper-triangular CSC U (diagonal entry last)."""
+    """x = U^{-1} b for upper-triangular CSC U (diagonal entry last).
+    b: (n,) or (n, k)."""
     x = np.array(b, copy=True)
     n = len(Up) - 1
+    vec = x.ndim == 1
     for j in range(n - 1, -1, -1):
         lo, hi = Up[j], Up[j + 1]
         x[j] /= Ux[hi - 1]
         rows = Ui[lo : hi - 1]
-        x[rows] -= Ux[lo : hi - 1] * x[j]
+        coeff = Ux[lo : hi - 1]
+        if vec:
+            x[rows] -= coeff * x[j]
+        else:
+            x[rows] -= coeff[:, None] * x[j][None, :]
     return x
 
 

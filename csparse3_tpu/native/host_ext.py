@@ -68,13 +68,42 @@ for _name in ("lu_factor_d", "lu_factor_z"):
     fn.restype = ctypes.POINTER(_LUResult)
     fn.argtypes = [
         ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, _i64p, ctypes.c_double,
+        ctypes.c_int64,
     ]
+_lib.lu_load_blas.restype = ctypes.c_int
+_lib.lu_load_blas.argtypes = [ctypes.c_char_p]
+
+
+def _load_blas() -> bool:
+    """Point the dense-tail LU at scipy's bundled OpenBLAS (getrf)."""
+    import glob
+
+    try:
+        import scipy
+    except ImportError:
+        return False
+    for root in (os.path.dirname(os.path.dirname(scipy.__file__)),):
+        for pat in ("scipy.libs/libscipy_openblas*.so*",
+                    "numpy.libs/libscipy_openblas*.so*"):
+            for cand in sorted(glob.glob(os.path.join(root, pat))):
+                if _lib.lu_load_blas(cand.encode()):
+                    return True
+    return False
+
+
+_HAVE_BLAS = _load_blas()
 _lib.lu_free.restype = None
 _lib.lu_free.argtypes = [ctypes.POINTER(_LUResult)]
 _lib.amd_order.restype = None
 _lib.amd_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
 _lib.rcm_order.restype = None
 _lib.rcm_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+_lib.nd_order.restype = None
+_lib.nd_order.argtypes = [ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p]
+_lib.max_transversal.restype = ctypes.c_int64
+_lib.max_transversal.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+_lib.btf_order.restype = None
+_lib.btf_order.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p]
 _lib.coo_to_csc_d.restype = ctypes.c_int64
 _lib.coo_to_csc_d.argtypes = [
     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -90,8 +119,15 @@ def _i64_ptr(a):
     return a.ctypes.data_as(_i64p)
 
 
-def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0) -> HostLU:
-    """Native twin of linalg.lu_host.lu_factor_host (P A Q = L U)."""
+def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0,
+              dense_cap: int = 8192) -> HostLU:
+    """Native twin of linalg.lu_host.lu_factor_host (P A Q = L U).
+
+    dense_cap > 0 enables the dense trailing-block finish (LAPACK getrf on
+    the final Schur complement once it turns dense — the separator clique
+    carries 80%+ of the flops on grid cases).  It uses strict partial
+    pivoting, so it is disabled automatically when tol == 0 (the
+    no-row-exchange mode BandedSolvePlan depends on)."""
     Ap = _as_i64(Ap)
     Ai = _as_i64(Ai)
     Ax = np.ascontiguousarray(np.asarray(Ax))
@@ -102,10 +138,12 @@ def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0) -> HostLU:
         Ax = Ax.astype(np.float64, copy=False)
         fn, vdt = _lib.lu_factor_d, np.float64
     qa = _as_i64(q if q is not None else np.arange(n))
+    if tol == 0.0:
+        dense_cap = 0  # strict-partial-pivot tail would break no-exchange mode
     res = fn(
         ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
         Ax.ctypes.data_as(ctypes.c_void_p), _i64_ptr(qa),
-        ctypes.c_double(tol),
+        ctypes.c_double(tol), ctypes.c_int64(int(dense_cap)),
     )
     r = res.contents
     try:
@@ -156,6 +194,45 @@ def rcm(n, Ap, Ai) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     _lib.rcm_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai), _i64_ptr(out))
     return out
+
+
+def nd(n, Ap, Ai, leaf_size: int = 5000) -> np.ndarray:
+    """Nested-dissection elimination order (BFS level-set separators,
+    AMD leaves) — the fill-controlling choice for large near-planar
+    grids where plain minimum-degree fill blows up superlinearly."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    out = np.empty(n, dtype=np.int64)
+    _lib.nd_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+                  ctypes.c_int64(leaf_size), _i64_ptr(out))
+    return out
+
+
+def max_transversal(n, Ap, Ai):
+    """Maximum bipartite matching of columns to rows (MC21-class).
+    Returns (match, size): match[c] = row for column c, -1 if unmatched;
+    size == n iff the matrix is structurally nonsingular."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    out = np.empty(n, dtype=np.int64)
+    size = _lib.max_transversal(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+                                _i64_ptr(out))
+    return out, int(size)
+
+
+def btf(n, Ap, Ai):
+    """Block triangular form: returns (p, q, blocks) such that A[p][:, q]
+    is block triangular with block b spanning rows/cols
+    [blocks[b], blocks[b+1])."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    p = np.empty(n, dtype=np.int64)
+    q = np.empty(n, dtype=np.int64)
+    bp = np.zeros(n + 1, dtype=np.int64)
+    nb = np.zeros(1, dtype=np.int64)
+    _lib.btf_order(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+                   _i64_ptr(p), _i64_ptr(q), _i64_ptr(bp), _i64_ptr(nb))
+    return p, q, bp[: int(nb[0]) + 1]
 
 
 def coo_to_csc(m, n, rows, cols, vals):

@@ -22,8 +22,82 @@
 #include <numeric>
 #include <vector>
 
+#include <dlfcn.h>
+#include <sys/mman.h>
+
 using std::int64_t;
 using cplx = std::complex<double>;
+
+// ---------------------------------------------------------------------------
+// Optional LAPACK getrf for the dense trailing block of the LU (loaded at
+// runtime from scipy's bundled OpenBLAS — symbols scipy_dgetrf_/scipy_zgetrf_
+// or plain dgetrf_/zgetrf_; see host_ext.py::_load_blas).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+using getrf_d_t = void (*)(const int*, const int*, double*, const int*, int*,
+                           int*);
+using getrf_z_t = void (*)(const int*, const int*, void*, const int*, int*,
+                           int*);
+
+struct BlasFns {
+  getrf_d_t dgetrf = nullptr;
+  getrf_z_t zgetrf = nullptr;
+  bool ok() const { return dgetrf && zgetrf; }
+};
+BlasFns g_blas;
+
+template <typename T>
+void call_getrf(int m, T* a, int lda, int* ipiv, int* info);
+template <>
+void call_getrf<double>(int m, double* a, int lda, int* ipiv, int* info) {
+  g_blas.dgetrf(&m, &m, a, &lda, ipiv, info);
+}
+template <>
+void call_getrf<cplx>(int m, cplx* a, int lda, int* ipiv, int* info) {
+  g_blas.zgetrf(&m, &m, a, &lda, ipiv, info);
+}
+
+// Populated mmap for big scratch (demand faults are pathological on
+// sandboxed kernels — see native/npalloc.c).
+void* pop_alloc_raw(size_t bytes, bool* mapped) {
+  void* p = mmap(NULL, bytes, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+  if (p != MAP_FAILED) {
+    *mapped = true;
+    return p;
+  }
+  *mapped = false;
+  return std::calloc(bytes, 1);
+}
+void pop_free_raw(void* p, size_t bytes, bool mapped) {
+  if (mapped)
+    munmap(p, bytes);
+  else
+    std::free(p);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load getrf from the given shared library (idempotent; returns 1 on
+// success).  Tries scipy_-prefixed then plain LAPACK symbol names.
+int lu_load_blas(const char* path) {
+  if (g_blas.ok()) return 1;
+  void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
+  if (!h) return 0;
+  auto find = [&](const char* a, const char* b) -> void* {
+    void* s = dlsym(h, a);
+    return s ? s : dlsym(h, b);
+  };
+  g_blas.dgetrf = (getrf_d_t)find("scipy_dgetrf_", "dgetrf_");
+  g_blas.zgetrf = (getrf_z_t)find("scipy_zgetrf_", "zgetrf_");
+  return g_blas.ok() ? 1 : 0;
+}
+
+}  // extern "C"
 
 extern "C" {
 
@@ -114,7 +188,8 @@ static LuProf g_luprof;
 
 template <typename T>
 LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                    const T* Ax, const int64_t* q, double tol) {
+                    const T* Ax, const int64_t* q, double tol,
+                    int64_t dense_cap) {
   // L under construction: contiguous (column-appended) buffers.
   std::vector<int64_t> Lcp(n + 1, 0);
   std::vector<int64_t> Lrow;
@@ -139,13 +214,11 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
   std::vector<int64_t> pat_rows;
   pat_rows.reserve(n);
 
-  for (int64_t k = 0; k < n; ++k) {
-    const int64_t col = q ? q[k] : k;
+  // x = (L so far)^{-1} A(:,col): symbolic DFS reach (pruned columns only
+  // over their pivotal front) + numeric scatter update.  Fills pat_rows
+  // (unique pattern rows) and x; the caller consumes and zeroes x.
+  auto sparse_apply = [&](int64_t col, int64_t k) {
     const int64_t a_lo = Ap[col], a_hi = Ap[col + 1];
-    LU_TIC;
-
-    // ---- symbolic: reach via DFS over pivot-node graph -------------------
-    // Pruned columns are traversed only over their pivotal front.
     int64_t top = n;
     pat_rows.clear();
     for (int64_t p = a_lo; p < a_hi; ++p) {
@@ -196,9 +269,6 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
         }
       }
     }
-
-    LU_TOC(dfs);
-    // ---- numeric: x = L^{-1} a (full column spans, pruned or not) --------
     for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] = T(0);
     for (int64_t p = a_lo; p < a_hi; ++p) x[Ai[p]] += Ax[p];
     for (int64_t t = top; t < n; ++t) {
@@ -214,7 +284,105 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
         for (int64_t e = 0; e < len; ++e) x[rj[e]] -= vj[e] * xj;
       }
     }
+  };
 
+  // Dense trailing block: once the remaining submatrix is dense enough,
+  // gather its Schur complement (columns still pass through sparse_apply
+  // for the updates from finished columns) into a column-major m x m
+  // buffer and finish with LAPACK getrf (strict partial pivoting — the
+  // same pivot rule as tol=1.0).  The last separator clique carries the
+  // large majority of the flops (80%+ on grid cases), so this runs the
+  // hot part at BLAS speed instead of the scalar scatter loop.  Returns
+  // false (leaving factor state untouched except stamp arrays, which the
+  // caller must reset) if getrf hits an exactly-singular tail.
+  auto dense_tail = [&](int64_t k0) -> bool {
+    const int64_t m = n - k0;
+    std::vector<int64_t> local_rows;
+    local_rows.reserve(m);
+    std::vector<int64_t> rmap(n, -1);
+    for (int64_t r = 0; r < n; ++r)
+      if (pinv[r] < 0) {
+        rmap[r] = (int64_t)local_rows.size();
+        local_rows.push_back(r);
+      }
+    if ((int64_t)local_rows.size() != m) return false;
+    bool mapped;
+    const size_t bytes = (size_t)m * m * sizeof(T);
+    T* S = (T*)pop_alloc_raw(bytes, &mapped);
+    std::vector<int64_t> tu_off(m + 1, 0);
+    std::vector<int64_t> tu_rows;
+    std::vector<T> tu_vals;
+    for (int64_t idx = 0; idx < m; ++idx) {
+      const int64_t k = k0 + idx;
+      sparse_apply(q ? q[k] : k, k);
+      for (const int64_t r : pat_rows) {
+        if (pinv[r] >= 0) {
+          tu_rows.push_back(pinv[r]);
+          tu_vals.push_back(x[r]);
+        } else {
+          S[(size_t)idx * m + rmap[r]] = x[r];
+        }
+        x[r] = T(0);
+      }
+      tu_off[idx + 1] = (int64_t)tu_rows.size();
+    }
+    int info = 0;
+    std::vector<int> ipiv(m);
+    call_getrf<T>((int)m, S, (int)m, ipiv.data(), &info);
+    if (info != 0) {
+      pop_free_raw(S, bytes, mapped);
+      return false;
+    }
+    // factor row i <- original local row lp[i] after the swap sequence
+    std::vector<int64_t> lp(m);
+    std::iota(lp.begin(), lp.end(), 0);
+    for (int64_t i = 0; i < m; ++i) std::swap(lp[i], lp[ipiv[i] - 1]);
+    for (int64_t i = 0; i < m; ++i) {
+      const int64_t r = local_rows[lp[i]];
+      pinv[r] = k0 + i;
+      perm_r[k0 + i] = r;
+    }
+    for (int64_t idx = 0; idx < m; ++idx) {
+      const int64_t k = k0 + idx;
+      for (int64_t t = tu_off[idx]; t < tu_off[idx + 1]; ++t) {
+        Urow.push_back(tu_rows[t]);
+        Uval.push_back(tu_vals[t]);
+      }
+      const T* Scol = S + (size_t)idx * m;
+      for (int64_t j = 0; j < idx; ++j)
+        if (Scol[j] != T(0)) {
+          Urow.push_back(k0 + j);
+          Uval.push_back(Scol[j]);
+        }
+      Urow.push_back(k);
+      Uval.push_back(Scol[idx]);
+      for (int64_t j = idx + 1; j < m; ++j)
+        if (Scol[j] != T(0)) {
+          Lrow.push_back(local_rows[lp[j]]);
+          Lval.push_back(Scol[j]);
+        }
+      Lcp[k + 1] = (int64_t)Lrow.size();
+      Up[k + 1] = (int64_t)Urow.size();
+    }
+    pop_free_raw(S, bytes, mapped);
+    return true;
+  };
+
+  int64_t dens_run = 0;
+  const bool dense_enabled = dense_cap > 0 && g_blas.ok();
+
+  for (int64_t k = 0; k < n; ++k) {
+    if (dense_enabled && dens_run >= 8 && n - k >= 96 && n - k <= dense_cap) {
+      if (dense_tail(k)) break;
+      // singular tail: redo scalar; stamp arrays were consumed for these
+      // k values, so reset them
+      std::fill(in_pattern.begin(), in_pattern.end(), (int64_t)-1);
+      std::fill(flag.begin(), flag.end(), (int64_t)-1);
+      dens_run = INT64_MIN;  // one attempt only
+    }
+    const int64_t col = q ? q[k] : k;
+    LU_TIC;
+    sparse_apply(col, k);
     LU_TOC(numeric);
     // ---- pivot -----------------------------------------------------------
     int64_t best_r = -1;
@@ -305,6 +473,15 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
 #endif
     }
     LU_TOC(prune);
+
+    // dense-tail trigger: sustained >= 1/3 L-column density
+    if (dens_run >= 0) {
+      const int64_t llen = Lcp[k + 1] - Lcp[k];
+      if (3 * llen >= n - k - 1)
+        ++dens_run;
+      else
+        dens_run = 0;
+    }
   }
 
   LU_TIC;
@@ -375,13 +552,15 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
 extern "C" {
 
 LUResult* lu_factor_d(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                      const double* Ax, const int64_t* q, double tol) {
-  return lu_factor<double>(n, Ap, Ai, Ax, q, tol);
+                      const double* Ax, const int64_t* q, double tol,
+                      int64_t dense_cap) {
+  return lu_factor<double>(n, Ap, Ai, Ax, q, tol, dense_cap);
 }
 
 LUResult* lu_factor_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                      const void* Ax, const int64_t* q, double tol) {
-  return lu_factor<cplx>(n, Ap, Ai, (const cplx*)Ax, q, tol);
+                      const void* Ax, const int64_t* q, double tol,
+                      int64_t dense_cap) {
+  return lu_factor<cplx>(n, Ap, Ai, (const cplx*)Ax, q, tol, dense_cap);
 }
 
 // Triplet -> canonical CSC assembly (sum duplicates).  Returns the unique
@@ -1046,6 +1225,441 @@ void rcm_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
     }
   }
   for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Nested-dissection ordering (new capability; no reference equivalent).
+// Recursive BFS level-set bisection: the middle BFS level of a
+// pseudo-peripheral level structure is the separator, halves recurse,
+// separator is eliminated last; leaves fall back to quotient-graph AMD.
+// On near-planar graphs (power grids; models/grids.synthetic_grid) this
+// gives O(n log n)-class fill where minimum-degree alone blows up.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct NDContext {
+  const std::vector<int64_t>& ptr;
+  const std::vector<int64_t>& adj;
+  std::vector<int64_t>& perm;     // output order, filled back-to-front
+  int64_t out_pos;                // next position (counting down)
+  std::vector<int64_t> stamp;     // BFS stamp per vertex
+  std::vector<int64_t> in_set;    // subproblem membership stamp
+  int64_t next_stamp = 1;
+  int64_t leaf_size;
+  std::vector<int64_t> levels;    // scratch: BFS level per vertex
+};
+
+// Order subproblem V (vertices with in_set[v] == set_id) and write its
+// vertices into perm positions [out_pos - |V|, out_pos).
+void nd_process(NDContext& c, std::vector<int64_t> V, int64_t set_id);
+
+// AMD on the subgraph induced by V: extract local CSC, call amd_order.
+void nd_leaf(NDContext& c, const std::vector<int64_t>& V, int64_t set_id) {
+  const int64_t nv = (int64_t)V.size();
+  std::vector<int64_t> local(nv);
+  // global->local map via stamp trick: reuse c.levels as the map
+  for (int64_t i = 0; i < nv; ++i) c.levels[V[i]] = i;
+  std::vector<int64_t> lp(nv + 1, 0);
+  std::vector<int64_t> li;
+  li.reserve(4 * nv);
+  for (int64_t i = 0; i < nv; ++i) {
+    const int64_t v = V[i];
+    for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+      const int64_t w = c.adj[p];
+      if (c.in_set[w] == set_id) li.push_back(c.levels[w]);
+    }
+    lp[i + 1] = (int64_t)li.size();
+  }
+  std::vector<int64_t> lperm(nv);
+  amd_order(nv, lp.data(), li.data(), lperm.data());
+  // append in AMD order (these are eliminated before anything above them)
+  for (int64_t i = nv - 1; i >= 0; --i) c.perm[--c.out_pos] = V[lperm[i]];
+}
+
+void nd_process(NDContext& c, std::vector<int64_t> V, int64_t set_id) {
+  const int64_t nv = (int64_t)V.size();
+  if (nv <= c.leaf_size) {
+    nd_leaf(c, V, set_id);
+    return;
+  }
+
+  // BFS from V[0]; if disconnected, split off the reached component.
+  const int64_t s0 = c.next_stamp++;
+  std::vector<int64_t> frontier{V[0]}, nxt, comp{V[0]};
+  c.stamp[V[0]] = s0;
+  while (!frontier.empty()) {
+    nxt.clear();
+    for (const int64_t v : frontier)
+      for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+        const int64_t w = c.adj[p];
+        if (c.in_set[w] == set_id && c.stamp[w] != s0) {
+          c.stamp[w] = s0;
+          nxt.push_back(w);
+          comp.push_back(w);
+        }
+      }
+    frontier.swap(nxt);
+  }
+  if ((int64_t)comp.size() < nv) {
+    std::vector<int64_t> rest;
+    rest.reserve(nv - comp.size());
+    for (const int64_t v : V)
+      if (c.stamp[v] != s0) rest.push_back(v);
+    const int64_t rest_id = c.next_stamp++;
+    for (const int64_t v : rest) c.in_set[v] = rest_id;
+    const int64_t comp_id = c.next_stamp++;
+    for (const int64_t v : comp) c.in_set[v] = comp_id;
+    nd_process(c, std::move(rest), rest_id);
+    nd_process(c, std::move(comp), comp_id);
+    return;
+  }
+
+  // pseudo-peripheral: two BFS sweeps from V[0]
+  int64_t root = V[0];
+  for (int iter = 0; iter < 2; ++iter) {
+    const int64_t s = c.next_stamp++;
+    frontier.assign(1, root);
+    c.stamp[root] = s;
+    int64_t far = root;
+    while (!frontier.empty()) {
+      nxt.clear();
+      for (const int64_t v : frontier)
+        for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+          const int64_t w = c.adj[p];
+          if (c.in_set[w] == set_id && c.stamp[w] != s) {
+            c.stamp[w] = s;
+            nxt.push_back(w);
+          }
+        }
+      if (!nxt.empty()) far = nxt[0];
+      frontier.swap(nxt);
+    }
+    root = far;
+  }
+
+  // BFS level structure from root
+  const int64_t s = c.next_stamp++;
+  frontier.assign(1, root);
+  c.stamp[root] = s;
+  c.levels[root] = 0;
+  int64_t nlev = 1;
+  std::vector<int64_t> level_cnt{1};
+  while (!frontier.empty()) {
+    nxt.clear();
+    for (const int64_t v : frontier)
+      for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+        const int64_t w = c.adj[p];
+        if (c.in_set[w] == set_id && c.stamp[w] != s) {
+          c.stamp[w] = s;
+          c.levels[w] = nlev;
+          nxt.push_back(w);
+        }
+      }
+    if (!nxt.empty()) {
+      level_cnt.push_back((int64_t)nxt.size());
+      ++nlev;
+    }
+    frontier.swap(nxt);
+  }
+
+  if (nlev < 3) {  // no room for a separator level: fall back to AMD leaf
+    nd_leaf(c, V, set_id);
+    return;
+  }
+
+  // separator level: balanced cut minimizing width among levels whose
+  // below-fraction lies in [0.25, 0.75]
+  std::vector<int64_t> below(nlev + 1, 0);
+  for (int64_t l = 0; l < nlev; ++l) below[l + 1] = below[l] + level_cnt[l];
+  int64_t best_l = -1;
+  double best_score = 1e300;
+  for (int64_t l = 1; l + 1 < nlev; ++l) {
+    const double frac = (double)below[l] / (double)nv;
+    const double balance_pen =
+        (frac < 0.25 || frac > 0.75) ? 1e6 * std::abs(frac - 0.5) : 0.0;
+    const double score = (double)level_cnt[l] + balance_pen;
+    if (score < best_score) {
+      best_score = score;
+      best_l = l;
+    }
+  }
+
+  std::vector<int64_t> A, B, S;
+  A.reserve(below[best_l]);
+  S.reserve(level_cnt[best_l]);
+  B.reserve(nv - below[best_l + 1]);
+  for (const int64_t v : V) {
+    const int64_t l = c.levels[v];
+    if (l < best_l)
+      A.push_back(v);
+    else if (l == best_l)
+      S.push_back(v);
+    else
+      B.push_back(v);
+  }
+  // thin the separator: a level-l vertex with no neighbor on the far
+  // (l+1) side does not separate anything — move it into A
+  {
+    size_t keep = 0;
+    for (size_t i = 0; i < S.size(); ++i) {
+      const int64_t v = S[i];
+      bool touches_b = false;
+      for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+        const int64_t w = c.adj[p];
+        if (c.in_set[w] == set_id && c.levels[w] == best_l + 1 &&
+            c.stamp[w] == s) {
+          touches_b = true;
+          break;
+        }
+      }
+      if (touches_b)
+        S[keep++] = v;
+      else
+        A.push_back(v);
+    }
+    S.resize(keep);
+  }
+
+  // eliminate S last: write it at the top of this subproblem's range
+  for (int64_t i = (int64_t)S.size() - 1; i >= 0; --i)
+    c.perm[--c.out_pos] = S[i];
+  const int64_t a_id = c.next_stamp++;
+  for (const int64_t v : A) c.in_set[v] = a_id;
+  const int64_t b_id = c.next_stamp++;
+  for (const int64_t v : B) c.in_set[v] = b_id;
+  nd_process(c, std::move(B), b_id);
+  nd_process(c, std::move(A), a_id);
+}
+
+}  // namespace
+
+extern "C" {
+
+void nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
+              int64_t leaf_size, int64_t* perm_out) {
+  std::vector<int64_t> ptr, adj;
+  symmetrize_adj(n, Ap, Ai, ptr, adj);
+  std::vector<int64_t> perm(n);
+  NDContext c{ptr, adj, perm, n, std::vector<int64_t>(n, 0),
+              std::vector<int64_t>(n, 0), 1,
+              std::max<int64_t>(leaf_size, 8), std::vector<int64_t>(n, 0)};
+  std::vector<int64_t> all(n);
+  std::iota(all.begin(), all.end(), 0);
+  nd_process(c, std::move(all), 0);
+  std::memcpy(perm_out, perm.data(), n * sizeof(int64_t));
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Block triangular form (KLU-style BTF): maximum transversal (MC21-class
+// augmenting-path matching with cheap-assignment warm start) + Tarjan SCC
+// on the matched graph.  Returns row perm p, col perm q and block
+// boundaries such that A(p, q) is block upper triangular with nonzero
+// diagonal wherever a perfect matching exists.  New capability vs the
+// reference (its graph layer stops at undirected islands,
+// src/CSparse3/csc_numba.py::find_islands).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// match_out[c] = row matched to column c (-1 if unmatched).  Returns the
+// matching size (== n iff structurally nonsingular).
+int64_t max_transversal(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                        int64_t* match_out) {
+  std::vector<int64_t> rmatch(n, -1), cmatch(n, -1);
+  // cheap assignment
+  for (int64_t c = 0; c < n; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1] && cmatch[c] < 0; ++p) {
+      const int64_t r = Ai[p];
+      if (rmatch[r] < 0) {
+        rmatch[r] = c;
+        cmatch[c] = r;
+      }
+    }
+  // augmenting DFS per unmatched column (iterative, with visit stamps and
+  // per-column edge cursors to stay O(nnz) per phase)
+  std::vector<int64_t> cstamp(n, -1), pos(n), cstack(n), pred(n);
+  int64_t size = 0;
+  for (int64_t c = 0; c < n; ++c)
+    if (cmatch[c] >= 0) ++size;
+  for (int64_t c0 = 0; c0 < n; ++c0) {
+    if (cmatch[c0] >= 0) continue;
+    int64_t sp = 0;
+    cstack[0] = c0;
+    pos[c0] = Ap[c0];
+    cstamp[c0] = c0;
+    int64_t found_row = -1;
+    while (sp >= 0) {
+      const int64_t c = cstack[sp];
+      int64_t p = pos[c];
+      int64_t next_c = -1;
+      for (; p < Ap[c + 1]; ++p) {
+        const int64_t r = Ai[p];
+        const int64_t c2 = rmatch[r];
+        if (c2 < 0) {
+          found_row = r;
+          break;
+        }
+        if (cstamp[c2] != c0) {
+          cstamp[c2] = c0;
+          pred[c2] = r;  // reach c2 via row r from c
+          next_c = c2;
+          ++p;
+          break;
+        }
+      }
+      pos[c] = p;
+      if (found_row >= 0) {
+        // augment along the stack
+        int64_t r = found_row;
+        for (int64_t s = sp; s >= 0; --s) {
+          const int64_t cc = cstack[s];
+          const int64_t old = cmatch[cc];
+          cmatch[cc] = r;
+          rmatch[r] = cc;
+          if (s > 0) r = pred[cc];
+          (void)old;
+        }
+        ++size;
+        break;
+      }
+      if (next_c >= 0) {
+        ++sp;
+        cstack[sp] = next_c;
+        pos[next_c] = Ap[next_c];
+      } else {
+        --sp;
+      }
+    }
+  }
+  std::memcpy(match_out, cmatch.data(), n * sizeof(int64_t));
+  return size;
+}
+
+// Tarjan SCC over the column digraph c -> c2 (edge if A(r, c) != 0 with
+// r = match[c2]).  Emits p (rows), q (cols), block starts (nb+1 entries in
+// block_ptr, first nb_out[0] used).  Unmatched structurally-singular
+// matrices fall back to match-completing arbitrary diagonal.
+void btf_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
+               int64_t* p_out, int64_t* q_out, int64_t* block_ptr,
+               int64_t* nb_out) {
+  std::vector<int64_t> match(n);
+  max_transversal(n, Ap, Ai, match.data());
+  // complete a deficient matching arbitrarily (keeps perms valid)
+  {
+    std::vector<char> used(n, 0);
+    for (int64_t c = 0; c < n; ++c)
+      if (match[c] >= 0) used[match[c]] = 1;
+    int64_t free_r = 0;
+    for (int64_t c = 0; c < n; ++c)
+      if (match[c] < 0) {
+        while (used[free_r]) ++free_r;
+        match[c] = free_r;
+        used[free_r] = 1;
+      }
+  }
+  std::vector<int64_t> rinv(n);  // row -> column it is matched to
+  for (int64_t c = 0; c < n; ++c) rinv[match[c]] = c;
+
+  // iterative Tarjan over columns
+  std::vector<int64_t> low(n, -1), num(n, -1), sstack, tstack, pos(n);
+  std::vector<char> on_stack(n, 0);
+  sstack.reserve(n);
+  tstack.reserve(n);
+  int64_t counter = 0, nb = 0, out = n;
+  // emit SCCs in reverse topological order from the back of p/q; Tarjan
+  // pops sinks-first in this edge orientation, so blocks fill from the end
+  std::vector<int64_t> blocks_rev;
+  for (int64_t c0 = 0; c0 < n; ++c0) {
+    if (num[c0] >= 0) continue;
+    tstack.push_back(c0);
+    pos[c0] = Ap[c0];
+    num[c0] = low[c0] = counter++;
+    sstack.push_back(c0);
+    on_stack[c0] = 1;
+    while (!tstack.empty()) {
+      const int64_t c = tstack.back();
+      int64_t p = pos[c];
+      int64_t child = -1;
+      for (; p < Ap[c + 1]; ++p) {
+        const int64_t c2 = rinv[Ai[p]];
+        if (c2 == c) continue;
+        if (num[c2] < 0) {
+          child = c2;
+          ++p;
+          break;
+        }
+        if (on_stack[c2] && num[c2] < low[c]) low[c] = num[c2];
+      }
+      pos[c] = p;
+      if (child >= 0) {
+        tstack.push_back(child);
+        pos[child] = Ap[child];
+        num[child] = low[child] = counter++;
+        sstack.push_back(child);
+        on_stack[child] = 1;
+        continue;
+      }
+      tstack.pop_back();
+      if (!tstack.empty()) {
+        const int64_t parent = tstack.back();
+        if (low[c] < low[parent]) low[parent] = low[c];
+      }
+      if (low[c] == num[c]) {
+        const int64_t blk_end = out;
+        while (true) {
+          const int64_t w = sstack.back();
+          sstack.pop_back();
+          on_stack[w] = 0;
+          --out;
+          q_out[out] = w;
+          p_out[out] = match[w];
+          if (w == c) break;
+        }
+        blocks_rev.push_back(blk_end);
+        ++nb;
+      }
+    }
+  }
+  // Emitted back-to-front, Tarjan pops sinks of the c -> rinv[Ai] digraph
+  // first, which lands at block LOWER triangular.  Reverse the block order
+  // (keeping within-block order) for the standard block UPPER triangular
+  // convention (cs_dmperm/KLU).
+  std::vector<int64_t> ends(nb + 1);
+  ends[nb] = n;
+  for (int64_t b = 0; b < nb; ++b) ends[b] = blocks_rev[nb - 1 - b];
+  // ends[b] = end of (old) block b in emitted order; old block b spans
+  // [start_b, ends[b]) with start_b = (b ? ends[b-1] : 0)... but blocks
+  // were filled from the back, so old block 0 is at the back.  Recompute
+  // old spans directly: blocks_rev[i] is the END of the i-th popped block
+  // whose START is blocks_rev[i] - size; sizes recoverable sequentially
+  // from the fill order (i-th popped block occupies
+  // [blocks_rev[i+1 < nb ? ... ] ...]).  Simpler: i-th popped block spans
+  // [prev_out_i, blocks_rev[i]) where prev_out_i is the out value after
+  // popping it — equal to blocks_rev[i+1] of the NEXT popped block's end…
+  // which is exactly blocks_rev[i] - (blocks_rev[i] - next_end).  Since
+  // blocks fill contiguously downward, popped block i spans
+  // [i + 1 < nb ? blocks_rev[i + 1] : 0, blocks_rev[i]).
+  std::vector<int64_t> np_(n), nq(n);
+  int64_t w = 0;
+  block_ptr[0] = 0;
+  for (int64_t i = 0; i < nb; ++i) {  // i = pop order = final block order
+    const int64_t lo = (i + 1 < nb) ? blocks_rev[i + 1] : 0;
+    const int64_t hi = blocks_rev[i];
+    for (int64_t t = lo; t < hi; ++t) {
+      np_[w] = p_out[t];
+      nq[w] = q_out[t];
+      ++w;
+    }
+    block_ptr[i + 1] = w;
+  }
+  std::memcpy(p_out, np_.data(), n * sizeof(int64_t));
+  std::memcpy(q_out, nq.data(), n * sizeof(int64_t));
+  nb_out[0] = nb;
 }
 
 }  // extern "C"

@@ -38,7 +38,7 @@ def ybus_like(n, seed=0, dtype=np.float64):
     return a
 
 
-@pytest.mark.parametrize("ordering", ["natural", "rcm", "amd"])
+@pytest.mark.parametrize("ordering", ["natural", "rcm", "amd", "nd"])
 @pytest.mark.parametrize("n", [10, 60, 200])
 def test_lu_solve_vs_scipy(n, ordering):
     a_sp = ybus_like(n, seed=n)

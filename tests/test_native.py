@@ -135,3 +135,75 @@ def test_splu_uses_native():
     b = np.random.RandomState(8).rand(50)
     x = np.asarray(lu.solve(b))
     np.testing.assert_allclose(a @ x, b, rtol=1e-9, atol=1e-10)
+
+
+def test_rcm_native_matches_python_bandwidth():
+    """Native RCM must be a permutation with bandwidth no worse than the
+    Python oracle's (tie-breaking may differ)."""
+    import scipy.sparse as sp
+
+    from csparse3_tpu.linalg.ordering import _rcm_py, rcm
+
+    rng = np.random.RandomState(5)
+    n = 400
+    a_sp = sp.random(n, n, 0.01, random_state=rng) + sp.eye(n)
+    a_sp = (a_sp + a_sp.T).tocsc()
+    a = cst.CSC.from_scipy(a_sp)
+    p_nat = rcm(a)
+    p_py = _rcm_py(a)
+    assert sorted(p_nat.tolist()) == list(range(n))
+
+    rows, cols = a_sp.tocoo().row, a_sp.tocoo().col
+
+    def bw(p):
+        inv = np.empty(n, dtype=np.int64)
+        inv[p] = np.arange(n)
+        return int(np.abs(inv[rows] - inv[cols]).max())
+
+    assert bw(p_nat) <= int(1.3 * bw(p_py)) + 5
+
+
+def test_nd_is_permutation_and_fill_competitive():
+    """Nested dissection must be a valid elimination order whose fill on a
+    lattice grid is within 2x of AMD's (it wins at larger scale)."""
+    from csparse3_tpu.linalg import splu
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    n = 3000
+    g = synthetic_grid(n, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    B = cst.from_triplets(rows, cols, vals, (n, n))
+    Breg = cst.add(B, cst.diags(np.full(n, 3.0)))
+    from csparse3_tpu.linalg.ordering import nd
+
+    p = nd(Breg)
+    assert sorted(p.tolist()) == list(range(n))
+    lu_nd = splu(Breg, ordering="nd")
+    lu_amd = splu(Breg, ordering="amd")
+    assert lu_nd.lnz + lu_nd.unz <= 2 * (lu_amd.lnz + lu_amd.unz)
+    b = np.random.RandomState(0).rand(n)
+    np.testing.assert_allclose(
+        lu_nd.solve_host(b), lu_amd.solve_host(b), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_hostmem_allocator_installed():
+    """The NEP-49 populate allocator is active after package import (when
+    the extension is built) and large buffers behave correctly."""
+    try:
+        from csparse3_tpu.native import _npalloc  # noqa: F401
+    except ImportError:
+        return  # extension not built; mallopt-only mode
+    name = np.core.multiarray.get_handler_name()
+    assert name == "populate_mmap_allocator"
+    z = np.zeros(2_000_000, dtype=np.float64)
+    assert not z.any()
+    r = np.arange(2_000_000, dtype=np.int64)
+    big = r + 1
+    assert big[-1] == 2_000_000
+    # realloc path
+    r.resize(4_000_000, refcheck=False)
+    assert r[1_999_999] == 1_999_999 and r[-1] == 0
