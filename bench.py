@@ -255,7 +255,7 @@ def _delta(kind, r1, r2, **kw):
 def main():
     extra = {}
 
-    per_spmv, a, b = _delta("spmv", 20, 220)
+    per_spmv, a, b = _delta("spmv", 20, 220, timeout=600)
     if per_spmv:
         extra["spmv_t_s"] = per_spmv
         extra["spmv_nnz"] = a["nnz"]
@@ -267,7 +267,7 @@ def main():
     if "error" not in sc:
         extra["spmv_scipy_t_s"] = sc["t"]
 
-    per_solve, a, b = _delta("lusolve", 2, 12)
+    per_solve, a, b = _delta("lusolve", 2, 12, timeout=600)
     if per_solve:
         extra["lu_solve_rhs_per_s"] = 1024 / per_solve
         extra["lu_fill_nnz"] = a["fill"]

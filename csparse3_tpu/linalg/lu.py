@@ -84,6 +84,7 @@ class SparseLU:
         self.perm_c = host.perm_c
         self.singular_cols = host.singular_cols
         self._plan: Optional[SolvePlan] = None
+        self._plan_style = None
 
     @property
     def is_singular(self) -> bool:
@@ -97,12 +98,34 @@ class SparseLU:
     def unz(self) -> int:
         return self.U.nnz
 
-    def solve_plan(self) -> SolvePlan:
-        if self._plan is None:
+    def solve_plan(self, style: str = "auto") -> SolvePlan:
+        """Jittable device solver.
+
+        style='auto' (default): each factor gets a dense MXU-blocked tail
+        when its trailing corner is dense (the separator clique under
+        amd/nd orderings — absorbs most dependency levels); 'level' forces
+        the pure level-scheduled plan (the RefactorPlan template layout).
+        """
+        if style not in ("auto", "level"):
+            raise ValueError(f"unknown solve_plan style {style!r}")
+        if self._plan is None or style != self._plan_style:
+            from .trisolve import DenseTailTriSolvePlan, choose_dense_tail
+
             h = self._h
-            lplan = TriSolvePlan(self.n, h.Lp, h.Li, h.Lx, lower=True)
-            uplan = TriSolvePlan(self.n, h.Up, h.Ui, h.Ux, lower=False)
+
+            def factor_plan(Fp, Fi, Fx, lower):
+                if style == "auto":
+                    tail = choose_dense_tail(self.n, Fp, Fi)
+                    if tail:
+                        return DenseTailTriSolvePlan(
+                            self.n, Fp, Fi, Fx, lower=lower, tail=tail
+                        )
+                return TriSolvePlan(self.n, Fp, Fi, Fx, lower=lower)
+
+            lplan = factor_plan(h.Lp, h.Li, h.Lx, True)
+            uplan = factor_plan(h.Up, h.Ui, h.Ux, False)
             self._plan = SolvePlan(lplan, uplan, h.perm_r, h.perm_c)
+            self._plan_style = style
         return self._plan
 
     def banded_solve_plan(self, s: int | None = None):

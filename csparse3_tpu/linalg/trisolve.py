@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lsolve", "usolve", "ltsolve", "utsolve", "TriSolvePlan", "level_schedule"]
+__all__ = [
+    "lsolve", "usolve", "ltsolve", "utsolve", "TriSolvePlan",
+    "DenseTailTriSolvePlan", "choose_dense_tail", "level_schedule",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +285,173 @@ class TriSolvePlan:
             body, x, (self.e_rows, self.e_cols, self.e_vals, self.r_rows, self.r_dinv)
         )
         out = x[: self.n]
+        return out[:, 0] if squeeze else out
+
+    def __call__(self, b):
+        return self.solve(b)
+
+
+# ---------------------------------------------------------------------------
+# dense-tail hybrid plan
+# ---------------------------------------------------------------------------
+
+def choose_dense_tail(n, Fp, Fi, max_tail=4096, min_tail=512,
+                      min_density=0.15, block=256):
+    """Pick a trailing-block size T (multiple of ``block``) such that the
+    T x T corner of the factor is at least ``min_density`` dense — the
+    signature of the final separator clique under amd/nd orderings.
+    Returns 0 when no worthwhile tail exists."""
+    Fp = np.asarray(Fp)
+    Fi = np.asarray(Fi).astype(np.int64)
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Fp))
+    best = 0
+    T = min(max_tail, (n // 2) // block * block)
+    while T >= min_tail:
+        k0 = n - T
+        cnt = int(((cols >= k0) & (Fi >= k0)).sum())
+        if cnt >= min_density * (T * T / 2):
+            best = T
+            break
+        T -= block if T - block >= min_tail else T
+    return best
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseTailTriSolvePlan:
+    """Triangular solve = level-scheduled head + dense MXU-blocked tail.
+
+    Under fill-reducing orderings the trailing separator clique is dense
+    and carries the deepest dependency chains; solving it as s x s blocked
+    dense substitution (precomputed block inverses, (s,s)@(s,B) matmuls)
+    removes most sequential levels, while the sparse head keeps the
+    level-scheduled path.  Same ``solve`` interface / pytree behavior as
+    ``TriSolvePlan``; used automatically by ``SparseLU.solve_plan`` when
+    ``choose_dense_tail`` finds a qualifying corner.
+    """
+
+    def __init__(self, n, Fp, Fi, Fx, lower: bool, tail: int,
+                 block: int = 256, unroll: int = 8):
+        Fp = np.asarray(Fp)
+        Fi = np.asarray(Fi).astype(np.int64)
+        Fx = np.asarray(Fx)
+        s = block
+        T_pad = -(-tail // s) * s
+        n_head = n - tail
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Fp))
+        rows = Fi
+
+        # lower: head-internal needs both row and col in the head; upper:
+        # rows <= col < n_head is implied by the column test
+        head = (cols < n_head) & (rows < n_head) if lower else (cols < n_head)
+        cross = ((cols < n_head) & (rows >= n_head)) if lower else (
+            (cols >= n_head) & (rows < n_head))
+        tail_m = (cols >= n_head) if lower else ((cols >= n_head) & (rows >= n_head))
+
+        # head sub-CSC (square n_head)
+        hc, hr, hv = cols[head], rows[head], Fx[head]
+        hp = np.zeros(n_head + 1, dtype=np.int64)
+        np.add.at(hp, hc + 1, 1)
+        hp = np.cumsum(hp)
+        order = np.argsort(hc, kind="stable")
+        self._head = TriSolvePlan(n_head, hp, hr[order], hv[order],
+                                  lower=lower, unroll=unroll)
+
+        # cross entry streams (local tail row ids; pad slot T_pad unused)
+        if lower:
+            cr, cc, cv = rows[cross] - n_head, cols[cross], Fx[cross]
+        else:
+            cr, cc, cv = rows[cross], cols[cross] - n_head, Fx[cross]
+        self.c_rows = jnp.asarray(cr)
+        self.c_cols = jnp.asarray(cc)
+        self.c_vals = jnp.asarray(cv)
+
+        # dense tail blocks
+        dense = np.zeros((T_pad, T_pad), dtype=Fx.dtype)
+        dense[rows[tail_m] - n_head, cols[tail_m] - n_head] = Fx[tail_m]
+        for i in range(tail, T_pad):
+            dense[i, i] = 1.0
+        nb = T_pad // s
+        invd = np.empty((nb, s, s), dtype=Fx.dtype)
+        strips = np.zeros((nb, T_pad, s), dtype=Fx.dtype)
+        for b in range(nb):
+            lo, hi = b * s, (b + 1) * s
+            invd[b] = np.linalg.inv(dense[lo:hi, lo:hi])
+            st = dense[:, lo:hi].copy()
+            if lower:
+                st[:hi] = 0  # rows handled by this or earlier blocks
+            else:
+                st[lo:] = 0
+            strips[b] = st
+        self.invd = jnp.asarray(invd)
+        self.strips = jnp.asarray(strips)
+        self.n = n
+        self.lower = lower
+        self.tail = tail
+        self.s = s
+
+    # pytree
+    def tree_flatten(self):
+        return (
+            (self._head, self.c_rows, self.c_cols, self.c_vals,
+             self.invd, self.strips),
+            (self.n, self.lower, self.tail, self.s),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        obj.n, obj.lower, obj.tail, obj.s = aux
+        (obj._head, obj.c_rows, obj.c_cols, obj.c_vals,
+         obj.invd, obj.strips) = ch
+        return obj
+
+    @property
+    def nlevels(self):
+        return self._head.nlevels + self.invd.shape[0]
+
+    def _dense_solve(self, r):
+        """Blocked substitution on the (T_pad, B) rhs ``r``."""
+        s = self.s
+        nb = self.invd.shape[0]
+        idx = jnp.arange(nb) * s
+
+        def step(r, blk):
+            invd, strip, off = blk
+            r_b = jax.lax.dynamic_slice_in_dim(r, off, s, axis=0)
+            x_b = invd @ r_b
+            r = r - strip @ x_b
+            return r, x_b
+
+        # scan's stacked outputs align with xs order even when reverse=True
+        _, xs = jax.lax.scan(
+            step, r, (self.invd, self.strips, idx), reverse=not self.lower
+        )
+        return xs.reshape(nb * s, -1)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        B = b.shape[1]
+        n_head = self.n - self.tail
+        T_pad = self.invd.shape[0] * self.s
+        dt = jnp.result_type(b.dtype, self.invd.dtype)
+        if self.lower:
+            xh = self._head.solve(b[:n_head])
+            r = jnp.zeros((T_pad, B), dtype=dt).at[: self.tail].set(b[n_head:])
+            contrib = self.c_vals[:, None] * xh[self.c_cols]
+            r = r.at[self.c_rows].add(-contrib, mode="drop")
+            xt = self._dense_solve(r)[: self.tail]
+            out = jnp.concatenate([xh, xt], axis=0)
+        else:
+            r = jnp.zeros((T_pad, B), dtype=dt).at[: self.tail].set(b[n_head:])
+            xt = self._dense_solve(r)[: self.tail]
+            contrib = self.c_vals[:, None] * xt[self.c_cols]
+            bh = jnp.asarray(b[:n_head], dtype=dt).at[self.c_rows].add(
+                -contrib, mode="drop")
+            xh = self._head.solve(bh)
+            out = jnp.concatenate([xh, xt], axis=0)
         return out[:, 0] if squeeze else out
 
     def __call__(self, b):

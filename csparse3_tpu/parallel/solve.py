@@ -94,7 +94,9 @@ class BlockJacobi:
                 bc = np.concatenate([bc, padded + start])
                 bv = np.concatenate([bv, np.ones(len(padded), dtype=bv.dtype)])
             block = construct.from_triplets(br, bc, bv, (mloc, mloc))
-            plans.append(splu(block, ordering=ordering, tol=tol).solve_plan())
+            plans.append(
+                splu(block, ordering=ordering, tol=tol).solve_plan("level")
+            )  # slab leaves are stacked below: needs the level-plan layout
 
         # pad plan slabs to common static shapes across shards
         def stack(get, fill):

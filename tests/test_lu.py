@@ -3,6 +3,7 @@ the test the reference never had (SURVEY §4 "add what the reference
 lacks")."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -169,3 +170,48 @@ def test_level_schedule():
     np.testing.assert_array_equal(lev, [0, 1, 2, 0])
     with pytest.raises(ValueError):
         cla.level_schedule(2, np.array([0, 1]), np.array([1, 0]), lower=True)
+
+
+class TestDenseTailPlan:
+    """Hybrid level-scheduled + dense-MXU-tail solve plans."""
+
+    def _grid_lu(self, n=3000, ordering="amd"):
+        from csparse3_tpu.models.grids import synthetic_grid
+
+        g = synthetic_grid(n, seed=1)
+        bp = 1.0 / g.x
+        rows = np.concatenate([g.f, g.t, g.f, g.t])
+        cols = np.concatenate([g.f, g.t, g.t, g.f])
+        vals = np.concatenate([bp, bp, -bp, -bp])
+        B = cst.from_triplets(rows, cols, vals, (n, n))
+        return cla.splu(cst.add(B, cst.diags(np.full(n, 3.0))),
+                        ordering=ordering), n
+
+    def test_auto_plan_uses_dense_tail_and_matches(self):
+        from csparse3_tpu.linalg.trisolve import DenseTailTriSolvePlan
+
+        lu, n = self._grid_lu()
+        plan = lu.solve_plan()  # auto
+        assert isinstance(plan.lplan, DenseTailTriSolvePlan)
+        b = np.random.RandomState(0).randn(n, 8)
+        x = np.asarray(jax.jit(plan)(jnp.asarray(b)))
+        np.testing.assert_allclose(x, lu.solve_host(b), rtol=1e-9, atol=1e-11)
+
+    def test_level_style_still_available(self):
+        from csparse3_tpu.linalg.trisolve import TriSolvePlan
+
+        lu, n = self._grid_lu(n=1200)
+        plan = lu.solve_plan("level")
+        assert isinstance(plan.lplan, TriSolvePlan)
+        b = np.random.RandomState(1).randn(n)
+        np.testing.assert_allclose(
+            np.asarray(plan(jnp.asarray(b))), lu.solve_host(b),
+            rtol=1e-9, atol=1e-11,
+        )
+
+    def test_auto_plan_step_count_collapses(self):
+        lu, n = self._grid_lu()
+        auto = lu.solve_plan("auto")
+        level = lu.solve_plan("level")
+        # the dense tail must absorb the vast majority of dependency levels
+        assert auto.lplan.nlevels * 5 < level.lplan.nlevels
