@@ -41,7 +41,7 @@ def _force(x):
 # measurement kernels (run in fresh subprocesses, one (kind, reps) each)
 # ---------------------------------------------------------------------------
 
-def run_spmv(reps: int):
+def run_spmv(reps: int, n: int = 200_000):
     import functools
 
     import jax
@@ -50,7 +50,6 @@ def run_spmv(reps: int):
     import csparse3_tpu as cst
     from csparse3_tpu.models.grids import synthetic_grid, ybus
 
-    n = 200_000
     grid = synthetic_grid(n, seed=0)
     Y, _, _ = ybus(grid)
     # RCM + gather-free banded split-complex plan: TPU gathers lower to
@@ -187,11 +186,10 @@ def run_spgemm(reps: int):
     return {"t": t, "out_nnz": int(G.nnz), "scipy_t": t_sp, "reps": reps}
 
 
-def run_scipy_spmv(reps: int):
+def run_scipy_spmv(reps: int, n: int = 200_000):
     import csparse3_tpu as cst  # noqa: F401
     from csparse3_tpu.models.grids import synthetic_grid, ybus
 
-    n = 200_000
     grid = synthetic_grid(n, seed=0)
     Y, _, _ = ybus(grid)
     ys = Y.to_scipy().tocsr()
@@ -204,8 +202,19 @@ def run_scipy_spmv(reps: int):
     return {"t": (time.perf_counter() - t0) / reps, "nnz": int(Y.nnz)}
 
 
+def run_spmv_small(reps: int):
+    """50k-bus fallback: ~4x fewer upload bytes for degraded-tunnel days."""
+    return run_spmv(reps, n=50_000)
+
+
+def run_scipy_spmv_small(reps: int):
+    return run_scipy_spmv(reps, n=50_000)
+
+
 _KINDS = {
     "spmv": run_spmv,
+    "spmv_small": run_spmv_small,
+    "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "refactor": run_refactor,
     "spgemm": run_spgemm,
@@ -255,7 +264,13 @@ def _delta(kind, r1, r2, **kw):
 def main():
     extra = {}
 
-    per_spmv, a, b = _delta("spmv", 20, 220, timeout=600)
+    spmv_kind, scipy_kind = "spmv", "scipy_spmv"
+    per_spmv, a, b = _delta(spmv_kind, 20, 220, timeout=600, attempts=2)
+    if not per_spmv:
+        # degraded-tunnel fallback: 4x fewer upload bytes, same metric
+        extra["spmv_fallback"] = "50k"
+        spmv_kind, scipy_kind = "spmv_small", "scipy_spmv_small"
+        per_spmv, a, b = _delta(spmv_kind, 20, 220, timeout=600, attempts=2)
     if per_spmv:
         extra["spmv_t_s"] = per_spmv
         extra["spmv_nnz"] = a["nnz"]
@@ -263,7 +278,7 @@ def main():
     else:
         extra["spmv_error"] = str(a.get("error") or b.get("error"))
 
-    sc = _sub("scipy_spmv", 5)
+    sc = _sub(scipy_kind, 5)
     if "error" not in sc:
         extra["spmv_scipy_t_s"] = sc["t"]
 

@@ -93,8 +93,6 @@ def _btf_scipy(a: CSC):
     # reverse-postorder... scipy labels components arbitrarily; derive a
     # valid order by sorting blocks by their minimum position in a
     # topological sort of the condensation DAG
-    from scipy.sparse.csgraph import depth_first_order  # noqa: F401
-
     cond_edges = {}
     for c, h in zip(cols, heads):
         lc, lh = labels[c], labels[h]
@@ -142,13 +140,14 @@ class BTFLU:
         ip, ix, dt = a.np_arrays()
         import scipy.sparse as sp
 
-        B = sp.csc_matrix((dt, ix, ip), shape=a.shape)[self.p][:, self.q].tocsc()
-        self._B = B
+        B = sp.csc_matrix((dt, ix, ip), shape=a.shape)[self.p][:, self.q].tocsr()
         self.nblocks = len(self.blocks) - 1
         self._lus: List[SparseLU] = []
+        self._coupling = []  # per block: CSR strip B[lo:hi, hi:]
         for b in range(self.nblocks):
             lo, hi = int(self.blocks[b]), int(self.blocks[b + 1])
             blk = B[lo:hi, lo:hi].tocsc()
+            self._coupling.append(B[lo:hi, hi:].tocsr())
             self._lus.append(
                 splu(CSC.from_scipy(blk), ordering=ordering, tol=tol)
             )
@@ -168,10 +167,13 @@ class BTFLU:
         bb = b[self.p]
         if squeeze:
             bb = bb[:, None]
+        dt = np.result_type(bb.dtype, *(lu.U.np_arrays()[2].dtype
+                                        for lu in self._lus[:1]))
+        bb = bb.astype(dt, copy=False)
         x = np.zeros_like(bb)
         for blk in range(self.nblocks - 1, -1, -1):
             lo, hi = int(self.blocks[blk]), int(self.blocks[blk + 1])
-            rhs = bb[lo:hi] - self._B[lo:hi, hi:] @ x[hi:]
+            rhs = bb[lo:hi] - self._coupling[blk] @ x[hi:]
             x[lo:hi] = np.asarray(self._lus[blk].solve_host(rhs))
         out = np.zeros_like(x)
         out[self.q] = x

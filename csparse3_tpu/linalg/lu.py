@@ -44,8 +44,10 @@ class SolvePlan:
     def __init__(self, lplan: TriSolvePlan, uplan: TriSolvePlan, perm_r, perm_c):
         self.lplan = lplan
         self.uplan = uplan
-        self.perm_r = jnp.asarray(perm_r)  # perm_r[k] = original row of pivot k
-        self.perm_c = jnp.asarray(perm_c)  # perm_c[k] = original col of pivot k
+        # stored verbatim — host numpy from splu (closure-jit then embeds
+        # them as constants, transfer-free), traced values under refactor
+        self.perm_r = perm_r  # perm_r[k] = original row of pivot k
+        self.perm_c = perm_c  # perm_c[k] = original col of pivot k
 
     def tree_flatten(self):
         return (self.lplan, self.uplan, self.perm_r, self.perm_c), ()
@@ -114,7 +116,10 @@ class SparseLU:
             h = self._h
 
             def factor_plan(Fp, Fi, Fx, lower):
-                if style == "auto":
+                # singular factors carry an exact-zero pivot: the level
+                # plan propagates it as inf/nan (SuperLU-style), while the
+                # dense tail's block inverse would raise — keep 'level'
+                if style == "auto" and not self.is_singular:
                     tail = choose_dense_tail(self.n, Fp, Fi)
                     if tail:
                         return DenseTailTriSolvePlan(

@@ -232,11 +232,15 @@ class TriSolvePlan:
                 a = np.concatenate([a, fill], axis=0)
             return a.reshape(nsteps, K, a.shape[1])
 
-        self.e_rows = jnp.asarray(pad_lev(slabs.e_rows, n))
-        self.e_cols = jnp.asarray(pad_lev(slabs.e_cols, n))
-        self.e_vals = jnp.asarray(pad_lev(slabs.e_vals, 0))
-        self.r_rows = jnp.asarray(pad_lev(slabs.r_rows, n))
-        self.r_dinv = jnp.asarray(pad_lev(slabs.r_dinv, 1))
+        # kept as HOST numpy: under jit-with-plan-as-closure they embed as
+        # HLO constants with no host->device transfer (complex factors then
+        # never cross the transfer boundary); as jit arguments they upload
+        # like any pytree leaf
+        self.e_rows = pad_lev(slabs.e_rows, n)
+        self.e_cols = pad_lev(slabs.e_cols, n)
+        self.e_vals = pad_lev(slabs.e_vals, 0)
+        self.r_rows = pad_lev(slabs.r_rows, n)
+        self.r_dinv = pad_lev(slabs.r_dinv, 1)
         self._nlev = nlev
 
     # pytree
@@ -361,9 +365,9 @@ class DenseTailTriSolvePlan:
             cr, cc, cv = rows[cross] - n_head, cols[cross], Fx[cross]
         else:
             cr, cc, cv = rows[cross], cols[cross] - n_head, Fx[cross]
-        self.c_rows = jnp.asarray(cr)
-        self.c_cols = jnp.asarray(cc)
-        self.c_vals = jnp.asarray(cv)
+        self.c_rows = cr
+        self.c_cols = cc
+        self.c_vals = cv
 
         # dense tail blocks
         dense = np.zeros((T_pad, T_pad), dtype=Fx.dtype)
@@ -382,8 +386,8 @@ class DenseTailTriSolvePlan:
             else:
                 st[lo:] = 0
             strips[b] = st
-        self.invd = jnp.asarray(invd)
-        self.strips = jnp.asarray(strips)
+        self.invd = invd  # host numpy, see TriSolvePlan note
+        self.strips = strips
         self.n = n
         self.lower = lower
         self.tail = tail

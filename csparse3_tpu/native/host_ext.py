@@ -138,8 +138,9 @@ def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0,
         Ax = Ax.astype(np.float64, copy=False)
         fn, vdt = _lib.lu_factor_d, np.float64
     qa = _as_i64(q if q is not None else np.arange(n))
-    if tol == 0.0:
-        dense_cap = 0  # strict-partial-pivot tail would break no-exchange mode
+    if tol == 0.0 or not _HAVE_BLAS:
+        dense_cap = 0  # strict-partial-pivot tail would break no-exchange
+        # mode; without getrf the kernel would also just ignore it
     res = fn(
         ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
         Ax.ctypes.data_as(ctypes.c_void_p), _i64_ptr(qa),

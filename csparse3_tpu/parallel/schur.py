@@ -128,6 +128,8 @@ class SchurLU:
         squeeze = b.ndim == 1
         bb = b[:, None] if squeeze else b
         B = bb.shape[1]
+        dt = np.result_type(bb.dtype, self._W[0].dtype)
+        bb = bb.astype(dt, copy=False)
         x = np.zeros_like(bb)
         g = bb[self.gamma].copy()
         ys = []
@@ -271,6 +273,11 @@ class SchurSolvePlan:
     def dist_solve(self, b, mesh: Mesh, axis: str = "shards"):
         """SPMD solve: interior solve + F scatter per shard, interface rhs
         psum-reduced, Γ solve replicated, back-substitution per shard."""
+        if mesh.shape[axis] != self.S:
+            raise ValueError(
+                f"mesh axis {axis!r} has {mesh.shape[axis]} devices but the "
+                f"plan was built for S={self.S} shards"
+            )
         b = jnp.asarray(b)
         squeeze = b.ndim == 1
         bb = b[:, None] if squeeze else b

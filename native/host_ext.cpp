@@ -425,11 +425,14 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
         Urow.push_back(pr);
         Uval.push_back(x[r]);
       } else if (pr < 0) {
+        // keep exact zeros: symmetric pruning relies on L(:,k) containing
+        // EVERY non-pivotal pattern row (dropping a cancelled entry would
+        // break the pruned-front reachability of later columns)
         const T xv = x[r];
-        if (xv != T(0)) {
-          Lval.push_back(pivot_val != T(0) ? xv / pivot_val : inf_fill(xv));
-          Lrow.push_back(r);
-        }
+        Lval.push_back(pivot_val != T(0)
+                           ? xv / pivot_val
+                           : (xv != T(0) ? inf_fill(xv) : T(0)));
+        Lrow.push_back(r);
       }
       x[r] = T(0);
     }
@@ -1304,16 +1307,42 @@ void nd_process(NDContext& c, std::vector<int64_t> V, int64_t set_id) {
     frontier.swap(nxt);
   }
   if ((int64_t)comp.size() < nv) {
-    std::vector<int64_t> rest;
-    rest.reserve(nv - comp.size());
+    // disconnected: peel every component in a loop (one recursion each,
+    // so depth stays O(log) regardless of the component count)
+    std::vector<int64_t> pending;
     for (const int64_t v : V)
-      if (c.stamp[v] != s0) rest.push_back(v);
-    const int64_t rest_id = c.next_stamp++;
-    for (const int64_t v : rest) c.in_set[v] = rest_id;
-    const int64_t comp_id = c.next_stamp++;
-    for (const int64_t v : comp) c.in_set[v] = comp_id;
-    nd_process(c, std::move(rest), rest_id);
-    nd_process(c, std::move(comp), comp_id);
+      if (c.stamp[v] != s0) pending.push_back(v);
+    {
+      const int64_t comp_id = c.next_stamp++;
+      for (const int64_t v : comp) c.in_set[v] = comp_id;
+      nd_process(c, std::move(comp), comp_id);
+    }
+    while (!pending.empty()) {
+      const int64_t s1 = c.next_stamp++;
+      std::vector<int64_t> comp2{pending[0]};
+      c.stamp[pending[0]] = s1;
+      frontier.assign(1, pending[0]);
+      while (!frontier.empty()) {
+        nxt.clear();
+        for (const int64_t v : frontier)
+          for (int64_t p = c.ptr[v]; p < c.ptr[v + 1]; ++p) {
+            const int64_t w = c.adj[p];
+            if (c.in_set[w] == set_id && c.stamp[w] != s1) {
+              c.stamp[w] = s1;
+              nxt.push_back(w);
+              comp2.push_back(w);
+            }
+          }
+        frontier.swap(nxt);
+      }
+      std::vector<int64_t> rest2;
+      for (const int64_t v : pending)
+        if (c.stamp[v] != s1) rest2.push_back(v);
+      pending.swap(rest2);
+      const int64_t comp_id = c.next_stamp++;
+      for (const int64_t v : comp2) c.in_set[v] = comp_id;
+      nd_process(c, std::move(comp2), comp_id);
+    }
     return;
   }
 
@@ -1628,22 +1657,8 @@ void btf_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
   // Emitted back-to-front, Tarjan pops sinks of the c -> rinv[Ai] digraph
   // first, which lands at block LOWER triangular.  Reverse the block order
   // (keeping within-block order) for the standard block UPPER triangular
-  // convention (cs_dmperm/KLU).
-  std::vector<int64_t> ends(nb + 1);
-  ends[nb] = n;
-  for (int64_t b = 0; b < nb; ++b) ends[b] = blocks_rev[nb - 1 - b];
-  // ends[b] = end of (old) block b in emitted order; old block b spans
-  // [start_b, ends[b]) with start_b = (b ? ends[b-1] : 0)... but blocks
-  // were filled from the back, so old block 0 is at the back.  Recompute
-  // old spans directly: blocks_rev[i] is the END of the i-th popped block
-  // whose START is blocks_rev[i] - size; sizes recoverable sequentially
-  // from the fill order (i-th popped block occupies
-  // [blocks_rev[i+1 < nb ? ... ] ...]).  Simpler: i-th popped block spans
-  // [prev_out_i, blocks_rev[i]) where prev_out_i is the out value after
-  // popping it — equal to blocks_rev[i+1] of the NEXT popped block's end…
-  // which is exactly blocks_rev[i] - (blocks_rev[i] - next_end).  Since
-  // blocks fill contiguously downward, popped block i spans
-  // [i + 1 < nb ? blocks_rev[i + 1] : 0, blocks_rev[i]).
+  // convention (cs_dmperm/KLU).  Blocks fill p/q contiguously downward, so
+  // popped block i spans [i + 1 < nb ? blocks_rev[i + 1] : 0, blocks_rev[i]).
   std::vector<int64_t> np_(n), nq(n);
   int64_t w = 0;
   block_ptr[0] = 0;

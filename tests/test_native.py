@@ -207,3 +207,29 @@ def test_hostmem_allocator_installed():
     # realloc path
     r.resize(4_000_000, refcheck=False)
     assert r[1_999_999] == 1_999_999 and r[-1] == 0
+
+
+def test_lu_exact_cancellation_keeps_pruning_sound():
+    """Integer-valued matrices produce exact zeros during elimination;
+    symmetric pruning is only sound if those entries stay in L's pattern
+    (regression: cancelled entries were dropped, corrupting later
+    columns' reach)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.linalg import splu
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        n = 120
+        a = sp.random(n, n, 0.06, random_state=rng, data_rvs=lambda k:
+                      rng.randint(-2, 3, k).astype(float))
+        a = (a + sp.eye(n) * 4.0).tocsc()
+        A = cst.CSC.from_scipy(a)
+        lu = splu(A, ordering="amd")
+        assert not lu.is_singular
+        b = rng.randn(n)
+        x = lu.solve_host(b)
+        ref = spla.spsolve(a, b)
+        np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-11,
+                                   err_msg=f"seed {seed}")
