@@ -51,7 +51,18 @@ from .ops.construct import (  # noqa: F401
 from .ops.graph import component_labels, islands  # noqa: F401
 from .ops.slicing import sample_values, submatrix  # noqa: F401
 from .ops.validate import has_canonical_format, has_sorted_indices, validate  # noqa: F401
-from .ops.matvec import DIAPlan, SplitDIA, SplitSpMV, SpMVPlan, bsr_spmm, dia_spmv, spmm, spmv  # noqa: F401
+from .ops.matvec import (  # noqa: F401
+    DIAPlan,
+    SplitDIA,
+    SplitSpMV,
+    SplitSymDIA,
+    SpMVPlan,
+    SymDIAPlan,
+    bsr_spmm,
+    dia_spmv,
+    spmm,
+    spmv,
+)
 from .ops.norms import norm  # noqa: F401
 from .ops.reductions import diagonal, sum_duplicates  # noqa: F401
 from .ops.spgemm import SpGEMMPlan, gram, spgemm, spgemm_symbolic  # noqa: F401

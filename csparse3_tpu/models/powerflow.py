@@ -44,6 +44,22 @@ def sbus(grid: Grid):
     return (grid.pg - grid.pd) - 1j * grid.qd
 
 
+def _make_yplan(Y, spmv):
+    """Split-complex Ybus SpMV plan.
+
+    'ell'    — gather-based SpMVPlan (CPU/GPU-friendly)
+    'dia'    — gather-free banded slabs (pair with models.grids.rcm_grid)
+    'symdia' — like 'dia' but stores only the upper diagonals; Ybus is
+               complex symmetric when taps are real (no phase shifters),
+               halving slab traffic. Raises if Y is not symmetric.
+    """
+    if spmv == "dia":
+        return matvec.SplitDIA(Y)
+    if spmv == "symdia":
+        return matvec.SplitSymDIA(Y, tol=1e-12)
+    return matvec.SplitSpMV(Y)
+
+
 # ---------------------------------------------------------------------------
 # DC power flow
 # ---------------------------------------------------------------------------
@@ -80,9 +96,11 @@ class FastDecoupled:
 
     def __init__(self, grid: Grid, ordering="amd", tol=1e-8, max_iter=50,
                  spmv="ell", solver="level"):
-        """spmv: 'ell' (gather-based; CPU/GPU-friendly) or 'dia'
+        """spmv: 'ell' (gather-based; CPU/GPU-friendly), 'dia'
         (gather-free banded slabs; the TPU path — reorder the grid with
-        models.grids.rcm_grid first so Ybus is banded).
+        models.grids.rcm_grid first so Ybus is banded), or 'symdia'
+        (dia with only the upper diagonals stored; valid when Ybus is
+        complex symmetric, i.e. no phase shifters).
         solver: 'level' (level-scheduled TriSolvePlan) or 'banded'
         (block-bidiagonal MXU sweeps; factors with ordering='rcm',
         tol=0)."""
@@ -122,10 +140,7 @@ class FastDecoupled:
             self._bpp_plan = self.lu_bpp.solve_plan()
         # split-complex Ybus action: all device arithmetic is REAL pairs
         # (TPUs have no complex ALU; see ops.matvec.SplitSpMV / SplitDIA)
-        self._yplan = (
-            matvec.SplitDIA(self.Y) if spmv == "dia"
-            else matvec.SplitSpMV(self.Y)
-        )
+        self._yplan = _make_yplan(self.Y, spmv)
         sb = sbus(grid)
         self._sbr = jnp.asarray(sb.real)
         self._sbi = jnp.asarray(sb.imag)
@@ -299,17 +314,15 @@ class NewtonPowerFlow:
 
     def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="amd",
                  spmv="ell"):
-        """spmv: 'ell' or 'dia' (gather-free banded slabs; pair with
-        models.grids.rcm_grid so Ybus is banded)."""
+        """spmv: 'ell', 'dia' (gather-free banded slabs; pair with
+        models.grids.rcm_grid so Ybus is banded), or 'symdia' (see
+        FastDecoupled)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
         n = grid.n_bus
         self.Y, _, _ = ybus(grid)
-        self._yplan = (
-            matvec.SplitDIA(self.Y) if spmv == "dia"
-            else matvec.SplitSpMV(self.Y)
-        )
+        self._yplan = _make_yplan(self.Y, spmv)
         sb = sbus(grid)
         self._sbr = jnp.asarray(sb.real)
         self._sbi = jnp.asarray(sb.imag)

@@ -31,7 +31,10 @@ from ..config import get_config
 from ..types import BSR, CSC
 from . import construct
 
-__all__ = ["spmv", "spmm", "SpMVPlan", "SplitSpMV", "DIAPlan", "SplitDIA", "bsr_spmm", "dia_spmv"]
+__all__ = [
+    "spmv", "spmm", "SpMVPlan", "SplitSpMV", "DIAPlan", "SplitDIA",
+    "SymDIAPlan", "SplitSymDIA", "bsr_spmm", "dia_spmv",
+]
 
 
 def _entry_streams(a: CSC):
@@ -382,6 +385,165 @@ def _diaplan_unflatten(aux, ch):
     obj = object.__new__(DIAPlan)
     obj.m, obj.n, obj.omin, obj.chunk = aux
     (obj.slabs,) = ch
+    return obj
+
+
+class SymDIAPlan:
+    """Symmetric banded SpMV storing only the d >= 0 diagonals — halves
+    the slab traffic of ``DIAPlan`` on symmetric matrices (admittance and
+    B'/B'' matrices are symmetric absent phase shifters).
+
+    The lower triangle is applied through the *reversed frame*: with
+    j' = m-1-j, the mirror sum  y[j] += A[j, j-d] x[j-d]  becomes
+    y_rev[j'] += flip(ra_d)[j'+d] * flip(x)[j'+d] — the same shifted-window
+    primitive as the upper sum, so both run in one scan over diagonal
+    groups and the result is  y_fwd + flip(y_rev).
+    """
+
+    def __init__(self, a, chunk: int = 64, check: bool = True, tol: float = 0.0):
+        from ..types import DIA
+        from . import construct
+
+        d = a if isinstance(a, DIA) else construct.csc_to_dia(a)
+        self.m, self.n = d.shape
+        if self.m != self.n:
+            raise ValueError("SymDIAPlan requires a square matrix")
+        offs = np.asarray(d.offsets).astype(np.int64)
+        data = np.asarray(d.data)
+        m = self.m
+        omax = int(offs.max(initial=0))
+        omin = int(offs.min(initial=0))
+        if omin < -omax or -omin < omax:
+            raise ValueError("matrix bandwidth is not symmetric")
+        D = omax + 1
+        # ra[d, i] = A[i, i + d] for d >= 0 (upper triangle + diagonal)
+        ra = np.zeros((D, m), dtype=data.dtype)
+        for t, off in enumerate(offs):
+            if off < 0:
+                continue
+            i_hi = m - off
+            if i_hi > 0:
+                ra[off, :i_hi] = data[t, off : i_hi + off]
+        if check:
+            # The mirror pass assumes A[i+d, i] == A[i, i+d]; verify against
+            # the stored negative diagonals (data[t, j] = A[j - off, j]).
+            for t, off in enumerate(offs):
+                if off >= 0:
+                    continue
+                dd = -off
+                lo = data[t, : m - dd]
+                if not np.allclose(lo, ra[dd, : m - dd], rtol=tol, atol=tol):
+                    raise ValueError(
+                        "matrix values are not symmetric (diagonal "
+                        f"{off}); use DIAPlan, or check=False to skip"
+                    )
+        self.chunk = int(chunk)
+        K = max(1, min(self.chunk, D))
+        nsteps = -(-D // K)
+        Dp = nsteps * K
+        if Dp != D:
+            ra = np.concatenate([ra, np.zeros((Dp - D, m), ra.dtype)])
+        # host numpy (see TriSolvePlan note)
+        self.slabs = ra.reshape(nsteps, K, m)
+        self.omax = omax
+
+    @property
+    def ndiag(self) -> int:
+        return self.omax + 1
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        m = self.m
+        B = x.shape[1]
+        nsteps, K, _ = self.slabs.shape
+        tail = nsteps * K  # covers every window start
+        zpad = jnp.zeros((tail, B), x.dtype)
+        xp = jnp.concatenate([x, zpad])
+        xr = jnp.concatenate([x[::-1], zpad])
+        bases = np.arange(nsteps, dtype=np.int32) * K
+        dt = jnp.result_type(self.slabs.dtype, x.dtype)
+        zcol = jnp.zeros((tail, 1), dt)
+        j0 = jnp.zeros((), jnp.int32)
+
+        def body(c, slab):
+            y, yr = c
+            base, sl = slab
+            for k in range(K):
+                d = base + k
+                win = jax.lax.dynamic_slice(xp, (d, j0), (m, B))
+                y = y + sl[k][:, None] * win
+                # mirror (reversed frame), diagonal d=0 excluded
+                slf = jnp.concatenate([sl[k][::-1, None].astype(dt), zcol])
+                slw = jax.lax.dynamic_slice(slf, (d, j0), (m, 1))
+                winr = jax.lax.dynamic_slice(xr, (d, j0), (m, B))
+                yr = yr + jnp.where(d > 0, slw * winr, 0)
+            return (y, yr), None
+
+        y0 = jnp.zeros((m, B), dtype=dt)
+        (y, yr), _ = jax.lax.scan(
+            body, (y0, y0), (jnp.asarray(bases), self.slabs)
+        )
+        out = y + yr[::-1]
+        return out[:, 0] if squeeze else out
+
+
+jax.tree_util.register_pytree_node(
+    SymDIAPlan,
+    lambda p: ((p.slabs,), (p.m, p.n, p.omax, p.chunk)),
+    lambda aux, ch: _symdia_unflatten(aux, ch),
+)
+
+
+def _symdia_unflatten(aux, ch):
+    obj = object.__new__(SymDIAPlan)
+    obj.m, obj.n, obj.omax, obj.chunk = aux
+    (obj.slabs,) = ch
+    return obj
+
+
+class SplitSymDIA:
+    """Split-complex symmetric banded SpMV: a complex-symmetric matrix
+    (Ybus is complex symmetric, not hermitian) as two real SymDIAPlans.
+    Same call convention as ``SplitDIA``."""
+
+    def __init__(self, a, chunk: int = 64, check: bool = True, tol: float = 0.0):
+        ip, rows, vals = a.np_arrays()
+        from ..types import CSC
+
+        self.iscomplex = np.iscomplexobj(vals)
+        re = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.real),
+                 canonical=a.canonical)
+        self.re = SymDIAPlan(re, chunk=chunk, check=check, tol=tol)
+        if self.iscomplex:
+            im = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.imag),
+                     canonical=a.canonical)
+            self.im = SymDIAPlan(im, chunk=chunk, check=check, tol=tol)
+        else:
+            self.im = None
+
+    def __call__(self, xr, xi):
+        if self.im is None:
+            return self.re(xr), self.re(xi)
+        return (
+            self.re(xr) - self.im(xi),
+            self.re(xi) + self.im(xr),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    SplitSymDIA,
+    lambda p: ((p.re, p.im), (p.iscomplex,)),
+    lambda aux, ch: _splitsymdia_unflatten(aux, ch),
+)
+
+
+def _splitsymdia_unflatten(aux, ch):
+    obj = object.__new__(SplitSymDIA)
+    obj.iscomplex = aux[0]
+    obj.re, obj.im = ch
     return obj
 
 

@@ -176,3 +176,72 @@ class TestDIAPlan:
         np.testing.assert_allclose(
             np.asarray(plan(jnp.asarray(x))), a @ x, rtol=1e-11, atol=1e-12
         )
+
+
+class TestSymDIAPlan:
+    """Symmetric banded SpMV keeping only the d >= 0 diagonals."""
+
+    def _sym(self, n, density, seed):
+        import scipy.sparse as sp
+
+        a = sp.random(n, n, density, random_state=seed, format="csc")
+        return (a + a.T + sp.eye(n)).tocsc()
+
+    def test_matches_scipy(self):
+        a = self._sym(97, 0.05, 1)
+        plan = cst.SymDIAPlan(cst.CSC.from_scipy(a), chunk=7)
+        x = np.random.RandomState(0).rand(97)
+        np.testing.assert_allclose(
+            np.asarray(plan(jnp.asarray(x))), a @ x, rtol=1e-11, atol=1e-12
+        )
+
+    def test_multi_rhs_and_jit(self):
+        a = self._sym(60, 0.08, 2)
+        plan = cst.SymDIAPlan(cst.CSC.from_scipy(a), chunk=8)
+        X = np.random.RandomState(3).rand(60, 5)
+        Y = jax.jit(lambda q, v: q(v))(plan, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=1e-11, atol=1e-12)
+
+    def test_tridiagonal_exact(self):
+        import scipy.sparse as sp
+
+        n = 32
+        d = np.arange(1.0, n + 1)
+        e = np.full(n - 1, 0.5)
+        a = sp.diags([e, d, e], [-1, 0, 1]).tocsc()
+        plan = cst.SymDIAPlan(cst.CSC.from_scipy(a), chunk=4)
+        x = np.random.RandomState(4).rand(n)
+        np.testing.assert_allclose(
+            np.asarray(plan(jnp.asarray(x))), a @ x, rtol=1e-13, atol=1e-14
+        )
+
+    def test_split_complex_symmetric(self):
+        # Ybus is complex symmetric (not hermitian) — exactly this case
+        ar = self._sym(50, 0.06, 5)
+        ai = self._sym(50, 0.06, 6) * 0.3
+        c = (ar + 1j * ai).tocsc()
+        plan = cst.SplitSymDIA(cst.CSC.from_scipy(c), chunk=6)
+        v = np.random.RandomState(7).rand(50) + 1j * np.random.RandomState(8).rand(50)
+        yr, yi = jax.jit(lambda q, a_, b_: q(a_, b_))(
+            plan, jnp.asarray(v.real), jnp.asarray(v.imag)
+        )
+        np.testing.assert_allclose(
+            np.asarray(yr) + 1j * np.asarray(yi), c @ v, rtol=1e-11, atol=1e-12
+        )
+
+    def test_rejects_rectangular(self):
+        import pytest
+        import scipy.sparse as sp
+
+        a = sp.random(8, 9, 0.3, random_state=9, format="csc")
+        with pytest.raises(ValueError):
+            cst.SymDIAPlan(cst.CSC.from_scipy(a))
+
+    def test_rejects_asymmetric_bandwidth(self):
+        import pytest
+        import scipy.sparse as sp
+
+        # lower bandwidth 3, upper bandwidth 1 — pattern not symmetric
+        a = sp.diags([np.ones(5), np.ones(8), np.ones(7)], [-3, 0, 1]).tocsc()
+        with pytest.raises(ValueError):
+            cst.SymDIAPlan(cst.CSC.from_scipy(a))

@@ -189,3 +189,12 @@ def test_reordered_grid_same_solution():
     assert res2 < 1e-9
     np.testing.assert_allclose(vm2, vm[perm], atol=1e-8)
     np.testing.assert_allclose(va2, va[perm], atol=1e-8)
+
+    # symmetric-banded path: Ybus is complex symmetric (real taps), so
+    # SplitSymDIA applies and must give the same solution
+    fd3 = FastDecoupled(g2, tol=1e-10, max_iter=80, spmv="symdia",
+                        solver="banded")
+    vm3, va3, _, res3 = fd3.solve()
+    assert res3 < 1e-9
+    np.testing.assert_allclose(vm3, vm[perm], atol=1e-8)
+    np.testing.assert_allclose(va3, va[perm], atol=1e-8)
