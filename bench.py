@@ -41,7 +41,7 @@ def _force(x):
 # measurement kernels (run in fresh subprocesses, one (kind, reps) each)
 # ---------------------------------------------------------------------------
 
-def run_spmv(reps: int, n: int = 200_000):
+def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     import functools
 
     import jax
@@ -58,27 +58,49 @@ def run_spmv(reps: int, n: int = 200_000):
 
     perm = rcm(Y)
     Yp = Y[perm, perm]
-    plan = cst.SplitDIA(Yp)
+    if plan_kind == "pallas":
+        plan = cst.SplitPallasDIA(Yp)
+        ndiag = plan.re.ndiag
+    else:
+        plan = cst.SplitDIA(Yp, chunk=32)
+        ndiag = plan.re.ndiag
     rng = np.random.RandomState(0)
-    xr, xi = jnp.asarray(rng.rand(n)), jnp.asarray(rng.rand(n))
+    xr0 = rng.rand(n).astype(np.float32)
+    xi0 = rng.rand(n).astype(np.float32)
 
     @functools.partial(jax.jit, static_argnums=3)
     def many(p, a, b, R):
         def body(c, _):
             yr, yi = p(*c)
-            return (yr * 1e-2, yi * 1e-2), None
+            s = 1.0 / jnp.maximum(jnp.max(jnp.abs(yr)), jnp.max(jnp.abs(yi)))
+            return (yr * s, yi * s), None
 
         o, _ = jax.lax.scan(body, (a, b), None, length=R)
-        return o[0][:1]
+        return o
 
-    compiled = many.lower(plan, xr, xi, reps).compile()  # no transfers
+    compiled = many.lower(plan, jnp.asarray(xr0), jnp.asarray(xi0),
+                          reps).compile()  # no transfers
+    # full-result download: the only barrier this runtime honors is a data
+    # dependency, and a correct value PROVES execution completed in-window
     t0 = time.perf_counter()
-    _force(compiled(plan, xr, xi))
+    out = compiled(plan, jnp.asarray(xr0), jnp.asarray(xi0))
+    got_r, got_i = np.asarray(out[0]), np.asarray(out[1])
+    t = time.perf_counter() - t0
+
+    A = Yp.to_scipy().tocsr()
+    z = xr0.astype(np.complex64) + 1j * xi0.astype(np.complex64)
+    for _ in range(reps):
+        z = A @ z
+        z = z / max(np.abs(z.real).max(), np.abs(z.imag).max())
+    scale = max(1e-30, np.abs(z).max())
+    err = max(np.abs(got_r - z.real).max(), np.abs(got_i - z.imag).max())
     return {
-        "t": time.perf_counter() - t0,
+        "t": t,
         "reps": reps,
         "nnz": int(Y.nnz),
-        "ndiag": plan.re.ndiag,
+        "ndiag": ndiag,
+        "rel_err": float(err / scale),
+        "correct": bool(err / scale < 1e-2),
         "device": str(jax.devices()[0]),
     }
 
@@ -211,9 +233,19 @@ def run_scipy_spmv_small(reps: int):
     return run_scipy_spmv(reps, n=50_000)
 
 
+def run_spmv_pallas(reps: int):
+    return run_spmv(reps, plan_kind="pallas")
+
+
+def run_spmv_pallas_small(reps: int):
+    return run_spmv(reps, n=50_000, plan_kind="pallas")
+
+
 _KINDS = {
     "spmv": run_spmv,
     "spmv_small": run_spmv_small,
+    "spmv_pallas": run_spmv_pallas,
+    "spmv_pallas_small": run_spmv_pallas_small,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "refactor": run_refactor,
@@ -250,6 +282,9 @@ def _sub(kind, reps, timeout=300, attempts=3):
 def _delta(kind, r1, r2, **kw):
     a = _sub(kind, r1, **kw)
     b = _sub(kind, r2, **kw)
+    for r in (a, b):
+        if r.get("correct") is False:
+            r.setdefault("error", f"wrong result (rel_err={r.get('rel_err')})")
     if "error" in a or "error" in b:
         return None, a, b
     d = b["t"] - a["t"]
@@ -264,13 +299,23 @@ def _delta(kind, r1, r2, **kw):
 def main():
     extra = {}
 
-    spmv_kind, scipy_kind = "spmv", "scipy_spmv"
-    per_spmv, a, b = _delta(spmv_kind, 20, 220, timeout=600, attempts=2)
-    if not per_spmv:
-        # degraded-tunnel fallback: 4x fewer upload bytes, same metric
-        extra["spmv_fallback"] = "50k"
-        spmv_kind, scipy_kind = "spmv_small", "scipy_spmv_small"
-        per_spmv, a, b = _delta(spmv_kind, 20, 220, timeout=600, attempts=2)
+    # candidate plans, best-first: Pallas band kernel, then the XLA scan
+    # plan; 200k-bus first, 50k fallback for degraded-tunnel days
+    candidates = [
+        ("spmv_pallas", "scipy_spmv", None),
+        ("spmv", "scipy_spmv", None),
+        ("spmv_pallas_small", "scipy_spmv_small", "50k"),
+        ("spmv_small", "scipy_spmv_small", "50k"),
+    ]
+    per_spmv, a, b, scipy_kind = None, {}, {}, "scipy_spmv"
+    for kind, sck, fb in candidates:
+        per, a, b = _delta(kind, 20, 220, timeout=600, attempts=2)
+        if per:
+            per_spmv, scipy_kind = per, sck
+            if fb:
+                extra["spmv_fallback"] = fb
+            extra["spmv_plan"] = kind
+            break
     if per_spmv:
         extra["spmv_t_s"] = per_spmv
         extra["spmv_nnz"] = a["nnz"]

@@ -551,28 +551,31 @@ class SplitDIA:
     """Split-complex banded SpMV: complex matrix as two real DIAPlans.
     ``__call__(xr, xi) -> (yr, yi)``; see SplitSpMV for the algebra."""
 
-    def __init__(self, a):
+    def __init__(self, a, chunk: int = 8):
         ip, rows, vals = a.np_arrays()
         from ..types import CSC
 
         self.iscomplex = np.iscomplexobj(vals)
         re = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.real),
                  canonical=a.canonical)
-        self.re = DIAPlan(re)
+        self.re = DIAPlan(re, chunk=chunk)
         if self.iscomplex:
             im = CSC(a.m, a.n, ip, rows, np.ascontiguousarray(vals.imag),
                      canonical=a.canonical)
-            self.im = DIAPlan(im)
+            self.im = DIAPlan(im, chunk=chunk)
         else:
             self.im = None
 
     def __call__(self, xr, xi):
+        # one batched (n, 2) application per real plan: each slab set is
+        # streamed ONCE for both the real and imaginary input vectors
+        # (separate calls would read every diagonal twice)
+        x2 = jnp.stack([jnp.asarray(xr), jnp.asarray(xi)], axis=1)
+        r2 = self.re(x2)
         if self.im is None:
-            return self.re(xr), self.re(xi)
-        return (
-            self.re(xr) - self.im(xi),
-            self.re(xi) + self.im(xr),
-        )
+            return r2[:, 0], r2[:, 1]
+        i2 = self.im(x2)
+        return r2[:, 0] - i2[:, 1], r2[:, 1] + i2[:, 0]
 
 
 jax.tree_util.register_pytree_node(

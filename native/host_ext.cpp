@@ -297,6 +297,10 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
   // caller must reset) if getrf hits an exactly-singular tail.
   auto dense_tail = [&](int64_t k0) -> bool {
     const int64_t m = n - k0;
+#ifdef LU_PROFILE
+    std::fprintf(stderr, "[luprof] dense_tail k0=%lld m=%lld\n",
+                 (long long)k0, (long long)m);
+#endif
     std::vector<int64_t> local_rows;
     local_rows.reserve(m);
     std::vector<int64_t> rmap(n, -1);
@@ -480,7 +484,7 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
     // dense-tail trigger: sustained >= 1/3 L-column density
     if (dens_run >= 0) {
       const int64_t llen = Lcp[k + 1] - Lcp[k];
-      if (3 * llen >= n - k - 1)
+      if (8 * llen >= n - k - 1)
         ++dens_run;
       else
         dens_run = 0;

@@ -48,3 +48,69 @@ def test_pallas_backend_dispatch():
     X = np.random.RandomState(7).rand(120, 9)
     Y = cst.spmm(A, jnp.asarray(X), backend="pallas")
     np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=1e-12, atol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# Pallas band (DIA-slab) SpMV
+# ---------------------------------------------------------------------------
+
+from csparse3_tpu.kernels.dia_pallas import PallasDIA, SplitPallasDIA  # noqa: E402
+from csparse3_tpu.types import CSC  # noqa: E402
+
+
+def _banded_case(n, seed):
+    from csparse3_tpu.linalg.ordering import rcm
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    g = synthetic_grid(n, seed=seed)
+    Y, _, _ = ybus(g)
+    p = rcm(Y)
+    return Y[p, p]
+
+
+def test_pallas_dia_matches_scipy():
+    Yp = _banded_case(731, seed=0)  # odd size: not a tile multiple
+    ip, rows, vals = Yp.np_arrays()
+    re = CSC(Yp.m, Yp.n, ip, rows, np.ascontiguousarray(vals.real),
+             canonical=Yp.canonical)
+    plan = PallasDIA(re, tile=256, dchunk=32)
+    rng = np.random.RandomState(1)
+    X = rng.rand(731, 3).astype(np.float32)
+    got = np.asarray(plan(X))
+    ref = Yp.to_scipy().real @ X
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # single-vector path
+    x = rng.rand(731).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(plan(x)), Yp.to_scipy().real @ x, rtol=2e-4, atol=2e-4)
+
+
+def test_split_pallas_dia_matches_scipy_complex():
+    Yp = _banded_case(520, seed=2)
+    plan = SplitPallasDIA(Yp, tile=128, dchunk=16)
+    rng = np.random.RandomState(3)
+    xr = rng.rand(520).astype(np.float32)
+    xi = rng.rand(520).astype(np.float32)
+    yr, yi = plan(xr, xi)
+    z = Yp.to_scipy() @ (xr + 1j * xi)
+    np.testing.assert_allclose(np.asarray(yr), z.real, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), z.imag, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_dia_pytree_jit_argument():
+    import functools
+
+    Yp = _banded_case(300, seed=4)
+    ip, rows, vals = Yp.np_arrays()
+    re = CSC(Yp.m, Yp.n, ip, rows, np.ascontiguousarray(vals.real),
+             canonical=Yp.canonical)
+    plan = PallasDIA(re, tile=128, dchunk=16)
+
+    @jax.jit
+    def apply(p, x):
+        return p(x)
+
+    x = np.random.RandomState(5).rand(300).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(apply(plan, x)), Yp.to_scipy().real @ x,
+        rtol=2e-4, atol=2e-4)
