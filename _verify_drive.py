@@ -45,12 +45,14 @@ xr = np.random.RandomState(1).rand(n).astype(np.float32)
 xi = np.random.RandomState(2).rand(n).astype(np.float32)
 z = Yp.to_scipy() @ (xr + 1j * xi)
 for name, mk in [("SplitDIA", lambda: cst.SplitDIA(Yp, chunk=32)),
-                 ("SplitPallasDIA", lambda: cst.SplitPallasDIA(Yp))]:
+                 ("SplitPallasDIA", lambda: cst.SplitPallasDIA(Yp)),
+                 ("SplitBandPoints", lambda: cst.SplitBandPoints(Y))]:
     pl_ = mk()
+    zc = z if name != "SplitBandPoints" else Y.to_scipy() @ (xr + 1j * xi)
     yr, yi = jax.jit(lambda q, a, b: q(a, b))(pl_, jnp.asarray(xr),
                                               jnp.asarray(xi))
-    err = max(np.abs(np.asarray(yr) - z.real).max(),
-              np.abs(np.asarray(yi) - z.imag).max()) / np.abs(z).max()
+    err = max(np.abs(np.asarray(yr) - zc.real).max(),
+              np.abs(np.asarray(yi) - zc.imag).max()) / np.abs(zc).max()
     print(f"{name} rel_err {err:.2e}", flush=True)
     assert err < 1e-3, name
 

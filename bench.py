@@ -52,18 +52,25 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
 
     grid = synthetic_grid(n, seed=0)
     Y, _, _ = ybus(grid)
-    # RCM + gather-free banded split-complex plan: TPU gathers lower to
-    # near-scalar code, so the banded formulation is the TPU-native SpMV
-    from csparse3_tpu.linalg.ordering import rcm
-
-    perm = rcm(Y)
-    Yp = Y[perm, perm]
-    if plan_kind == "pallas":
-        plan = cst.SplitPallasDIA(Yp)
-        ndiag = plan.re.ndiag
+    if plan_kind == "bandpoints":
+        # natural order: the lattice backbone IS the heavy-diagonal core;
+        # scattered long lines go through the one-hot MXU point kernel
+        Yp = Y
+        plan = cst.SplitBandPoints(Y)
+        ndiag = plan.core_ndiag
     else:
-        plan = cst.SplitDIA(Yp, chunk=32)
-        ndiag = plan.re.ndiag
+        # RCM + gather-free banded split-complex plan: TPU gathers lower
+        # to near-scalar code, so the banded formulation is the TPU SpMV
+        from csparse3_tpu.linalg.ordering import rcm
+
+        perm = rcm(Y)
+        Yp = Y[perm, perm]
+        if plan_kind == "pallas":
+            plan = cst.SplitPallasDIA(Yp)
+            ndiag = plan.re.ndiag
+        else:
+            plan = cst.SplitDIA(Yp, chunk=32)
+            ndiag = plan.re.ndiag
     rng = np.random.RandomState(0)
     xr0 = rng.rand(n).astype(np.float32)
     xi0 = rng.rand(n).astype(np.float32)
@@ -241,11 +248,21 @@ def run_spmv_pallas_small(reps: int):
     return run_spmv(reps, n=50_000, plan_kind="pallas")
 
 
+def run_spmv_bp(reps: int):
+    return run_spmv(reps, plan_kind="bandpoints")
+
+
+def run_spmv_bp_small(reps: int):
+    return run_spmv(reps, n=50_000, plan_kind="bandpoints")
+
+
 _KINDS = {
     "spmv": run_spmv,
     "spmv_small": run_spmv_small,
     "spmv_pallas": run_spmv_pallas,
     "spmv_pallas_small": run_spmv_pallas_small,
+    "spmv_bp": run_spmv_bp,
+    "spmv_bp_small": run_spmv_bp_small,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "refactor": run_refactor,
@@ -302,9 +319,9 @@ def main():
     # candidate plans, best-first: Pallas band kernel, then the XLA scan
     # plan; 200k-bus first, 50k fallback for degraded-tunnel days
     candidates = [
-        ("spmv_pallas", "scipy_spmv", None),
+        ("spmv_bp", "scipy_spmv", None),
         ("spmv", "scipy_spmv", None),
-        ("spmv_pallas_small", "scipy_spmv_small", "50k"),
+        ("spmv_bp_small", "scipy_spmv_small", "50k"),
         ("spmv_small", "scipy_spmv_small", "50k"),
     ]
     per_spmv, a, b, scipy_kind = None, {}, {}, "scipy_spmv"

@@ -63,6 +63,7 @@ from .ops.matvec import (  # noqa: F401
     spmm,
     spmv,
 )
+from .kernels.bandpoints import OffsetsPlan, SplitBandPoints  # noqa: F401
 from .kernels.dia_pallas import PallasDIA, SplitPallasDIA  # noqa: F401
 from .ops.norms import norm  # noqa: F401
 from .ops.reductions import diagonal, sum_duplicates  # noqa: F401

@@ -114,3 +114,65 @@ def test_pallas_dia_pytree_jit_argument():
     np.testing.assert_allclose(
         np.asarray(apply(plan, x)), Yp.to_scipy().real @ x,
         rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# hybrid band + points plan
+# ---------------------------------------------------------------------------
+
+from csparse3_tpu.kernels.bandpoints import (  # noqa: E402
+    OffsetsPlan, SplitBandPoints)
+
+
+def test_offsets_plan_matches_scipy():
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 400
+    g = synthetic_grid(n, seed=1)
+    Y, _, _ = ybus(g)
+    ip, rows, vals = Y.np_arrays()
+    cols = np.repeat(np.arange(n), np.diff(ip))
+    vr = np.ascontiguousarray(vals.real).astype(np.float32)
+    offs = sorted(set((cols - rows).tolist()))
+    plan = OffsetsPlan.from_entries(n, n, rows.astype(np.int64),
+                                    cols.astype(np.int64), vr, offs)
+    x = np.random.RandomState(2).rand(n, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(plan(x)), Y.to_scipy().real @ x, rtol=2e-4, atol=2e-4)
+
+
+def test_split_bandpoints_matches_scipy_complex():
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 1037  # not a tile multiple
+    g = synthetic_grid(n, seed=3)
+    Y, _, _ = ybus(g)
+    plan = SplitBandPoints(Y, tile=128)
+    rng = np.random.RandomState(4)
+    xr = rng.rand(n).astype(np.float32)
+    xi = rng.rand(n).astype(np.float32)
+    yr, yi = plan(xr, xi)
+    z = Y.to_scipy() @ (xr + 1j * xi)
+    np.testing.assert_allclose(np.asarray(yr), z.real, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), z.imag, rtol=2e-4, atol=2e-4)
+
+
+def test_split_bandpoints_real_matrix_and_jit():
+    import csparse3_tpu as cst
+
+    rng = np.random.RandomState(5)
+    n = 300
+    # tridiagonal core + a few scattered far entries
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n),
+                           rng.randint(0, n, 40)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1),
+                           rng.randint(0, n, 40)])
+    vals = rng.rand(len(rows))
+    A = cst.from_triplets(rows, cols, vals, (n, n))
+    plan = SplitBandPoints(A, tile=128)
+    xr = rng.rand(n).astype(np.float32)
+    xi = rng.rand(n).astype(np.float32)
+    yr, yi = jax.jit(lambda p, a, b: p(a, b))(plan, xr, xi)
+    As = A.to_scipy()
+    np.testing.assert_allclose(np.asarray(yr), As @ xr, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), As @ xi, rtol=2e-4, atol=2e-4)
