@@ -144,17 +144,30 @@ def run_lusolve(reps: int):
             return x / jnp.max(jnp.abs(x)), None
 
         o, _ = jax.lax.scan(body, b0, None, length=R)
-        return o[:1, :1]
+        return o
 
     compiled = chain.lower(splan, RHS, reps).compile()
     t0 = time.perf_counter()
-    _force(compiled(splan, RHS))
+    got = np.asarray(compiled(splan, RHS))
+    t = time.perf_counter() - t0
+    # host oracle chain (scipy splu on the same matrix); the normalize
+    # step keeps scales comparable, so f32-vs-f64 drift stays tiny
+    import scipy.sparse.linalg as spla
+
+    slu = spla.splu(Breg.to_scipy().tocsc())
+    xh = np.asarray(RHS, dtype=np.float64)
+    for _ in range(reps):
+        xh = slu.solve(xh)
+        xh = xh / np.abs(xh).max()
+    err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
     return {
-        "t": time.perf_counter() - t0,
+        "t": t,
         "reps": reps,
         "rhs": 1024,
         "fill": int(lu.lnz + lu.unz),
         "factor_s": t_factor,
+        "rel_err": err,
+        "correct": bool(err < 1e-2),
     }
 
 

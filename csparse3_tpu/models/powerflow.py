@@ -47,16 +47,25 @@ def sbus(grid: Grid):
 def _make_yplan(Y, spmv):
     """Split-complex Ybus SpMV plan.
 
-    'ell'    — gather-based SpMVPlan (CPU/GPU-friendly)
-    'dia'    — gather-free banded slabs (pair with models.grids.rcm_grid)
-    'symdia' — like 'dia' but stores only the upper diagonals; Ybus is
-               complex symmetric when taps are real (no phase shifters),
-               halving slab traffic. Raises if Y is not symmetric.
+    'ell'        — gather-based SpMVPlan (CPU/GPU-friendly)
+    'dia'        — gather-free banded slabs (pair with models.grids.rcm_grid)
+    'symdia'     — like 'dia' but stores only the upper diagonals; Ybus is
+                   complex symmetric when taps are real (no phase
+                   shifters), halving slab traffic. Raises if Y is not
+                   symmetric.
+    'bandpoints' — heavy-diagonal slabs + one-hot MXU point kernel
+                   (kernels.bandpoints); the right choice for large
+                   naturally-ordered lattice-backbone grids whose long
+                   lines would otherwise densify the band.
     """
     if spmv == "dia":
         return matvec.SplitDIA(Y)
     if spmv == "symdia":
         return matvec.SplitSymDIA(Y, tol=1e-12)
+    if spmv == "bandpoints":
+        from ..kernels.bandpoints import SplitBandPoints
+
+        return SplitBandPoints(Y)
     return matvec.SplitSpMV(Y)
 
 

@@ -198,3 +198,18 @@ def test_reordered_grid_same_solution():
     assert res3 < 1e-9
     np.testing.assert_allclose(vm3, vm[perm], atol=1e-8)
     np.testing.assert_allclose(va3, va[perm], atol=1e-8)
+
+
+def test_newton_bandpoints_spmv_matches_ell():
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow
+
+    g = synthetic_grid(200, seed=7)
+    vm_r, va_r, _, res_r = NewtonPowerFlow(g, spmv="ell").solve()
+    vm_b, va_b, _, res_b = NewtonPowerFlow(g, spmv="bandpoints").solve()
+    assert res_r < 1e-8
+    # the bandpoints plan computes in float32 by design (TPU layout);
+    # the Newton residual floors at f32 SpMV precision
+    assert res_b < 1e-4
+    np.testing.assert_allclose(vm_b, vm_r, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(va_b, va_r, rtol=1e-4, atol=1e-5)
