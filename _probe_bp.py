@@ -54,8 +54,10 @@ def main():
         z = z / max(np.abs(z.real).max(), np.abs(z.imag).max())
     err = max(np.abs(gr - z.real).max(), np.abs(gi - z.imag).max())
     rel = float(err / max(1e-30, np.abs(z).max()))
+    groups = [(int(w.shape[1]), meta[1]) for (w, _r, _a, _b), meta in
+              zip(plan.point_data, plan.point_meta)]
     print(json.dumps({"t": t, "reps": reps, "n": n, "tile": tile,
-                      "E": int(plan.widx.shape[1]), "KW": plan.KW,
+                      "groups": groups,
                       "core": plan.core_ndiag, "nnz": int(Y.nnz),
                       "rel_err": rel, "correct": bool(rel < 1e-2)}))
 

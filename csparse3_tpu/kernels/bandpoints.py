@@ -237,9 +237,17 @@ class SplitBandPoints:
     ``__call__(xr, xi) -> (yr, yi)``.  Built from a complex (or real)
     square CSC; ordering is the caller's business (natural order is
     already optimal for lattice-backbone grids).
+
+    Scattered entries can be partitioned into OFFSET GROUPS spanning
+    ``group_span`` diagonals each (own kernel call, gather window
+    ``group_span + tile`` instead of ``spread + tile``).  Only worth it
+    when points-per-tile >= 128 * n_groups: the entry axis pads to 128
+    lanes per kernel, so thin groups cost MORE (measured 2x slower at 1M
+    grid density with 6 groups).  Default: one group.
     """
 
-    def __init__(self, a, frac: float = 0.02, tile: int = 256):
+    def __init__(self, a, frac: float = 0.02, tile: int = 256,
+                 group_span: int | None = None):
         ip, ix, vals = a.np_arrays()
         m, n = a.m, a.n
         rows = ix.astype(np.int64)
@@ -259,20 +267,36 @@ class SplitBandPoints:
             m, n, rows[core], cols[core], vi[core], heavy)
             if self.iscomplex else None)
         self.tile = tile
-        (self.widx, self.wrow, self.pvr, pvi, self.omin_p, self.P,
-         self.KW, _nt) = _pack_points(
-            m, rows[pts], cols[pts], vr[pts],
-            vi[pts] if vi is not None else None, tile)
-        self.pvi = pvi
-        self.has_points = bool(pts.any())
-        self.widx = jnp.asarray(self.widx)
-        self.wrow = jnp.asarray(self.wrow)
-        self.pvr = jnp.asarray(self.pvr)
-        self.pvi = jnp.asarray(self.pvi)
+        self.group_span = group_span
+        # partition point entries into offset groups
+        pr, pc = rows[pts], cols[pts]
+        pvr = vr[pts]
+        pvi = vi[pts] if vi is not None else None
+        dd = pc - pr
+        self.point_data = []   # jnp arrays per group
+        self.point_meta = []   # static (T, KW, omin_p, P) per group
+        if len(dd):
+            if group_span is None:
+                gid = np.zeros(len(dd), dtype=np.int64)
+            else:
+                gid = (dd - int(dd.min())) // group_span
+            for g in np.unique(gid):
+                sel = gid == g
+                widx, wrow, gvr, gvi, omin_p, P, KW, _nt = _pack_points(
+                    m, pr[sel], pc[sel], pvr[sel],
+                    pvi[sel] if pvi is not None else None, tile)
+                self.point_data.append(
+                    (jnp.asarray(widx), jnp.asarray(wrow),
+                     jnp.asarray(gvr), jnp.asarray(gvi)))
+                self.point_meta.append((tile, KW, omin_p, P))
 
     @property
     def core_ndiag(self):
         return len(self.core_r.offs)
+
+    @property
+    def n_groups(self):
+        return len(self.point_data)
 
     def __call__(self, xr, xi):
         xr = jnp.asarray(xr, jnp.float32)
@@ -285,29 +309,32 @@ class SplitBandPoints:
             yi = r2[:, 1] + i2[:, 0]
         else:
             yr, yi = r2[:, 0], r2[:, 1]
-        if self.has_points:
-            yp = points_spmv_pallas(
-                self.widx, self.wrow, self.pvr, self.pvi,
-                jnp.stack([xr, xi], axis=0),
-                T=self.tile, KW=self.KW, omin_p=self.omin_p, P=self.P,
-                m=self.m, interpret=_default_interpret())
-            yr = yr + yp[0]
-            yi = yi + yp[1]
+        if self.point_data:
+            x2r = jnp.stack([xr, xi], axis=0)
+            interp = _default_interpret()
+            for (widx, wrow, gvr, gvi), (T, KW, omin_p, P) in zip(
+                    self.point_data, self.point_meta):
+                yp = points_spmv_pallas(
+                    widx, wrow, gvr, gvi, x2r,
+                    T=T, KW=KW, omin_p=omin_p, P=P, m=self.m,
+                    interpret=interp)
+                yr = yr + yp[0]
+                yi = yi + yp[1]
         return yr, yi
 
 
 jax.tree_util.register_pytree_node(
     SplitBandPoints,
-    lambda p: ((p.core_r, p.core_i, p.widx, p.wrow, p.pvr, p.pvi),
-               (p.m, p.n, p.iscomplex, p.tile, p.omin_p, p.P, p.KW,
-                p.has_points)),
+    lambda p: ((p.core_r, p.core_i, p.point_data),
+               (p.m, p.n, p.iscomplex, p.tile, p.group_span,
+                tuple(p.point_meta))),
     lambda aux, ch: _sbp_unflatten(aux, ch),
 )
 
 
 def _sbp_unflatten(aux, ch):
     obj = object.__new__(SplitBandPoints)
-    (obj.m, obj.n, obj.iscomplex, obj.tile, obj.omin_p, obj.P, obj.KW,
-     obj.has_points) = aux
-    (obj.core_r, obj.core_i, obj.widx, obj.wrow, obj.pvr, obj.pvi) = ch
+    (obj.m, obj.n, obj.iscomplex, obj.tile, obj.group_span, meta) = aux
+    obj.point_meta = list(meta)
+    (obj.core_r, obj.core_i, obj.point_data) = ch
     return obj
