@@ -204,17 +204,29 @@ def run_refactor(reps: int):
     @functools.partial(jax.jit, static_argnums=2)
     def chain(p, d0, R):
         def body(d, _):
-            Lx, _Ux = p.factor_values(d)
-            # couple iterations: next data depends (trivially) on this Lx
-            return d0 * (1.0 + 0.0 * Lx[0]), None
+            Lx, Ux = p.factor_values(d)
+            # couple iterations: next data scales with a factor statistic
+            s = 1.0 + 1e-9 * (jnp.max(jnp.abs(Lx)) + jnp.max(jnp.abs(Ux)))
+            return d0 * s, None
 
         o, _ = jax.lax.scan(body, d0, None, length=R)
-        return o[:1]
+        # final full factorization comes back for verification
+        return p.factor_values(o)
 
     compiled = chain.lower(rp, data, reps).compile()
     t0 = time.perf_counter()
-    _force(compiled(rp, data))
-    return {"t": time.perf_counter() - t0, "reps": reps}
+    Lx_d, Ux_d = (np.asarray(v) for v in compiled(rp, data))
+    t = time.perf_counter() - t0
+    # oracle: factor_values output aligns with the host factor's CSC data
+    # order; the chain only rescales the matrix by (1 + ~1e-9*reps), and
+    # L of c*A equals L of A exactly (unit diagonal), U scales by c
+    ref_L = np.asarray(lu.L.np_arrays()[2], dtype=np.float64)
+    ref_U = np.asarray(lu.U.np_arrays()[2], dtype=np.float64)
+    errL = np.abs(Lx_d - ref_L).max() / max(1e-30, np.abs(ref_L).max())
+    errU = np.abs(Ux_d - ref_U).max() / max(1e-30, np.abs(ref_U).max())
+    err = float(max(errL, errU))
+    return {"t": t, "reps": reps, "rel_err": err,
+            "correct": bool(err < 1e-2)}
 
 
 def run_spgemm(reps: int):

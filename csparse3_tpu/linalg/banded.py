@@ -41,14 +41,16 @@ def bandwidth(Fp, Fi):
     return int(np.abs(Fi.astype(np.int64) - cols).max())
 
 
-def _dense_blocks(n, Fp, Fi, Fx, s, lower):
+def _dense_blocks(n, Fp, Fi, Fx, s, lower, dtype=None):
     """(nb, s, s) diagonal blocks and (nb, s, s) off-diagonal blocks of a
     banded triangular CSC, zero-padded to nb*s rows; the padded tail gets
     a unit diagonal."""
     nb = -(-n // s)
     N = nb * s
-    diag = np.zeros((nb, s, s), dtype=Fx.dtype)
-    off = np.zeros((nb, s, s), dtype=Fx.dtype)
+    if dtype is None:
+        dtype = Fx.dtype
+    diag = np.zeros((nb, s, s), dtype=dtype)
+    off = np.zeros((nb, s, s), dtype=dtype)
     cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Fp))
     rows = np.asarray(Fi).astype(np.int64)
     vals = np.asarray(Fx)
@@ -78,15 +80,26 @@ class BandedSolvePlan:
     for the chosen block size.
     """
 
-    def __init__(self, host, s: int | None = None):
+    def __init__(self, host, s: int | None = None, dtype=None):
         n = host.n
         bw = max(bandwidth(host.Lp, host.Li), bandwidth(host.Up, host.Ui))
         if s is None:
             s = max(8, -(-bw // 8) * 8)
         if s < bw:
             raise ValueError(f"block size {s} < factor bandwidth {bw}")
-        Ld, Lo = _dense_blocks(n, host.Lp, host.Li, host.Lx, s, lower=True)
-        Ud, Uo = _dense_blocks(n, host.Up, host.Ui, host.Ux, s, lower=False)
+        if dtype is None:
+            # match the device dtype: without x64 every leaf lands as f32
+            # anyway, and building in f32 halves host memory, block
+            # inversion flops, and upload bytes (s grows ~sqrt(n), so at
+            # 100k nodes the plan is ~1.2 GB even in f32)
+            import jax
+
+            dtype = host.Lx.dtype if jax.config.jax_enable_x64 else (
+                np.complex64 if np.iscomplexobj(host.Lx) else np.float32)
+        Ld, Lo = _dense_blocks(n, host.Lp, host.Li, host.Lx, s, lower=True,
+                               dtype=dtype)
+        Ud, Uo = _dense_blocks(n, host.Up, host.Ui, host.Ux, s, lower=False,
+                               dtype=dtype)
         self.n = n
         self.s = s
         self.linv = jnp.asarray(np.linalg.inv(Ld))
