@@ -76,8 +76,12 @@ class SparseLU:
     reference breadcrumb: src/research/scipy_wrappers.py:7-10).
     """
 
-    def __init__(self, host: HostLU, dtype):
+    def __init__(self, host: HostLU, dtype, method: str = "gp"):
         self._h = host
+        #: which factorization kernel produced this object:
+        #: 'supernodal' (BLAS-3 multifrontal, within-front pivoting) or
+        #: 'gp' (scalar Gilbert-Peierls with threshold partial pivoting)
+        self.method = method
         n = host.n
         self.n = n
         self.L = CSC(n, n, host.Lp, host.Li, host.Lx)
@@ -177,27 +181,84 @@ class SparseLU:
         return x
 
 
-def splu(a: CSC, ordering="amd", tol: float = 1.0) -> SparseLU:
+def _pattern_symmetry(n, ip, ix) -> float:
+    """Fraction of off-diagonal entries whose transposed position is also
+    in the pattern (1.0 = structurally symmetric)."""
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(ip))
+    rows = np.asarray(ix, dtype=np.int64)
+    off = rows != cols
+    if not off.any():
+        return 1.0
+    k = rows[off] * n + cols[off]
+    kt = cols[off] * n + rows[off]
+    return len(np.intersect1d(k, kt, assume_unique=False)) / len(k)
+
+
+def splu(a: CSC, ordering="auto", tol: float = 1.0,
+         mode: str = "auto") -> SparseLU:
     """Factor P A Q = L U with partial pivoting.
 
-    ordering: 'amd' (min-degree, default), 'rcm', 'natural', a permutation
-    array, or a callable.  tol: diagonal-preference threshold (1.0 = strict
-    partial pivoting, smaller favors sparsity-preserving diagonal pivots).
+    ordering: 'auto' (default — nested dissection when the supernodal
+    kernel will run, since it produces large clustered fronts; min-degree
+    otherwise, whose scattered supernodes suit the scalar kernel), 'amd',
+    'nd', 'rcm', 'natural', a permutation array, or a callable.  tol:
+    diagonal-preference threshold (1.0 = strict partial pivoting, smaller
+    favors sparsity-preserving diagonal pivots).
+
+    mode selects the numeric kernel:
+
+    * 'auto' (default) — the BLAS-3 supernodal multifrontal kernel
+      (native/lu_sn.cpp) when the problem suits it (native extension
+      present, n >= 512, strict-pivot request, near-symmetric pattern),
+      with an element-growth check and fallback to the scalar kernel;
+    * 'supernodal' — force the multifrontal kernel (falls back only if
+      the native kernel declines, e.g. an exactly singular block);
+    * 'gp' — force the scalar Gilbert-Peierls kernel (threshold partial
+      pivoting; the only mode that honors ``tol`` and supports the
+      no-row-exchange tol=0 contract of ``banded_solve_plan``).
     """
     if a.m != a.n:
         raise ValueError(f"LU requires a square matrix, got {a.shape}")
-    q = ordering_mod.get_ordering(ordering, a)
+    if mode not in ("auto", "supernodal", "gp"):
+        raise ValueError(f"unknown splu mode {mode!r}")
     ip, ix, dt = a.np_arrays()
+    native = None
     try:
-        from ..native import host_ext
-
-        host = host_ext.lu_factor(a.n, ip, ix, dt, q, tol)
+        from ..native import host_ext as native
     except ImportError:
-        host = lu_factor_host(a.n, ip, ix, dt, q, tol)
-    return SparseLU(host, dt.dtype)
+        pass
+
+    use_sn = native is not None and mode in ("auto", "supernodal") and (
+        mode == "supernodal" or (
+            tol == 1.0 and a.n >= 512
+            and _pattern_symmetry(a.n, ip, ix) >= 0.9
+        )
+    )
+    if isinstance(ordering, str) and ordering == "auto":
+        ordering = "nd" if use_sn else "amd"
+    q = ordering_mod.get_ordering(ordering, a)
+
+    host = None
+    method = "gp"
+    if use_sn:
+        host = native.lu_factor_sn(a.n, ip, ix, dt, q)
+        if host is not None:
+            method = "supernodal"
+            if mode == "auto":
+                # within-front pivoting only: verify element growth
+                amax = float(np.abs(dt).max()) if len(dt) else 0.0
+                umax = float(np.abs(host.Ux).max()) if len(host.Ux) else 0.0
+                if not np.isfinite(umax) or umax > 1e7 * max(amax, 1e-300):
+                    host, method = None, "gp"
+    if host is None:
+        if native is not None:
+            host = native.lu_factor(a.n, ip, ix, dt, q, tol)
+        else:
+            host = lu_factor_host(a.n, ip, ix, dt, q, tol)
+    return SparseLU(host, dt.dtype, method=method)
 
 
-def spsolve(a: CSC, b, ordering="amd", tol: float = 1.0):
+def spsolve(a: CSC, b, ordering="auto", tol: float = 1.0):
     """x = A^{-1} b (factor + solve; reference breadcrumb
     src/research/scipy_wrappers.py shows the scipy spsolve equivalent)."""
     return splu(a, ordering=ordering, tol=tol).solve(b)

@@ -73,7 +73,7 @@ def _make_yplan(Y, spmv):
 # DC power flow
 # ---------------------------------------------------------------------------
 
-def dc_power_flow(grid: Grid, ordering="amd"):
+def dc_power_flow(grid: Grid, ordering="auto"):
     """theta = B^{-1} P with the slack row/column removed; returns bus
     angles (radians, slack = 0)."""
     n = grid.n_bus
@@ -103,7 +103,7 @@ class FastDecoupled:
     factorizations); ``step``/``run`` are pure jax on device.
     """
 
-    def __init__(self, grid: Grid, ordering="amd", tol=1e-8, max_iter=50,
+    def __init__(self, grid: Grid, ordering="auto", tol=1e-8, max_iter=50,
                  spmv="ell", solver="level"):
         """spmv: 'ell' (gather-based; CPU/GPU-friendly), 'dia'
         (gather-free banded slabs; the TPU path — reorder the grid with
@@ -321,7 +321,7 @@ class NewtonPowerFlow:
     reference implementation kept below).
     """
 
-    def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="amd",
+    def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="auto",
                  spmv="ell"):
         """spmv: 'ell', 'dia' (gather-free banded slabs; pair with
         models.grids.rcm_grid so Ybus is banded), or 'symdia' (see
@@ -475,7 +475,7 @@ class NewtonPowerFlow:
         )
 
 
-def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="amd"):
+def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="auto"):
     """Full Newton power flow; returns (vm, va, iterations, residual)."""
     n = grid.n_bus
     Y, _, _ = ybus(grid)

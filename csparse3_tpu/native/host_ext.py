@@ -70,6 +70,10 @@ for _name in ("lu_factor_d", "lu_factor_z"):
         ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, _i64p, ctypes.c_double,
         ctypes.c_int64,
     ]
+for _name in ("lu_factor_sn_d", "lu_factor_sn_z"):
+    fn = getattr(_lib, _name)
+    fn.restype = ctypes.POINTER(_LUResult)
+    fn.argtypes = [ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, _i64p]
 _lib.lu_load_blas.restype = ctypes.c_int
 _lib.lu_load_blas.argtypes = [ctypes.c_char_p]
 
@@ -146,6 +150,10 @@ def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0,
         Ax.ctypes.data_as(ctypes.c_void_p), _i64_ptr(qa),
         ctypes.c_double(tol), ctypes.c_int64(int(dense_cap)),
     )
+    return _unpack_lu(res, n, qa, vdt)
+
+
+def _unpack_lu(res, n, qa, vdt) -> HostLU:
     r = res.contents
     try:
         def icopy(ptr, cnt):
@@ -175,6 +183,31 @@ def lu_factor(n, Ap, Ai, Ax, q=None, tol: float = 1.0,
     finally:
         _lib.lu_free(res)
     return out
+
+
+def lu_factor_sn(n, Ap, Ai, Ax, q=None):
+    """Supernodal multifrontal LU (native/lu_sn.cpp): BLAS-3 fronts with
+    within-front partial pivoting.  Intended for structurally symmetric,
+    well-conditioned systems (Ybus/B'); returns None when the native
+    kernel declines (no BLAS-3, exactly singular fully-summed block, or
+    inconsistent structure) — callers fall back to ``lu_factor``."""
+    if not _HAVE_BLAS:
+        return None
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    Ax = np.ascontiguousarray(np.asarray(Ax))
+    if np.issubdtype(Ax.dtype, np.complexfloating):
+        Ax = Ax.astype(np.complex128, copy=False)
+        fn, vdt = _lib.lu_factor_sn_z, np.complex128
+    else:
+        Ax = Ax.astype(np.float64, copy=False)
+        fn, vdt = _lib.lu_factor_sn_d, np.float64
+    qa = _as_i64(q if q is not None else np.arange(n))
+    res = fn(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+             Ax.ctypes.data_as(ctypes.c_void_p), _i64_ptr(qa))
+    if not res:
+        return None
+    return _unpack_lu(res, n, qa, vdt)
 
 
 def amd(n, Ap, Ai) -> np.ndarray:

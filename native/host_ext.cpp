@@ -25,8 +25,9 @@
 #include <dlfcn.h>
 #include <sys/mman.h>
 
+#include "host_common.h"
+
 using std::int64_t;
-using cplx = std::complex<double>;
 
 // ---------------------------------------------------------------------------
 // Optional LAPACK getrf for the dense trailing block of the LU (loaded at
@@ -34,19 +35,9 @@ using cplx = std::complex<double>;
 // or plain dgetrf_/zgetrf_; see host_ext.py::_load_blas).
 // ---------------------------------------------------------------------------
 
-namespace {
-
-using getrf_d_t = void (*)(const int*, const int*, double*, const int*, int*,
-                           int*);
-using getrf_z_t = void (*)(const int*, const int*, void*, const int*, int*,
-                           int*);
-
-struct BlasFns {
-  getrf_d_t dgetrf = nullptr;
-  getrf_z_t zgetrf = nullptr;
-  bool ok() const { return dgetrf && zgetrf; }
-};
 BlasFns g_blas;
+
+namespace {
 
 template <typename T>
 void call_getrf(int m, T* a, int lda, int* ipiv, int* info);
@@ -58,6 +49,8 @@ template <>
 void call_getrf<cplx>(int m, cplx* a, int lda, int* ipiv, int* info) {
   g_blas.zgetrf(&m, &m, a, &lda, ipiv, info);
 }
+
+}  // namespace
 
 // Populated mmap for big scratch (demand faults are pathological on
 // sandboxed kernels — see native/npalloc.c).
@@ -78,12 +71,10 @@ void pop_free_raw(void* p, size_t bytes, bool mapped) {
     std::free(p);
 }
 
-}  // namespace
-
 extern "C" {
 
-// Load getrf from the given shared library (idempotent; returns 1 on
-// success).  Tries scipy_-prefixed then plain LAPACK symbol names.
+// Load getrf/gemm/trsm from the given shared library (idempotent; returns
+// 1 on success).  Tries scipy_-prefixed then plain LAPACK symbol names.
 int lu_load_blas(const char* path) {
   if (g_blas.ok()) return 1;
   void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
@@ -94,27 +85,16 @@ int lu_load_blas(const char* path) {
   };
   g_blas.dgetrf = (getrf_d_t)find("scipy_dgetrf_", "dgetrf_");
   g_blas.zgetrf = (getrf_z_t)find("scipy_zgetrf_", "zgetrf_");
+  g_blas.dgemm = (gemm_d_t)find("scipy_dgemm_", "dgemm_");
+  g_blas.zgemm = (gemm_z_t)find("scipy_zgemm_", "zgemm_");
+  g_blas.dtrsm = (trsm_d_t)find("scipy_dtrsm_", "dtrsm_");
+  g_blas.ztrsm = (trsm_z_t)find("scipy_ztrsm_", "ztrsm_");
   return g_blas.ok() ? 1 : 0;
 }
 
 }  // extern "C"
 
 extern "C" {
-
-struct LUResult {
-  int64_t n;
-  int64_t lnz;
-  int64_t unz;
-  int64_t nsing;
-  int64_t* Lp;
-  int64_t* Li;
-  int64_t* Up;
-  int64_t* Ui;
-  int64_t* perm_r;
-  int64_t* sing;
-  void* Lx;
-  void* Ux;
-};
 
 void lu_free(LUResult* r) {
   if (!r) return;
@@ -481,10 +461,17 @@ LUResult* lu_factor(int64_t n, const int64_t* Ap, const int64_t* Ai,
     }
     LU_TOC(prune);
 
-    // dense-tail trigger: sustained >= 1/3 L-column density
+    // dense-tail trigger: sustained >= 1/D L-column density (default 1/8;
+    // tunable via CSPARSE3_LU_DENSE_TRIGGER because the crossover between
+    // scalar-sparse and dense-BLAS tails depends on the host's BLAS rate)
     if (dens_run >= 0) {
+      static const int64_t D = [] {
+        const char* e = std::getenv("CSPARSE3_LU_DENSE_TRIGGER");
+        const long v = e ? std::strtol(e, nullptr, 10) : 0;
+        return (int64_t)(v > 0 ? v : 8);
+      }();
       const int64_t llen = Lcp[k + 1] - Lcp[k];
-      if (8 * llen >= n - k - 1)
+      if (D * llen >= n - k - 1)
         ++dens_run;
       else
         dens_run = 0;

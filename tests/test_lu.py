@@ -215,3 +215,88 @@ class TestDenseTailPlan:
         level = lu.solve_plan("level")
         # the dense tail must absorb the vast majority of dependency levels
         assert auto.lplan.nlevels * 5 < level.lplan.nlevels
+
+
+class TestSupernodal:
+    """BLAS-3 multifrontal kernel (native/lu_sn.cpp, splu mode='auto' /
+    'supernodal')."""
+
+    def _need_native(self):
+        pytest.importorskip("csparse3_tpu.native.host_ext")
+
+    @pytest.mark.parametrize("n", [50, 300, 1500])
+    def test_forced_supernodal_matches_scipy(self, n):
+        self._need_native()
+        a_sp = ybus_like(n, seed=n + 1)
+        a = cst.CSC.from_scipy(a_sp)
+        lu = cla.splu(a, mode="supernodal")
+        assert lu.method == "supernodal"
+        b = np.random.RandomState(2).rand(n)
+        x = lu.solve_host(b)
+        np.testing.assert_allclose(x, spla.spsolve(a_sp, b),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_reconstruction_exact(self):
+        self._need_native()
+        a_sp = ybus_like(400, seed=9)
+        a = cst.CSC.from_scipy(a_sp)
+        lu = cla.splu(a, mode="supernodal")
+        L = sp.csc_matrix(
+            (lu.L.np_arrays()[2], lu.L.np_arrays()[1], lu.L.np_arrays()[0]),
+            shape=(400, 400))
+        U = sp.csc_matrix(
+            (lu.U.np_arrays()[2], lu.U.np_arrays()[1], lu.U.np_arrays()[0]),
+            shape=(400, 400))
+        paq = a_sp[np.asarray(lu.perm_r)][:, np.asarray(lu.perm_c)]
+        err = abs((L @ U - paq)).max()
+        assert err < 1e-10 * abs(a_sp).max()
+
+    def test_auto_picks_supernodal_on_grid(self):
+        self._need_native()
+        a_sp = ybus_like(1024, seed=3)
+        lu = cla.splu(cst.CSC.from_scipy(a_sp))
+        assert lu.method == "supernodal"
+        b = np.random.RandomState(0).rand(1024)
+        np.testing.assert_allclose(lu.solve_host(b), spla.spsolve(a_sp, b),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_auto_keeps_gp_for_unsymmetric_or_small(self):
+        self._need_native()
+        # strongly unsymmetric pattern -> gp
+        rng = np.random.RandomState(1)
+        a_sp = (sp.random(800, 800, density=0.004, random_state=rng)
+                + sp.diags(np.full(800, 5.0))).tocsc()
+        lu = cla.splu(cst.CSC.from_scipy(a_sp))
+        assert lu.method == "gp"
+        # small n -> gp
+        small = ybus_like(60, seed=2)
+        assert cla.splu(cst.CSC.from_scipy(small)).method == "gp"
+        # tol=0 (banded no-exchange contract) -> gp
+        big = ybus_like(1024, seed=4)
+        assert cla.splu(cst.CSC.from_scipy(big), tol=0.0).method == "gp"
+
+    def test_supernodal_complex(self):
+        self._need_native()
+        n = 600
+        rng = np.random.RandomState(5)
+        a_sp = sp.random(n, n, density=0.005, random_state=rng) \
+            + 1j * sp.random(n, n, density=0.005,
+                             random_state=np.random.RandomState(6))
+        a_sp = (a_sp + a_sp.T + sp.diags(np.full(n, 6.0 + 3.0j))).tocsc()
+        lu = cla.splu(cst.CSC.from_scipy(a_sp), mode="supernodal")
+        assert lu.method == "supernodal"
+        b = rng.rand(n) + 1j * rng.rand(n)
+        x = lu.solve_host(b)
+        res = np.linalg.norm(a_sp @ x - b) / np.linalg.norm(b)
+        assert res < 1e-12
+
+    def test_singular_falls_back_and_reports(self):
+        self._need_native()
+        n = 700
+        a_sp = ybus_like(n, seed=8).tolil()
+        a_sp[:, 5] = 0.0
+        a_sp[5, :] = 0.0
+        a = cst.CSC.from_scipy(a_sp.tocsc())
+        lu = cla.splu(a)  # auto: sn declines on the zero pivot -> gp
+        assert lu.method == "gp"
+        assert lu.is_singular
