@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandedSolvePlan", "bandwidth"]
+__all__ = ["BandedLU", "BandedSolvePlan", "bandwidth"]
 
 
 def bandwidth(Fp, Fi):
@@ -39,6 +39,29 @@ def bandwidth(Fp, Fi):
     if len(cols) == 0:
         return 0
     return int(np.abs(Fi.astype(np.int64) - cols).max())
+
+
+def _inv(blocks):
+    """Batched inverse computed in double precision.
+
+    numpy's float32 getri path is ~100x slower than the float64 one on
+    this host (measured: 72 s vs 0.74 s for a (106, 472, 472) stack), so
+    always invert in f64/c128 and cast back to the requested dtype.
+    """
+    dt = blocks.dtype
+    wide = np.complex128 if np.iscomplexobj(blocks) else np.float64
+    return _downcast(np.linalg.inv(blocks.astype(wide, copy=False)), dt)
+
+
+def _downcast(a, dtype):
+    """astype with subnormal flushing (see utils.flush_subnormals: mixed
+    f32-subnormal casts are ~100-300x slower on this host, and factor
+    fill-in decays into that range)."""
+    from ..utils.hostmem import flush_subnormals
+
+    if np.dtype(dtype).itemsize < a.dtype.itemsize:
+        flush_subnormals(a, np.float32)
+    return a.astype(dtype, copy=False)
 
 
 def _dense_blocks(n, Fp, Fi, Fx, s, lower, dtype=None):
@@ -53,7 +76,7 @@ def _dense_blocks(n, Fp, Fi, Fx, s, lower, dtype=None):
     off = np.zeros((nb, s, s), dtype=dtype)
     cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Fp))
     rows = np.asarray(Fi).astype(np.int64)
-    vals = np.asarray(Fx)
+    vals = _downcast(np.asarray(Fx).copy(), dtype)
     kb_r, kb_c = rows // s, cols // s
     same = kb_r == kb_c
     diag[kb_r[same], rows[same] % s, cols[same] % s] = vals[same]
@@ -69,6 +92,264 @@ def _dense_blocks(n, Fp, Fi, Fx, s, lower, dtype=None):
     for i in range(n, N):
         diag[i // s, i % s, i % s] = 1.0
     return diag, off
+
+
+def _tridiag_blocks(n, Ap, Ai, Ax, s, dtype):
+    """(nb,s,s) diagonal D, subdiagonal E and superdiagonal F blocks of a
+    banded square CSC, zero-padded to nb*s rows with a unit diagonal on
+    the padded tail.  E[k] couples block k to k-1 (E[0] = 0); F[k]
+    couples block k to k+1 (F[nb-1] = 0)."""
+    nb = -(-n // s)
+    D = np.zeros((nb, s, s), dtype=dtype)
+    E = np.zeros((nb, s, s), dtype=dtype)
+    F = np.zeros((nb, s, s), dtype=dtype)
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(np.asarray(Ap)))
+    rows = np.asarray(Ai).astype(np.int64)
+    vals = np.asarray(Ax).astype(dtype, copy=False)
+    kb_r, kb_c = rows // s, cols // s
+    same = kb_r == kb_c
+    D[kb_r[same], rows[same] % s, cols[same] % s] = vals[same]
+    sub = kb_r == kb_c + 1
+    E[kb_r[sub], rows[sub] % s, cols[sub] % s] = vals[sub]
+    sup = kb_r == kb_c - 1
+    F[kb_r[sup], rows[sup] % s, cols[sup] % s] = vals[sup]
+    bad = ~(same | sub | sup)
+    if bad.any():
+        raise ValueError(
+            f"matrix bandwidth exceeds block size {s}; "
+            f"{int(bad.sum())} entries outside the block tridiagonal")
+    for i in range(n, nb * s):
+        D[i // s, i % s, i % s] = 1.0
+    return D, E, F
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedLU:
+    """Direct block-tridiagonal ("block Thomas") factorization of a
+    banded matrix — factor and multi-RHS solve designed for the MXU.
+
+    For an RCM-ordered diagonally dominant system (the power-flow B',
+    B'', Ybus matrices; new capability vs the solver-less reference —
+    SURVEY scope note, breadcrumb src/research/scipy_wrappers.py), chunk
+    rows into blocks of s >= bandwidth so A is block tridiagonal
+    (D_k, E_k, F_k).  Factor via the block Thomas recurrence
+
+        S_k = D_k - E_k S_{k-1}^{-1} F_{k-1}
+
+    with dense BLAS-3 on host, storing Ehat_k = E_k S_{k-1}^{-1},
+    S_k^{-1}, and Uhat_k = S_k^{-1} F_k.  The device solve is two
+    ``lax.scan`` sweeps of (s,s)@(s,B) matmuls — three per block:
+
+        y_k = b_k - Ehat_k y_{k-1}
+        x_k = S_k^{-1} y_k - Uhat_k x_{k+1}
+
+    Unlike ``SparseLU(...).banded_solve_plan()`` this never forms a
+    sparse factorization: at 50k nodes the scalar no-exchange LU plus
+    plan build took ~200 s + 250 s on this host; the block recurrence is
+    nb * O(s^3) dense flops (seconds).  Pivoting is within-block only
+    (f64 LAPACK inversion of each S_k), so use on diagonally dominant /
+    well-conditioned banded systems; ``np.linalg.LinAlgError`` signals a
+    singular fully-summed block.
+    """
+
+    def __init__(self, a, ordering="rcm", s: int | None = None,
+                 dtype=None):
+        import os
+        import time as _time
+
+        from . import ordering as ordering_mod
+
+        _dbg = os.environ.get("CSPARSE3_BANDED_DEBUG")
+        _t = _time.perf_counter
+
+        def _mark(label, t0):
+            if _dbg:
+                print(f"[bandedlu] {label}: {_t() - t0:.2f}s", flush=True)
+            return _t()
+
+        t0 = _t()
+        n, m = a.shape
+        if n != m:
+            raise ValueError(f"BandedLU requires a square matrix, got "
+                             f"{a.shape}")
+        if ordering is None:
+            ordering = "natural"
+        perm = np.asarray(ordering_mod.get_ordering(ordering, a))
+        if np.array_equal(perm, np.arange(n)):
+            ap = a
+        else:
+            from ..ops.slicing import submatrix
+
+            ap = submatrix(a, perm, perm)
+        t0 = _mark("ordering+permute", t0)
+        Ap, Ai, Ax = ap.np_arrays()
+        bw = bandwidth(Ap, Ai)
+        if s is None:
+            # lane-friendly block size: multiples of 128 once past one
+            # tile, multiples of 8 below
+            q = 128 if bw >= 96 else 8
+            s = max(8, -(-max(bw, 1) // q) * q)
+        if s < bw:
+            raise ValueError(f"block size {s} < matrix bandwidth {bw}")
+        if dtype is None:
+            dtype = Ax.dtype if jax.config.jax_enable_x64 else (
+                np.complex64 if np.iscomplexobj(Ax) else np.float32)
+        wide = np.complex128 if np.iscomplexobj(Ax) else np.float64
+        nb = -(-n // s)
+
+        # Stream the factorization block by block: only the three output
+        # stacks are materialized (in the storage dtype), and the f64
+        # recurrence state is three rolling (s,s) buffers.  Building all
+        # six f64 stacks up front costs ~6.7 GB at 100k nodes, and this
+        # sandbox's populate rate collapses to ~10 MB/s beyond a few GB
+        # of fresh mappings — the lean layout is ~1 GB and builds in
+        # seconds instead of minutes.
+        cols = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(np.asarray(Ap)))
+        rows = np.asarray(Ai).astype(np.int64)
+        vals = np.asarray(Ax).astype(wide, copy=False)
+        kb_r, kb_c = rows // s, cols // s
+        if (np.abs(kb_r - kb_c) > 1).any():
+            nbad = int((np.abs(kb_r - kb_c) > 1).sum())
+            raise ValueError(
+                f"matrix bandwidth exceeds block size {s}; "
+                f"{nbad} entries outside the block tridiagonal")
+        order = np.argsort(kb_c, kind="stable")
+        kb_c_s = kb_c[order]
+        starts = np.searchsorted(kb_c_s, np.arange(nb + 1))
+        lr, lc = (rows % s)[order], (cols % s)[order]
+        dr = (kb_r - kb_c)[order]  # -1 (super of prev), 0 (diag), +1 (sub)
+        vs = vals[order]
+
+        ehat = np.zeros((nb, s, s), dtype=dtype)
+        sinv = np.empty((nb, s, s), dtype=dtype)
+        uhat = np.empty((nb, s, s), dtype=dtype)
+        # block column k of the CSC holds: D_k (d=0), E_{k+1} (d=+1, rows
+        # one block down) and F_{k-1} (d=-1, rows one block up)
+        Dk = np.zeros((s, s), dtype=wide)
+        Ek = np.zeros((s, s), dtype=wide)      # E_k, stashed at col k-1
+        Enext = np.zeros((s, s), dtype=wide)
+        Fk = np.zeros((s, s), dtype=wide)      # F_k, read ahead at col k+1
+        Fprev = np.zeros((s, s), dtype=wide)
+        Sinv_prev = None
+        t0 = _mark("symbolic", t0)
+        for k in range(nb):
+            lo, hi = starts[k], starts[k + 1]
+            r, c, d, v = lr[lo:hi], lc[lo:hi], dr[lo:hi], vs[lo:hi]
+            Dk[:] = 0.0
+            m0 = d == 0
+            Dk[r[m0], c[m0]] = v[m0]
+            Enext[:] = 0.0
+            m1 = d == 1
+            Enext[r[m1], c[m1]] = v[m1]
+            Fk[:] = 0.0
+            if k + 1 < nb:
+                lo2, hi2 = starts[k + 1], starts[k + 2]
+                m2 = dr[lo2:hi2] == -1
+                Fk[lr[lo2:hi2][m2], lc[lo2:hi2][m2]] = vs[lo2:hi2][m2]
+            if k == nb - 1:
+                # pad the trailing diagonal so S_k stays nonsingular
+                for i in range(n, nb * s):
+                    Dk[i % s, i % s] = 1.0
+            if k:
+                Eh = Ek @ Sinv_prev
+                S = Dk - Eh @ Fprev
+                ehat[k] = _downcast(Eh, dtype)
+            else:
+                S = Dk.copy()
+            Sinv = np.linalg.inv(S)
+            sinv[k] = _downcast(Sinv, dtype)
+            uhat[k] = _downcast(Sinv @ Fk, dtype)
+            Sinv_prev = Sinv
+            Fprev, Fk = Fk, Fprev
+            Ek, Enext = Enext, Ek
+        t0 = _mark("factor loop", t0)
+        self.n = n
+        self.s = s
+        self.bw = bw
+        self._ehat = jnp.asarray(ehat)
+        self._sinv = jnp.asarray(sinv)
+        self._uhat = jnp.asarray(uhat)
+        t0 = _mark("upload", t0)
+        self.perm = jnp.asarray(perm)
+        # host copies for solve_host (storage-dtype sweeps in f64 math)
+        self._h = (ehat, sinv, uhat, perm)
+
+    def tree_flatten(self):
+        return ((self._ehat, self._sinv, self._uhat, self.perm),
+                (self.n, self.s, self.bw))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        obj.n, obj.s, obj.bw = aux
+        obj._ehat, obj._sinv, obj._uhat, obj.perm = ch
+        obj._h = None
+        return obj
+
+    @property
+    def nblocks(self) -> int:
+        return int(self._sinv.shape[0])
+
+    def __call__(self, b):
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        n, s, nb = self.n, self.s, self.nblocks
+        B = b.shape[1]
+        dt = jnp.result_type(self._sinv.dtype, b.dtype)
+        bp = jnp.zeros((nb * s, B), dtype=dt).at[:n].set(b[self.perm])
+        bb = bp.reshape(nb, s, B)
+
+        def fwd(y_prev, blk):
+            ehat, rhs = blk
+            y_k = rhs - ehat @ y_prev
+            return y_k, y_k
+
+        y0 = jnp.zeros((s, B), dtype=dt)
+        _, y = jax.lax.scan(fwd, y0, (self._ehat, bb))
+
+        def bwd(x_next, blk):
+            sinv, uhat, rhs = blk
+            x_k = sinv @ rhs - uhat @ x_next
+            return x_k, x_k
+
+        _, z = jax.lax.scan(bwd, y0, (self._sinv, self._uhat, y),
+                            reverse=True)
+        zf = z.reshape(nb * s, B)[:n]
+        x = jnp.zeros_like(zf)
+        x = x.at[self.perm].set(zf)
+        return x[:, 0] if squeeze else x
+
+    def solve_host(self, b):
+        """Host solve (numpy twin of the device sweeps).  Exact to f64
+        when the plan was built under x64; otherwise f64 sweeps over the
+        f32-stored factors."""
+        if self._h is None:
+            raise ValueError("host state lost through pytree flattening")
+        Ehat, invS, Uhat, perm = self._h
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nb, s = invS.shape[0], self.s
+        dt = np.result_type(invS.dtype, b.dtype)
+        bp = np.zeros((nb * s, b.shape[1]), dtype=dt)
+        bp[: self.n] = b[np.asarray(perm)]
+        bb = bp.reshape(nb, s, -1)
+        y = np.empty_like(bb)
+        y[0] = bb[0]
+        for k in range(1, nb):
+            y[k] = bb[k] - Ehat[k] @ y[k - 1]
+        x = np.empty_like(y)
+        x[nb - 1] = invS[nb - 1] @ y[nb - 1]
+        for k in range(nb - 2, -1, -1):
+            x[k] = invS[k] @ y[k] - Uhat[k] @ x[k + 1]
+        xf = x.reshape(nb * s, -1)[: self.n]
+        out = np.empty_like(xf)
+        out[np.asarray(perm)] = xf
+        return out[:, 0] if squeeze else out
 
 
 @jax.tree_util.register_pytree_node_class
@@ -102,9 +383,9 @@ class BandedSolvePlan:
                                dtype=dtype)
         self.n = n
         self.s = s
-        self.linv = jnp.asarray(np.linalg.inv(Ld))
+        self.linv = jnp.asarray(_inv(Ld))
         self.lsub = jnp.asarray(Lo)
-        self.uinv = jnp.asarray(np.linalg.inv(Ud))
+        self.uinv = jnp.asarray(_inv(Ud))
         self.usup = jnp.asarray(Uo)
         self.perm_r = jnp.asarray(np.asarray(host.perm_r))
         self.perm_c = jnp.asarray(np.asarray(host.perm_c))

@@ -8,7 +8,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 import csparse3_tpu as cst
-from csparse3_tpu.linalg import BandedSolvePlan, bandwidth, splu
+from csparse3_tpu.linalg import BandedLU, BandedSolvePlan, bandwidth, splu
 
 
 def _grid_system(n, seed, shift=3.0):
@@ -73,3 +73,64 @@ def test_complex_banded():
     b = np.random.RandomState(3).rand(300) + 0j
     x = np.asarray(plan(jnp.asarray(b)))
     np.testing.assert_allclose(ys @ x, b, rtol=1e-8, atol=1e-9)
+
+
+class TestBandedLU:
+    """Block-tridiagonal direct factorization (BandedLU) vs scipy."""
+
+    def test_solve_matches_scipy(self):
+        A = _grid_system(600, seed=7)
+        plan = BandedLU(A)
+        b = np.random.RandomState(0).rand(600)
+        xref = spla.spsolve(A.to_scipy().tocsc(), b)
+        # f64 host twin is near-exact
+        np.testing.assert_allclose(plan.solve_host(b), xref,
+                                   rtol=1e-12, atol=1e-14)
+        # jitted device sweeps (f32 by default without x64)
+        x = np.asarray(jax.jit(plan)(jnp.asarray(b)))
+        np.testing.assert_allclose(x, xref, rtol=1e-5, atol=1e-7)
+
+    def test_multi_rhs(self):
+        A = _grid_system(500, seed=8)
+        plan = BandedLU(A)
+        B = np.random.RandomState(1).rand(500, 64)
+        X = np.asarray(jax.jit(plan)(jnp.asarray(B)))
+        Xref = spla.spsolve(A.to_scipy().tocsc(), B)
+        np.testing.assert_allclose(X, Xref, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(plan.solve_host(B), Xref,
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_natural_ordering_tridiagonal(self):
+        n = 257  # deliberately not a multiple of the block size
+        main = 4.0 * np.ones(n)
+        off = -np.ones(n - 1)
+        A_sp = sp.diags([off, main, off], [-1, 0, 1]).tocsc()
+        plan = BandedLU(cst.CSC.from_scipy(A_sp), ordering=None)
+        b = np.random.RandomState(2).rand(n)
+        np.testing.assert_allclose(plan.solve_host(b), spla.spsolve(A_sp, b),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_block_size_guard(self):
+        A = _grid_system(300, seed=9)
+        with pytest.raises(ValueError, match="bandwidth"):
+            BandedLU(A, s=8)
+
+    def test_singular_block_raises(self):
+        n = 64
+        A_sp = sp.diags([np.zeros(n)], [0]).tocsc()
+        A_sp = (A_sp + sp.diags([-np.ones(n - 1)], [1])).tocsc()
+        with pytest.raises(np.linalg.LinAlgError):
+            BandedLU(cst.CSC.from_scipy(A_sp), ordering=None)
+
+    def test_pytree_roundtrip_in_jit(self):
+        A = _grid_system(300, seed=10)
+        plan = BandedLU(A)
+        b = jnp.asarray(np.random.RandomState(3).rand(300))
+
+        @jax.jit
+        def run(p, v):
+            return p(v)
+
+        x1 = np.asarray(run(plan, b))
+        x2 = np.asarray(plan(b))
+        np.testing.assert_allclose(x1, x2, rtol=1e-6, atol=1e-8)
