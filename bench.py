@@ -179,6 +179,70 @@ def run_lusolve(reps: int):
     }
 
 
+def run_solve100k(reps: int):
+    """Config-4 (BASELINE.md): 1024-RHS solve against a factored
+    100k-node grid on one chip.  Factor = linalg.BandedLU block-Thomas
+    (no sparse LU); solve chain = inverse iteration with PER-COLUMN
+    normalization, so any column slice of the final result is its own
+    full-length chain — the verified download is 64 of the 1024 columns
+    (25 MB instead of 400 MB over the flaky tunnel) replayed against the
+    host twin."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.linalg import BandedLU
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    n, B, VER = 100_000, 1024, 64
+    g = synthetic_grid(n, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    A = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                cst.diags(np.full(n, 3.0)))
+    t0 = time.perf_counter()
+    plan = BandedLU(A)
+    t_factor = time.perf_counter() - t0
+    RHS = jnp.asarray(
+        np.random.RandomState(1).rand(n, B).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(p, b0, R):
+        def body(b, _):
+            x = p(b)
+            return x / jnp.max(jnp.abs(x), axis=0, keepdims=True), None
+
+        o, _ = jax.lax.scan(body, b0, None, length=R)
+        return o
+
+    compiled = chain.lower(plan, RHS, reps).compile()
+    t0 = time.perf_counter()
+    Xd = compiled(plan, RHS)
+    got = np.asarray(Xd[:, :VER])
+    t = time.perf_counter() - t0
+    # host twin on the verified columns (same f32 factor stacks)
+    xh = np.asarray(RHS[:, :VER], dtype=np.float64)
+    for _ in range(reps):
+        xh = plan.solve_host(xh)
+        xh = xh / np.abs(xh).max(axis=0, keepdims=True)
+    err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
+    return {
+        "t": t,
+        "reps": reps,
+        "rhs": B,
+        "n": n,
+        "bw": int(plan.bw),
+        "factor_s": t_factor,
+        "rel_err": err,
+        # f32 device sweeps vs f64-math-on-f32-factors host twin drift
+        "correct": bool(err < 5e-2),
+    }
+
+
 def run_refactor(reps: int):
     import functools
 
@@ -297,6 +361,7 @@ _KINDS = {
     "spmv_bp_small": run_spmv_bp_small,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
+    "solve100k": run_solve100k,
     "refactor": run_refactor,
     "spgemm": run_spgemm,
     "scipy_spmv": run_scipy_spmv,
@@ -391,6 +456,14 @@ def main():
         extra["lu_solve_nnz_per_s"] = a["fill"] * 1024 / per_solve
     else:
         extra["lusolve_error"] = str(a.get("error") or b.get("error"))
+
+    per_100k, a, b = _delta("solve100k", 2, 12, timeout=900, attempts=2)
+    if per_100k:
+        extra["solve100k_rhs_per_s"] = 1024 / per_100k
+        extra["solve100k_factor_s"] = a["factor_s"]
+        extra["solve100k_bw"] = a["bw"]
+    else:
+        extra["solve100k_error"] = str(a.get("error") or b.get("error"))
 
     per_rf, a, b = _delta("refactor", 3, 23)
     if per_rf:

@@ -110,9 +110,12 @@ class FastDecoupled:
         models.grids.rcm_grid first so Ybus is banded), or 'symdia'
         (dia with only the upper diagonals stored; valid when Ybus is
         complex symmetric, i.e. no phase shifters).
-        solver: 'level' (level-scheduled TriSolvePlan) or 'banded'
-        (block-bidiagonal MXU sweeps; factors with ordering='rcm',
-        tol=0)."""
+        solver: 'level' (level-scheduled TriSolvePlan), 'banded'
+        (block-bidiagonal MXU sweeps over the sparse factors; factors
+        with ordering='rcm', tol=0), or 'blocklu' (linalg.BandedLU block
+        Thomas — no sparse factorization at all; the fast path at
+        >=50k buses where the scalar no-exchange factor dominates
+        build time)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
@@ -137,7 +140,12 @@ class FastDecoupled:
         Bpp_full = construct.from_triplets(ixY, colsY, -dtY.imag, (n, n))
         Bpp = Bpp_full[self.pq, self.pq]
 
-        if solver == "banded":
+        if solver == "blocklu":
+            from ..linalg import BandedLU
+
+            self.lu_bp = self._bp_plan = BandedLU(Bp)
+            self.lu_bpp = self._bpp_plan = BandedLU(Bpp)
+        elif solver == "banded":
             self.lu_bp = splu(Bp, ordering="rcm", tol=0.0)
             self.lu_bpp = splu(Bpp, ordering="rcm", tol=0.0)
             self._bp_plan = self.lu_bp.banded_solve_plan()

@@ -213,3 +213,23 @@ def test_newton_bandpoints_spmv_matches_ell():
     assert res_b < 1e-4
     np.testing.assert_allclose(vm_b, vm_r, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(va_b, va_r, rtol=1e-4, atol=1e-5)
+
+
+def test_fdpf_blocklu_solver_matches_default():
+    """solver='blocklu' (BandedLU block-Thomas, no sparse factorization)
+    reaches the same solution as the default level-scheduled path."""
+    from csparse3_tpu.models.grids import rcm_grid, synthetic_grid
+    from csparse3_tpu.models.powerflow import FastDecoupled
+
+    g = synthetic_grid(150, seed=12)
+    fd = FastDecoupled(g, tol=1e-10, max_iter=80)
+    vm, va, _, res = fd.solve()
+    assert res < 1e-9
+
+    g2, perm = rcm_grid(g)
+    fd2 = FastDecoupled(g2, tol=1e-10, max_iter=80, spmv="dia",
+                        solver="blocklu")
+    vm2, va2, _, res2 = fd2.solve()
+    assert res2 < 1e-9
+    np.testing.assert_allclose(vm2, vm[perm], atol=1e-8)
+    np.testing.assert_allclose(va2, va[perm], atol=1e-8)
