@@ -123,6 +123,120 @@ def _tridiag_blocks(n, Ap, Ai, Ax, s, dtype):
     return D, E, F
 
 
+def _thomas_factor(n, s, nb, rows, cols, vals, dtype, wide):
+    """Streaming block-Thomas factorization of the block-tridiagonal
+    system given by 0-based COO entries.
+
+    Returns (ehat, sinv, uhat) stacks of shape (nb, s, s) in ``dtype``:
+    Ehat_k = E_k S_{k-1}^{-1}, S_k^{-1}, Uhat_k = S_k^{-1} F_k with
+    S_k = D_k - Ehat_k F_{k-1}.  Rows n..nb*s get a unit diagonal (pad).
+    Only the output stacks are materialized; the f64 recurrence state is
+    rolling (s, s) buffers (this sandbox's populate rate collapses to
+    ~10 MB/s beyond a few GB of fresh mappings, so the six-stack f64
+    layout costs minutes at 100k nodes where this costs seconds).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals).astype(wide, copy=False)
+    kb_r, kb_c = rows // s, cols // s
+    if (np.abs(kb_r - kb_c) > 1).any():
+        nbad = int((np.abs(kb_r - kb_c) > 1).sum())
+        raise ValueError(
+            f"matrix bandwidth exceeds block size {s}; "
+            f"{nbad} entries outside the block tridiagonal")
+    order = np.argsort(kb_c, kind="stable")
+    kb_c_s = kb_c[order]
+    starts = np.searchsorted(kb_c_s, np.arange(nb + 1))
+    lr, lc = (rows % s)[order], (cols % s)[order]
+    dr = (kb_r - kb_c)[order]  # -1 (super of prev), 0 (diag), +1 (sub)
+    vs = vals[order]
+
+    ehat = np.zeros((nb, s, s), dtype=dtype)
+    sinv = np.empty((nb, s, s), dtype=dtype)
+    uhat = np.empty((nb, s, s), dtype=dtype)
+    # block column k of the CSC holds: D_k (d=0), E_{k+1} (d=+1, rows
+    # one block down) and F_{k-1} (d=-1, rows one block up)
+    Dk = np.zeros((s, s), dtype=wide)
+    Ek = np.zeros((s, s), dtype=wide)      # E_k, stashed at col k-1
+    Enext = np.zeros((s, s), dtype=wide)
+    Fk = np.zeros((s, s), dtype=wide)      # F_k, read ahead at col k+1
+    Fprev = np.zeros((s, s), dtype=wide)
+    Sinv_prev = None
+    pad0 = n // s  # first block containing padded rows
+    for k in range(nb):
+        lo, hi = starts[k], starts[k + 1]
+        r, c, d, v = lr[lo:hi], lc[lo:hi], dr[lo:hi], vs[lo:hi]
+        Dk[:] = 0.0
+        m0 = d == 0
+        Dk[r[m0], c[m0]] = v[m0]
+        Enext[:] = 0.0
+        m1 = d == 1
+        Enext[r[m1], c[m1]] = v[m1]
+        Fk[:] = 0.0
+        if k + 1 < nb:
+            lo2, hi2 = starts[k + 1], starts[k + 2]
+            m2 = dr[lo2:hi2] == -1
+            Fk[lr[lo2:hi2][m2], lc[lo2:hi2][m2]] = vs[lo2:hi2][m2]
+        if k >= pad0:
+            # unit diagonal on padded rows so S_k stays nonsingular
+            i0 = max(n - k * s, 0)
+            idx = np.arange(i0, s)
+            Dk[idx, idx] = 1.0
+        if k:
+            Eh = Ek @ Sinv_prev
+            S = Dk - Eh @ Fprev
+            ehat[k] = _downcast(Eh, dtype)
+        else:
+            S = Dk.copy()
+        Sinv = np.linalg.inv(S)
+        sinv[k] = _downcast(Sinv, dtype)
+        uhat[k] = _downcast(Sinv @ Fk, dtype)
+        Sinv_prev = Sinv
+        Fprev, Fk = Fk, Fprev
+        Ek, Enext = Enext, Ek
+    return ehat, sinv, uhat
+
+
+def thomas_sweeps(ehat, sinv, uhat, bb):
+    """Device block-Thomas solve: bb (nb, s, B) -> x blocks (nb, s, B).
+
+    Two ``lax.scan`` sweeps of (s,s)@(s,B) matmuls — pure MXU work:
+    y_k = b_k - Ehat_k y_{k-1} (forward), x_k = S_k^{-1} y_k - Uhat_k
+    x_{k+1} (backward)."""
+    def fwd(y_prev, blk):
+        eh, rhs = blk
+        y_k = rhs - eh @ y_prev
+        return y_k, y_k
+
+    # derive the zero carry from the operands so it inherits their
+    # varying-manual-axes type under shard_map (a plain jnp.zeros carry
+    # is 'unvarying' and scan rejects the mismatch)
+    z0 = bb[0] * 0
+    _, y = jax.lax.scan(fwd, z0, (ehat, bb))
+
+    def bwd(x_next, blk):
+        si, uh, rhs = blk
+        x_k = si @ rhs - uh @ x_next
+        return x_k, x_k
+
+    _, x = jax.lax.scan(bwd, z0, (sinv, uhat, y), reverse=True)
+    return x
+
+
+def _sweeps_host(ehat, sinv, uhat, bb):
+    """numpy twin of thomas_sweeps (f64 math over the stored stacks)."""
+    nb = bb.shape[0]
+    y = np.empty_like(bb)
+    y[0] = bb[0]
+    for k in range(1, nb):
+        y[k] = bb[k] - ehat[k] @ y[k - 1]
+    x = np.empty_like(y)
+    x[nb - 1] = sinv[nb - 1] @ y[nb - 1]
+    for k in range(nb - 2, -1, -1):
+        x[k] = sinv[k] @ y[k] - uhat[k] @ x[k + 1]
+    return x
+
+
 @jax.tree_util.register_pytree_node_class
 class BandedLU:
     """Direct block-tridiagonal ("block Thomas") factorization of a
@@ -196,73 +310,11 @@ class BandedLU:
                 np.complex64 if np.iscomplexobj(Ax) else np.float32)
         wide = np.complex128 if np.iscomplexobj(Ax) else np.float64
         nb = -(-n // s)
-
-        # Stream the factorization block by block: only the three output
-        # stacks are materialized (in the storage dtype), and the f64
-        # recurrence state is three rolling (s,s) buffers.  Building all
-        # six f64 stacks up front costs ~6.7 GB at 100k nodes, and this
-        # sandbox's populate rate collapses to ~10 MB/s beyond a few GB
-        # of fresh mappings — the lean layout is ~1 GB and builds in
-        # seconds instead of minutes.
         cols = np.repeat(np.arange(n, dtype=np.int64),
                          np.diff(np.asarray(Ap)))
-        rows = np.asarray(Ai).astype(np.int64)
-        vals = np.asarray(Ax).astype(wide, copy=False)
-        kb_r, kb_c = rows // s, cols // s
-        if (np.abs(kb_r - kb_c) > 1).any():
-            nbad = int((np.abs(kb_r - kb_c) > 1).sum())
-            raise ValueError(
-                f"matrix bandwidth exceeds block size {s}; "
-                f"{nbad} entries outside the block tridiagonal")
-        order = np.argsort(kb_c, kind="stable")
-        kb_c_s = kb_c[order]
-        starts = np.searchsorted(kb_c_s, np.arange(nb + 1))
-        lr, lc = (rows % s)[order], (cols % s)[order]
-        dr = (kb_r - kb_c)[order]  # -1 (super of prev), 0 (diag), +1 (sub)
-        vs = vals[order]
-
-        ehat = np.zeros((nb, s, s), dtype=dtype)
-        sinv = np.empty((nb, s, s), dtype=dtype)
-        uhat = np.empty((nb, s, s), dtype=dtype)
-        # block column k of the CSC holds: D_k (d=0), E_{k+1} (d=+1, rows
-        # one block down) and F_{k-1} (d=-1, rows one block up)
-        Dk = np.zeros((s, s), dtype=wide)
-        Ek = np.zeros((s, s), dtype=wide)      # E_k, stashed at col k-1
-        Enext = np.zeros((s, s), dtype=wide)
-        Fk = np.zeros((s, s), dtype=wide)      # F_k, read ahead at col k+1
-        Fprev = np.zeros((s, s), dtype=wide)
-        Sinv_prev = None
         t0 = _mark("symbolic", t0)
-        for k in range(nb):
-            lo, hi = starts[k], starts[k + 1]
-            r, c, d, v = lr[lo:hi], lc[lo:hi], dr[lo:hi], vs[lo:hi]
-            Dk[:] = 0.0
-            m0 = d == 0
-            Dk[r[m0], c[m0]] = v[m0]
-            Enext[:] = 0.0
-            m1 = d == 1
-            Enext[r[m1], c[m1]] = v[m1]
-            Fk[:] = 0.0
-            if k + 1 < nb:
-                lo2, hi2 = starts[k + 1], starts[k + 2]
-                m2 = dr[lo2:hi2] == -1
-                Fk[lr[lo2:hi2][m2], lc[lo2:hi2][m2]] = vs[lo2:hi2][m2]
-            if k == nb - 1:
-                # pad the trailing diagonal so S_k stays nonsingular
-                for i in range(n, nb * s):
-                    Dk[i % s, i % s] = 1.0
-            if k:
-                Eh = Ek @ Sinv_prev
-                S = Dk - Eh @ Fprev
-                ehat[k] = _downcast(Eh, dtype)
-            else:
-                S = Dk.copy()
-            Sinv = np.linalg.inv(S)
-            sinv[k] = _downcast(Sinv, dtype)
-            uhat[k] = _downcast(Sinv @ Fk, dtype)
-            Sinv_prev = Sinv
-            Fprev, Fk = Fk, Fprev
-            Ek, Enext = Enext, Ek
+        ehat, sinv, uhat = _thomas_factor(
+            n, s, nb, Ai, cols, Ax, dtype, wide)
         t0 = _mark("factor loop", t0)
         self.n = n
         self.s = s
@@ -291,35 +343,32 @@ class BandedLU:
     def nblocks(self) -> int:
         return int(self._sinv.shape[0])
 
-    def __call__(self, b):
+    def blocks(self, b):
+        """Permute + zero-pad a (n,) / (n, B) RHS into (nb, s, B) block
+        form (device).  Chained solvers should stay in block space and
+        call ``solve_blocks`` directly — the per-solve permutation
+        gather/scatter is wasted work inside an iteration loop."""
         b = jnp.asarray(b)
-        squeeze = b.ndim == 1
-        if squeeze:
+        if b.ndim == 1:
             b = b[:, None]
         n, s, nb = self.n, self.s, self.nblocks
-        B = b.shape[1]
         dt = jnp.result_type(self._sinv.dtype, b.dtype)
-        bp = jnp.zeros((nb * s, B), dtype=dt).at[:n].set(b[self.perm])
-        bb = bp.reshape(nb, s, B)
+        bp = jnp.zeros((nb * s, b.shape[1]), dtype=dt).at[:n].set(
+            b[self.perm])
+        return bp.reshape(nb, s, -1)
 
-        def fwd(y_prev, blk):
-            ehat, rhs = blk
-            y_k = rhs - ehat @ y_prev
-            return y_k, y_k
+    def unblocks(self, xx):
+        """Inverse of ``blocks``: (nb, s, B) -> (n, B)."""
+        zf = xx.reshape(self.nblocks * self.s, -1)[: self.n]
+        return jnp.zeros_like(zf).at[self.perm].set(zf)
 
-        y0 = jnp.zeros((s, B), dtype=dt)
-        _, y = jax.lax.scan(fwd, y0, (self._ehat, bb))
+    def solve_blocks(self, bb):
+        """Solve in block space: (nb, s, B) -> (nb, s, B)."""
+        return thomas_sweeps(self._ehat, self._sinv, self._uhat, bb)
 
-        def bwd(x_next, blk):
-            sinv, uhat, rhs = blk
-            x_k = sinv @ rhs - uhat @ x_next
-            return x_k, x_k
-
-        _, z = jax.lax.scan(bwd, y0, (self._sinv, self._uhat, y),
-                            reverse=True)
-        zf = z.reshape(nb * s, B)[:n]
-        x = jnp.zeros_like(zf)
-        x = x.at[self.perm].set(zf)
+    def __call__(self, b):
+        squeeze = jnp.ndim(b) == 1
+        x = self.unblocks(self.solve_blocks(self.blocks(b)))
         return x[:, 0] if squeeze else x
 
     def solve_host(self, b):
@@ -337,15 +386,7 @@ class BandedLU:
         dt = np.result_type(invS.dtype, b.dtype)
         bp = np.zeros((nb * s, b.shape[1]), dtype=dt)
         bp[: self.n] = b[np.asarray(perm)]
-        bb = bp.reshape(nb, s, -1)
-        y = np.empty_like(bb)
-        y[0] = bb[0]
-        for k in range(1, nb):
-            y[k] = bb[k] - Ehat[k] @ y[k - 1]
-        x = np.empty_like(y)
-        x[nb - 1] = invS[nb - 1] @ y[nb - 1]
-        for k in range(nb - 2, -1, -1):
-            x[k] = invS[k] @ y[k] - Uhat[k] @ x[k + 1]
+        x = _sweeps_host(Ehat, invS, Uhat, bp.reshape(nb, s, -1))
         xf = x.reshape(nb * s, -1)[: self.n]
         out = np.empty_like(xf)
         out[np.asarray(perm)] = xf

@@ -1,0 +1,312 @@
+"""Distributed banded direct solve — the SPIKE algorithm on a device mesh.
+
+The TPU-native distributed LU-solve for RCM-ordered grid systems
+(BASELINE.md config 5).  The reference has no distributed code at all
+(SURVEY §2.4); this is the capability its domain needs at >=1M nodes,
+built the TPU way: each device owns a contiguous chunk of block rows,
+factors its local block-tridiagonal piece with the block-Thomas
+recurrence (``linalg.banded.BandedLU`` machinery), and the chunks couple
+only through one (s, s) block per interface.  Following Polizzi-Sameh's
+SPIKE decomposition:
+
+    A = D · S,   D = blockdiag(T_0 .. T_{P-1}),
+    S = I + spikes:  V_p = T_p^{-1} [0..0, C_p]   (right spike)
+                     W_p = T_p^{-1} [B_p, 0..0]   (left spike)
+
+where B_p / C_p are the sub/super coupling blocks at chunk boundaries.
+Taking the first (t) and last (b) block rows of S x = g := D^{-1} b gives
+a *reduced* block-tridiagonal system in the interface unknowns
+z_p = [x_p^b ; x_{p+1}^t] with P-1 blocks of size 2s — factored once at
+build time with the same Thomas recurrence.
+
+Device solve (all under ``shard_map``; b sharded by block rows):
+  1. local Thomas sweeps       g_p = T_p^{-1} b_p       (lax.scan, MXU)
+  2. all_gather of the 2P boundary blocks g_p^t, g_p^b  (ICI, s*B each)
+  3. replicated reduced solve  z = R^{-1} r             (P-1 small steps)
+  4. local spike correction    x_p = g_p - W_p x_{p-1}^b - V_p x_{p+1}^t
+                               (two (m*s, s) @ (s, B) matmuls)
+
+Communication is one all_gather of 2*s*B floats per device per solve —
+independent of n — so scaling efficiency stays high as chunks grow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..linalg.banded import (
+    _sweeps_host,
+    _thomas_factor,
+    bandwidth,
+    thomas_sweeps,
+)
+
+__all__ = ["DistBandedLU"]
+
+
+def _thomas_factor_stacks(D, E, F, dtype):
+    """Block-Thomas factor of explicitly dense (nb,s,s) stacks (used for
+    the small reduced interface system)."""
+    from ..linalg.banded import _downcast
+
+    nb = D.shape[0]
+    ehat = np.zeros((nb,) + D.shape[1:], dtype=dtype)
+    sinv = np.empty_like(ehat)
+    uhat = np.empty_like(ehat)
+    Sinv_prev = None
+    for k in range(nb):
+        if k:
+            Eh = E[k] @ Sinv_prev
+            S = D[k] - Eh @ F[k - 1]
+            ehat[k] = _downcast(Eh, dtype)
+        else:
+            S = D[0].copy()
+        Sinv = np.linalg.inv(S)
+        sinv[k] = _downcast(Sinv, dtype)
+        uhat[k] = _downcast(Sinv @ F[k], dtype)
+        Sinv_prev = Sinv
+    return ehat, sinv, uhat
+
+
+class DistBandedLU:
+    """SPIKE-partitioned block-tridiagonal factorization over a mesh.
+
+    Parameters
+    ----------
+    a : CSC (square, banded after ``ordering``)
+    mesh : jax.sharding.Mesh with one axis (default: all devices on axis
+        'rows'), P = mesh size
+    ordering : 'rcm' (default), None/'natural', a permutation array, or
+        a callable — must make ``a`` banded
+    s : block size (default: bandwidth rounded up lane-friendly)
+    dtype : device dtype (default f32 unless x64 is enabled)
+    """
+
+    def __init__(self, a, mesh: Mesh | None = None, ordering="rcm",
+                 s: int | None = None, dtype=None):
+        from ..linalg import ordering as ordering_mod
+        from ..ops.slicing import submatrix
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("rows",))
+        if len(mesh.axis_names) != 1:
+            raise ValueError("DistBandedLU needs a 1-axis mesh")
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        Pn = int(np.prod(mesh.devices.shape))
+        n, mm = a.shape
+        if n != mm:
+            raise ValueError(f"requires a square matrix, got {a.shape}")
+        if ordering is None:
+            ordering = "natural"
+        perm = np.asarray(ordering_mod.get_ordering(ordering, a))
+        ap = a if np.array_equal(perm, np.arange(n)) else submatrix(
+            a, perm, perm)
+        Ap, Ai, Ax = ap.np_arrays()
+        bw = bandwidth(Ap, Ai)
+        if s is None:
+            q = 128 if bw >= 96 else 8
+            s = max(8, -(-max(bw, 1) // q) * q)
+        if s < bw:
+            raise ValueError(f"block size {s} < matrix bandwidth {bw}")
+        if dtype is None:
+            dtype = Ax.dtype if jax.config.jax_enable_x64 else (
+                np.complex64 if np.iscomplexobj(Ax) else np.float32)
+        wide = np.complex128 if np.iscomplexobj(Ax) else np.float64
+        m = -(-(-(-n // s)) // Pn)        # blocks per chunk
+        nb = m * Pn
+        if m < 2:
+            raise ValueError(
+                f"chunks need >= 2 blocks (n={n}, s={s}, P={Pn}); "
+                "use fewer devices or the single-chip BandedLU")
+        self.n, self.s, self.bw, self.m, self.P = n, s, bw, m, Pn
+
+        cols = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(np.asarray(Ap)))
+        rows = np.asarray(Ai).astype(np.int64)
+        vals = np.asarray(Ax)
+        kb_r, kb_c = rows // s, cols // s
+        if (np.abs(kb_r - kb_c) > 1).any():
+            raise ValueError(f"bandwidth exceeds block size {s}")
+        ch_r, ch_c = kb_r // m, kb_c // m
+
+        ehat = np.empty((nb, s, s), dtype=dtype)
+        sinv = np.empty((nb, s, s), dtype=dtype)
+        uhat = np.empty((nb, s, s), dtype=dtype)
+        Wsp = np.zeros((Pn, m * s, s), dtype=dtype)   # left spikes
+        Vsp = np.zeros((Pn, m * s, s), dtype=dtype)   # right spikes
+        # reduced interface blocks collected per chunk
+        Wt = np.zeros((Pn, s, s), dtype=wide)
+        Wb = np.zeros((Pn, s, s), dtype=wide)
+        Vt = np.zeros((Pn, s, s), dtype=wide)
+        Vb = np.zeros((Pn, s, s), dtype=wide)
+
+        interior = ch_r == ch_c
+        for p in range(Pn):
+            sel = interior & (ch_c == p)
+            r_l = rows[sel] - p * m * s
+            c_l = cols[sel] - p * m * s
+            n_loc = min(n - p * m * s, m * s)
+            n_loc = max(n_loc, 0)
+            eh, si, uh = _thomas_factor(
+                n_loc, s, m, r_l, c_l, vals[sel], dtype, wide)
+            ehat[p * m:(p + 1) * m] = eh
+            sinv[p * m:(p + 1) * m] = si
+            uhat[p * m:(p + 1) * m] = uh
+            # coupling blocks to the neighbours
+            rhs = np.zeros((m, s, s), dtype=wide)
+            if p > 0:
+                selB = (kb_r == p * m) & (kb_c == p * m - 1)
+                Bp = np.zeros((s, s), dtype=wide)
+                Bp[rows[selB] % s, cols[selB] % s] = vals[selB]
+                rhs[0] = Bp
+                W = _sweeps_host(eh, si, uh, rhs)       # (m, s, s)
+                Wsp[p] = W.reshape(m * s, s).astype(dtype)
+                Wt[p], Wb[p] = W[0], W[-1]
+            if p < Pn - 1:
+                selC = (kb_r == (p + 1) * m - 1) & (kb_c == (p + 1) * m)
+                Cp = np.zeros((s, s), dtype=wide)
+                Cp[rows[selC] % s, cols[selC] % s] = vals[selC]
+                rhs[:] = 0.0
+                rhs[-1] = Cp
+                V = _sweeps_host(eh, si, uh, rhs)
+                Vsp[p] = V.reshape(m * s, s).astype(dtype)
+                Vt[p], Vb[p] = V[0], V[-1]
+
+        # reduced system over z_p = [x_p^b ; x_{p+1}^t], p = 0..P-2:
+        #   diag  [[I,       V_p^b ], [W_{p+1}^t, I]]
+        #   sub   [[W_p^b, 0], [0, 0]]
+        #   super [[0, 0], [0, V_{p+1}^t]]
+        eye = np.eye(s, dtype=wide)
+        nR = Pn - 1
+        Dr = np.zeros((nR, 2 * s, 2 * s), dtype=wide)
+        Er = np.zeros((nR, 2 * s, 2 * s), dtype=wide)
+        Fr = np.zeros((nR, 2 * s, 2 * s), dtype=wide)
+        for p in range(nR):
+            Dr[p, :s, :s] = eye
+            Dr[p, :s, s:] = Vb[p]
+            Dr[p, s:, :s] = Wt[p + 1]
+            Dr[p, s:, s:] = eye
+            if p > 0:
+                Er[p, :s, :s] = Wb[p]
+            if p < nR - 1:
+                Fr[p, s:, s:] = Vt[p + 1]
+        r_eh, r_si, r_uh = _thomas_factor_stacks(Dr, Er, Fr, dtype)
+
+        shard = NamedSharding(mesh, P(self.axis))
+        self._ehat = jax.device_put(ehat, shard)
+        self._sinv = jax.device_put(sinv, shard)
+        self._uhat = jax.device_put(uhat, shard)
+        self._w = jax.device_put(Wsp, shard)
+        self._v = jax.device_put(Vsp, shard)
+        rep = NamedSharding(mesh, P())
+        self._r_eh = jax.device_put(r_eh, rep)
+        self._r_si = jax.device_put(r_si, rep)
+        self._r_uh = jax.device_put(r_uh, rep)
+        self.perm = perm
+        self._hperm = perm
+        self._h = (ehat, sinv, uhat, Wsp, Vsp, r_eh, r_si, r_uh)
+
+    # -- device solve --------------------------------------------------------
+    def _local(self, bb, ehat, sinv, uhat, w, v, r_eh, r_si, r_uh):
+        """Per-shard body (runs under shard_map).  bb: (m, s, B) local."""
+        ax = self.axis
+        m, s = self.m, self.s
+        g = thomas_sweeps(ehat, sinv, uhat, bb)              # (m, s, B)
+        if self.P == 1:                                      # degenerate
+            return g
+        w = w.reshape(m * s, s)
+        v = v.reshape(m * s, s)
+        gt_gb = jnp.stack([g[0], g[-1]])                     # (2, s, B)
+        allg = jax.lax.all_gather(gt_gb, ax)                 # (P, 2, s, B)
+        gts, gbs = allg[:, 0], allg[:, 1]                    # (P, s, B)
+        # reduced RHS r_p = [g_p^b ; g_{p+1}^t], p = 0..P-2
+        r = jnp.concatenate([gbs[:-1], gts[1:]], axis=1)     # (P-1, 2s, B)
+        z = thomas_sweeps(r_eh, r_si, r_uh, r)               # (P-1, 2s, B)
+        xb = z[:, :s]          # x_p^b      for p = 0..P-2
+        xt = z[:, s:]          # x_{p+1}^t  for p = 0..P-2
+        idx = jax.lax.axis_index(ax)
+        zero = jnp.zeros_like(g[0])
+        x_prev_b = jnp.where(idx > 0,
+                             jnp.take(xb, idx - 1, axis=0, mode="clip"),
+                             zero)
+        x_next_t = jnp.where(idx < self.P - 1,
+                             jnp.take(xt, idx, axis=0, mode="clip"),
+                             zero)
+        corr = w @ x_prev_b + v @ x_next_t                   # (m*s, B)
+        return (g.reshape(m * s, -1) - corr).reshape(m, s, -1)
+
+    def solve_blocks(self, bb):
+        """Solve in sharded block space: (nb, s, B) -> (nb, s, B)."""
+        from jax.experimental.shard_map import shard_map
+
+        ax = self.axis
+        f = shard_map(
+            self._local, mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                      P(), P(), P()),
+            out_specs=P(ax),
+        )
+        return f(bb, self._ehat, self._sinv, self._uhat, self._w,
+                 self._v, self._r_eh, self._r_si, self._r_uh)
+
+    def blocks(self, b):
+        """Permute + pad an (n,)/(n,B) RHS to sharded (nb, s, B)."""
+        b = np.asarray(b)
+        if b.ndim == 1:
+            b = b[:, None]
+        nbs = self.m * self.P * self.s
+        bp = np.zeros((nbs, b.shape[1]), dtype=self._sinv.dtype)
+        bp[: self.n] = b[self._hperm]
+        bb = bp.reshape(self.m * self.P, self.s, -1)
+        return jax.device_put(bb, NamedSharding(self.mesh, P(self.axis)))
+
+    def unblocks(self, xx):
+        """(nb, s, B) -> (n, B) numpy, inverse permutation applied."""
+        xf = np.asarray(xx).reshape(-1, xx.shape[-1])[: self.n]
+        out = np.empty_like(xf)
+        out[self._hperm] = xf
+        return out
+
+    def __call__(self, b):
+        squeeze = np.ndim(b) == 1
+        x = self.unblocks(self.solve_blocks(self.blocks(b)))
+        return x[:, 0] if squeeze else x
+
+    # -- host twin ------------------------------------------------------------
+    def solve_host(self, b):
+        """numpy replay of the SPIKE solve (for verification)."""
+        ehat, sinv, uhat, Wsp, Vsp, r_eh, r_si, r_uh = self._h
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        m, s, Pn = self.m, self.s, self.P
+        dt = np.result_type(sinv.dtype, b.dtype)
+        bp = np.zeros((m * Pn * s, b.shape[1]), dtype=dt)
+        bp[: self.n] = b[self._hperm]
+        B = b.shape[1]
+        g = np.empty((Pn, m, s, B), dtype=dt)
+        for p in range(Pn):
+            g[p] = _sweeps_host(ehat[p * m:(p + 1) * m],
+                                sinv[p * m:(p + 1) * m],
+                                uhat[p * m:(p + 1) * m],
+                                bp.reshape(Pn, m, s, B)[p])
+        r = np.concatenate([g[:-1, -1], g[1:, 0]], axis=1)  # (P-1, 2s, B)
+        z = _sweeps_host(r_eh, r_si, r_uh, r)
+        x = np.empty_like(g)
+        for p in range(Pn):
+            corr = np.zeros((m * s, B), dtype=dt)
+            if p > 0:
+                corr += Wsp[p] @ z[p - 1, :s]
+            if p < Pn - 1:
+                corr += Vsp[p] @ z[p, s:]
+            x[p] = (g[p].reshape(m * s, B) - corr).reshape(m, s, B)
+        xf = x.reshape(-1, B)[: self.n]
+        out = np.empty_like(xf)
+        out[self._hperm] = xf
+        return out[:, 0] if squeeze else out

@@ -13,9 +13,13 @@ Three stages:
    band radius / shard size; compute overlaps the ppermute exchanges);
 2. block-Jacobi preconditioned distributed BiCGSTAB solve of the
    regularized B' system;
-3. Schur-complement distributed DIRECT solve on a 1M narrow-band case
-   (the dense interface solve needs a narrow cut, which 1-D partitions
-   of a wide-band matrix do not give — the grid system stays iterative).
+3. SPIKE distributed DIRECT solve (parallel.DistBandedLU) on a 1M
+   narrow-band case: per-shard block-Thomas factors + one all_gather of
+   the interface blocks per solve.  The real B' (bandwidth ~2453 after
+   RCM) is also SPIKE-solvable — its factor stacks are ~50 GB, which is
+   exactly the distributed case (6.4 GB/device on 8) — but building
+   them needs pod-grade BLAS, so this host demo factors the narrow-band
+   system and solves the wide-band grid iteratively (stage 2).
 """
 import os
 import sys
@@ -43,7 +47,7 @@ import csparse3_tpu as cst  # noqa: E402
 from csparse3_tpu.linalg.ordering import rcm  # noqa: E402
 from csparse3_tpu.models.grids import synthetic_grid  # noqa: E402
 from csparse3_tpu.parallel import (  # noqa: E402
-    BlockJacobi, SchurLU, dist_bicgstab, dist_spmv, partition_rows,
+    BlockJacobi, dist_bicgstab, dist_spmv, partition_rows,
 )
 
 
@@ -93,22 +97,25 @@ def main():
           f"rel res {rel:.2e}", flush=True)
     assert rel < 1e-6
 
-    # Schur direct solve on a 1M narrow-band system
+    # SPIKE distributed direct solve on a 1M narrow-band system
+    from csparse3_tpu.parallel import DistBandedLU
+
     d1 = -np.ones(n - 1)
     d16 = -0.5 * np.ones(n - 16)
     band = sp.diags([d16, d1, 4.0 * np.ones(n), d1, d16],
                     [-16, -1, 0, 1, 16]).tocsc()
     Aband = cst.CSC.from_scipy(band)
     t0 = time.time()
-    slu = SchurLU(Aband, S)
+    klu = DistBandedLU(Aband, mesh=mesh, ordering=None, s=128)
     t_fac = time.time() - t0
     bb = np.random.RandomState(2).rand(n)
-    t0 = time.time()
-    xd = np.asarray(slu.solve(bb))
-    t_ds = time.time() - t0
+    with mesh:
+        t0 = time.time()
+        xd = np.asarray(klu(bb))
+        t_ds = time.time() - t0
     rel = np.linalg.norm(band @ xd - bb) / np.linalg.norm(bb)
-    print(f"Schur direct (band): factor {t_fac:.1f}s  solve {t_ds:.2f}s  "
-          f"rel res {rel:.2e}", flush=True)
+    print(f"SPIKE direct (band, 8-way): factor {t_fac:.1f}s  "
+          f"solve {t_ds:.2f}s  rel res {rel:.2e}", flush=True)
     assert rel < 1e-6
     print("CONFIG-5 DEMO PASSED", flush=True)
 

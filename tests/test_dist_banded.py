@@ -1,0 +1,71 @@
+"""Distributed SPIKE banded direct solve (parallel/banded.py) on the
+virtual 8-device CPU mesh, vs scipy spsolve."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+from jax.sharding import Mesh
+
+import csparse3_tpu as cst
+from csparse3_tpu.parallel import DistBandedLU
+
+
+def _grid_system(n, seed, shift=3.0):
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    g = synthetic_grid(n, seed=seed)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    B = cst.from_triplets(rows, cols, vals, (n, n))
+    return cst.add(B, cst.diags(np.full(n, shift)))
+
+
+def _mesh(k):
+    devs = jax.devices()
+    if len(devs) < k:
+        pytest.skip(f"needs {k} devices")
+    return Mesh(np.array(devs[:k]), ("rows",))
+
+
+class TestDistBandedLU:
+    def test_matches_scipy_8way(self):
+        A = _grid_system(5000, seed=1)
+        plan = DistBandedLU(A, mesh=_mesh(8))
+        b = np.random.RandomState(0).rand(5000, 8)
+        xs = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(plan.solve_host(b), xs,
+                                   rtol=1e-10, atol=1e-12)
+        xd = plan(b)
+        np.testing.assert_allclose(xd, xs, rtol=1e-5, atol=1e-7)
+
+    def test_partition_count_invariance(self):
+        A = _grid_system(3000, seed=2)
+        b = np.random.RandomState(1).rand(3000)
+        x1 = DistBandedLU(A, mesh=_mesh(1))(b)
+        x4 = DistBandedLU(A, mesh=_mesh(4))(b)
+        x8 = DistBandedLU(A, mesh=_mesh(8))(b)
+        np.testing.assert_allclose(x4, x1, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(x8, x1, rtol=1e-5, atol=1e-7)
+
+    def test_natural_band(self):
+        n = 4096
+        main = 4.0 * np.ones(n)
+        off = -np.ones(n - 1)
+        off9 = -0.3 * np.ones(n - 9)
+        A_sp = sp.diags([off9, off, main, off, off9],
+                        [-9, -1, 0, 1, 9]).tocsc()
+        plan = DistBandedLU(cst.CSC.from_scipy(A_sp), mesh=_mesh(8),
+                            ordering=None)
+        b = np.random.RandomState(2).rand(n)
+        np.testing.assert_allclose(plan.solve_host(b),
+                                   spla.spsolve(A_sp, b),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_chunk_guard(self):
+        A = _grid_system(400, seed=3)
+        with pytest.raises(ValueError, match="chunks"):
+            DistBandedLU(A, mesh=_mesh(8), s=256)
