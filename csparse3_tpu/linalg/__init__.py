@@ -11,4 +11,9 @@ from .trisolve import (  # noqa: F401
 )
 from .iterative import bicgstab, cg, gmres, ilu0_prec, jacobi_prec  # noqa: F401
 from .refactor import RefactorPlan  # noqa: F401
-from .banded import BandedLU, BandedSolvePlan, bandwidth  # noqa: F401
+from .banded import (  # noqa: F401
+    BandedLU,
+    BandedRefactor,
+    BandedSolvePlan,
+    bandwidth,
+)

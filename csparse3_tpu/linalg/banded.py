@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandedLU", "BandedSolvePlan", "bandwidth"]
+__all__ = ["BandedLU", "BandedRefactor", "BandedSolvePlan", "bandwidth",
+           "thomas_factor_device", "thomas_sweeps"]
 
 
 def bandwidth(Fp, Fi):
@@ -223,6 +224,27 @@ def thomas_sweeps(ehat, sinv, uhat, bb):
     return x
 
 
+def thomas_factor_device(D, E, F):
+    """Device block-Thomas factorization: (nb, s, s) block-tridiagonal
+    stacks -> (ehat, sinv, uhat) plan stacks, entirely on device.
+
+    One ``lax.scan`` step per block: a batched (s,s) inverse (XLA LU)
+    plus three (s,s)@(s,s) MXU matmuls.  E[0] must be zero, so the
+    k = 0 step degenerates correctly with a zero carry."""
+    def step(carry, blk):
+        Sinv_prev, Fprev = carry
+        Dk, Ek, Fk = blk
+        Eh = Ek @ Sinv_prev
+        S = Dk - Eh @ Fprev
+        Sinv = jnp.linalg.inv(S)
+        Uh = Sinv @ Fk
+        return (Sinv, Fk), (Eh, Sinv, Uh)
+
+    z = D[0] * 0
+    _, (ehat, sinv, uhat) = jax.lax.scan(step, (z, z), (D, E, F))
+    return ehat, sinv, uhat
+
+
 def _sweeps_host(ehat, sinv, uhat, bb):
     """numpy twin of thomas_sweeps (f64 math over the stored stacks)."""
     nb = bb.shape[0]
@@ -391,6 +413,85 @@ class BandedLU:
         out = np.empty_like(xf)
         out[np.asarray(perm)] = xf
         return out[:, 0] if squeeze else out
+
+    @classmethod
+    def _from_stacks(cls, ehat, sinv, uhat, perm, n, s, bw):
+        obj = object.__new__(cls)
+        obj.n, obj.s, obj.bw = n, s, bw
+        obj._ehat, obj._sinv, obj._uhat = ehat, sinv, uhat
+        obj.perm = perm
+        obj._h = None
+        return obj
+
+    def refactor_plan(self, a):
+        """Device numeric refactorization: freeze this plan's block
+        layout and permutation, then factor NEW values of the same
+        pattern entirely on device (jittable — the scaling analogue of
+        ``SparseLU.refactor_plan``; pairs with the device Ybus/Jacobian
+        assembly in the jittable Newton)."""
+        return BandedRefactor(self, a)
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedRefactor:
+    """values -> factored BandedLU, entirely on device.
+
+    Build once from a factored ``BandedLU`` and the matrix it factored;
+    ``__call__(data)`` takes the CSC ``data`` array (same pattern, new
+    values), scatter-adds it into block-tridiagonal stacks with a
+    precomputed static index map, and runs the device block-Thomas
+    recurrence (``thomas_factor_device``).  Returns a solvable
+    ``BandedLU`` pytree — usable inside ``jit``/``lax.scan`` for
+    factor-per-iteration Newton loops.
+    """
+
+    def __init__(self, plan: BandedLU, a):
+        n, s, nb = plan.n, plan.s, plan.nblocks
+        Ap, Ai, Ax = a.np_arrays()
+        perm = np.asarray(plan.perm)
+        pinv = np.empty(n, dtype=np.int64)
+        pinv[perm] = np.arange(n, dtype=np.int64)
+        cols = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(np.asarray(Ap)))
+        r = pinv[np.asarray(Ai, dtype=np.int64)]
+        c = pinv[cols]
+        kb_r, kb_c = r // s, c // s
+        d = kb_r - kb_c
+        if (np.abs(d) > 1).any():
+            raise ValueError("pattern exceeds the plan's block tridiagonal")
+        # stacks concatenated as one flat buffer: [D | E | F]
+        which = np.where(d == 0, 0, np.where(d == 1, 1, 2))
+        # D_k, E_k and F_k all live at the entry's ROW block kb_r
+        idx = which * (nb * s * s) + kb_r * (s * s) + (r % s) * s + (c % s)
+        pad = np.arange(n, nb * s, dtype=np.int64)
+        pad_idx = (pad // s) * (s * s) + (pad % s) * s + (pad % s)
+        self._idx = jnp.asarray(idx)
+        self._pad_idx = jnp.asarray(pad_idx)
+        self._dtype = plan._sinv.dtype
+        self._perm = plan.perm
+        self._aux = (n, s, nb, plan.bw)
+
+    def tree_flatten(self):
+        return ((self._idx, self._pad_idx, self._perm),
+                (self._aux, np.dtype(self._dtype).name))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        obj._aux, dt = aux
+        obj._dtype = np.dtype(dt)
+        obj._idx, obj._pad_idx, obj._perm = ch
+        return obj
+
+    def __call__(self, data):
+        n, s, nb, bw = self._aux
+        data = jnp.asarray(data).astype(self._dtype)
+        buf = jnp.zeros((3 * nb * s * s,), dtype=self._dtype)
+        buf = buf.at[self._idx].add(data)
+        buf = buf.at[self._pad_idx].add(jnp.ones((), self._dtype))
+        D, E, F = buf.reshape(3, nb, s, s)
+        eh, si, uh = thomas_factor_device(D, E, F)
+        return BandedLU._from_stacks(eh, si, uh, self._perm, n, s, bw)
 
 
 @jax.tree_util.register_pytree_node_class

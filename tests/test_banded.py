@@ -134,3 +134,53 @@ class TestBandedLU:
         x1 = np.asarray(run(plan, b))
         x2 = np.asarray(plan(b))
         np.testing.assert_allclose(x1, x2, rtol=1e-6, atol=1e-8)
+
+
+class TestBandedRefactor:
+    """Device block-Thomas refactorization (BandedRefactor)."""
+
+    def test_refactor_matches_fresh_factor(self):
+        A = _grid_system(500, seed=11)
+        plan = BandedLU(A)
+        rf = plan.refactor_plan(A)
+        b = np.random.RandomState(0).rand(500)
+        # same values -> same solve
+        plan2 = jax.jit(lambda r, d: r(d))(rf, jnp.asarray(A.np_arrays()[2]))
+        x1 = np.asarray(plan(b))
+        x2 = np.asarray(plan2(b))
+        np.testing.assert_allclose(x2, x1, rtol=1e-5, atol=1e-8)
+
+    def test_refactor_new_values(self):
+        A = _grid_system(400, seed=12)
+        plan = BandedLU(A)
+        rf = plan.refactor_plan(A)
+        ip, ix, dt = A.np_arrays()
+        new = dt * 1.7
+        A2 = cst.CSC(400, 400, ip, ix, new)
+        plan2 = rf(jnp.asarray(new))
+        b = np.random.RandomState(1).rand(400)
+        xref = spla.spsolve(A2.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(np.asarray(plan2(b)), xref,
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_refactor_inside_scan(self):
+        """factor-per-iteration loops must jit (Newton shape)."""
+        A = _grid_system(300, seed=13)
+        plan = BandedLU(A)
+        rf = plan.refactor_plan(A)
+        d0 = jnp.asarray(A.np_arrays()[2])
+        b = jnp.asarray(np.random.RandomState(2).rand(300))
+
+        @jax.jit
+        def chain(rf, d, b):
+            def body(c, _):
+                p = rf(c * 1.0)
+                x = p(b)
+                return c * (1.0 + 1e-9 * jnp.max(jnp.abs(x))), x
+
+            _, xs = jax.lax.scan(body, d, None, length=3)
+            return xs
+
+        xs = np.asarray(chain(rf, d0, b))
+        xref = spla.spsolve(A.to_scipy().tocsc(), np.asarray(b))
+        np.testing.assert_allclose(xs[0], xref, rtol=1e-4, atol=1e-6)
