@@ -493,6 +493,9 @@ class BandedRefactor:
         eh, si, uh = thomas_factor_device(D, E, F)
         return BandedLU._from_stacks(eh, si, uh, self._perm, n, s, bw)
 
+    # drop-in for linalg.RefactorPlan's interface
+    refactor = __call__
+
 
 @jax.tree_util.register_pytree_node_class
 class BandedSolvePlan:

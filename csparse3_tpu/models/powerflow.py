@@ -330,10 +330,14 @@ class NewtonPowerFlow:
     """
 
     def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="auto",
-                 spmv="ell"):
+                 spmv="ell", solver="level"):
         """spmv: 'ell', 'dia' (gather-free banded slabs; pair with
         models.grids.rcm_grid so Ybus is banded), or 'symdia' (see
-        FastDecoupled)."""
+        FastDecoupled).
+        solver: 'level' (KLU-style RefactorPlan + level-scheduled solve)
+        or 'blocklu' (block-Thomas BandedRefactor: the Jacobian, RCM-
+        reordered, refactors as dense MXU block recurrences — the
+        scalable per-iteration path on banded grids)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
@@ -391,8 +395,13 @@ class NewtonPowerFlow:
         i0r, i0i = self._yplan(jnp.asarray(v0.real), jnp.asarray(v0.imag))
         ibus0 = np.asarray(i0r) + 1j * np.asarray(i0i)
         J0 = _jacobian(self.Y, v0, ibus0, pvpq, pq)
-        lu = splu(J0, ordering=ordering)
-        self._rp = lu.refactor_plan(J0)
+        if solver == "blocklu":
+            from ..linalg import BandedLU
+
+            self._rp = BandedLU(J0).refactor_plan(J0)
+        else:
+            lu = splu(J0, ordering=ordering)
+            self._rp = lu.refactor_plan(J0)
 
     # -- device Jacobian values (fixed pattern, split-complex real math) ----
     def _jac_data(self, vr, vi, vm, ir, ii):

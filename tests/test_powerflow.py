@@ -233,3 +233,20 @@ def test_fdpf_blocklu_solver_matches_default():
     assert res2 < 1e-9
     np.testing.assert_allclose(vm2, vm[perm], atol=1e-8)
     np.testing.assert_allclose(va2, va[perm], atol=1e-8)
+
+
+def test_device_newton_blocklu_matches_host():
+    """NewtonPowerFlow(solver='blocklu'): the Jacobian refactors on
+    device as block-Thomas recurrences; must reach the host solution."""
+    from csparse3_tpu.models.grids import rcm_grid, synthetic_grid
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow, newton_raphson
+
+    g, _ = rcm_grid(synthetic_grid(120, seed=14))
+    vmh, vah, ith, resh = newton_raphson(g, tol=1e-10)
+    assert resh < 1e-9
+
+    npf = NewtonPowerFlow(g, tol=1e-8, spmv="dia", solver="blocklu")
+    vm, va, it, res = npf.solve()
+    assert res < 1e-7
+    np.testing.assert_allclose(vm, vmh, atol=1e-7)
+    np.testing.assert_allclose(va, vah, atol=1e-7)
