@@ -341,11 +341,16 @@ class BandedLU:
         self.n = n
         self.s = s
         self.bw = bw
-        self._ehat = jnp.asarray(ehat)
-        self._sinv = jnp.asarray(sinv)
-        self._uhat = jnp.asarray(uhat)
+        # complex stacks stay HOST numpy: some attachment paths cannot
+        # transfer complex dtypes at all (utils.xfer doc), but host
+        # arrays embed as HLO constants under closure-jit transfer-free.
+        # Use jax.jit(utils.splitc(plan)) for complex device solves.
+        leaf = (lambda x: x) if np.iscomplexobj(sinv) else jnp.asarray
+        self._ehat = leaf(ehat)
+        self._sinv = leaf(sinv)
+        self._uhat = leaf(uhat)
         t0 = _mark("upload", t0)
-        self.perm = jnp.asarray(perm)
+        self.perm = leaf(perm)
         # host copies for solve_host (storage-dtype sweeps in f64 math)
         self._h = (ehat, sinv, uhat, perm)
 

@@ -184,3 +184,30 @@ class TestBandedRefactor:
         xs = np.asarray(chain(rf, d0, b))
         xref = spla.spsolve(A.to_scipy().tocsc(), np.asarray(b))
         np.testing.assert_allclose(xs[0], xref, rtol=1e-4, atol=1e-6)
+
+
+class TestBandedLUComplex:
+    """Complex (Ybus-type) systems: host stacks embed as constants under
+    closure-jit (utils.splitc) so no complex dtype ever crosses the
+    host<->device boundary."""
+
+    def _ybus_system(self, n, seed):
+        from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+        g = synthetic_grid(n, seed=seed)
+        Y, _, _ = ybus(g)
+        return cst.add(Y, cst.diags(np.full(n, 0.5 + 0.1j)))
+
+    def test_complex_host_and_device(self):
+        from csparse3_tpu.utils import split, splitc, unsplit
+
+        A = self._ybus_system(800, seed=6)
+        plan = BandedLU(A)
+        rng = np.random.RandomState(0)
+        b = rng.rand(800) + 1j * rng.rand(800)
+        xs = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(plan.solve_host(b), xs,
+                                   rtol=1e-12, atol=1e-14)
+        solve = jax.jit(splitc(plan))
+        xd = unsplit(np.asarray(solve(split(b.astype(np.complex64)))))
+        np.testing.assert_allclose(xd, xs, rtol=2e-4, atol=1e-6)
