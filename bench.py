@@ -219,11 +219,25 @@ def run_solve100k(reps: int):
         o, _ = jax.lax.scan(body, b0, None, length=R)
         return o
 
-    compiled = chain.lower(plan, RHS, reps).compile()
-    t0 = time.perf_counter()
-    Xd = compiled(plan, RHS)
-    got = np.asarray(Xd[:, :VER])
-    t = time.perf_counter() - t0
+    # in-process delta: both chain lengths compiled once, then timed
+    # back-to-back per trial — the flaky tunnel's per-download variance
+    # hits both sides of each pairing equally and cancels in the delta
+    R1 = max(reps // 6, 1)
+    c1 = chain.lower(plan, RHS, R1).compile()
+    c2 = chain.lower(plan, RHS, reps).compile()
+    got = None
+    per = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(plan, RHS)[:, :VER])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        Xd = c2(plan, RHS)
+        got = np.asarray(Xd[:, :VER])
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
     # host twin on the verified columns (same f32 factor stacks)
     xh = np.asarray(RHS[:, :VER], dtype=np.float64)
     for _ in range(reps):
@@ -231,7 +245,8 @@ def run_solve100k(reps: int):
         xh = xh / np.abs(xh).max(axis=0, keepdims=True)
     err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
     return {
-        "t": t,
+        "t": (per or -1.0) * reps,  # back-compat: t/reps ~ per-solve
+        "per": per,
         "reps": reps,
         "rhs": B,
         "n": n,
@@ -308,7 +323,24 @@ def run_spgemm(reps: int):
     cs = C.to_scipy()
     (cs @ cs.T).tocsc()  # warm
     t_sp = min(_timed(lambda: (cs @ cs.T).tocsc()) for _ in range(reps))
-    return {"t": t, "out_nnz": int(G.nnz), "scipy_t": t_sp, "reps": reps}
+    out = {"t": t, "out_nnz": int(G.nnz), "scipy_t": t_sp, "reps": reps}
+
+    # BASELINE config-2 second case: random 10k x 10k CSC, 0.1% density,
+    # C = A @ A.T (plus the add/transpose the config bundles with it)
+    import scipy.sparse as sp
+
+    a10 = sp.random(10_000, 10_000, density=1e-3, format="csc",
+                    random_state=np.random.RandomState(0))
+    A10 = cst.CSC.from_scipy(a10)
+    G10 = A10.dot(A10.t())  # warm
+    t10 = min(_timed(lambda: cst.add(A10.dot(A10.t()), A10).t())
+              for _ in range(reps))
+    a10csc = a10.tocsc()
+    t10_sp = min(_timed(lambda: ((a10csc @ a10csc.T) + a10csc).T.tocsc())
+                 for _ in range(reps))
+    out.update({"t_10k": t10, "out_nnz_10k": int(G10.nnz),
+                "scipy_t_10k": t10_sp})
+    return out
 
 
 def run_scipy_spmv(reps: int, n: int = 200_000):
@@ -474,6 +506,10 @@ def main():
         extra["spgemm_out_nnz"] = gm["out_nnz"]
         extra["spgemm_nnz_per_s"] = gm["out_nnz"] / gm["t"]
         extra["spgemm_scipy_nnz_per_s"] = gm["out_nnz"] / gm["scipy_t"]
+        if "t_10k" in gm:  # BASELINE config-2: random 10k, 0.1% density
+            extra["spgemm10k_nnz_per_s"] = gm["out_nnz_10k"] / gm["t_10k"]
+            extra["spgemm10k_scipy_nnz_per_s"] = (
+                gm["out_nnz_10k"] / gm["scipy_t_10k"])
 
     nnz = extra.get("spmv_nnz", 0)
     spmv_nnz_s = nnz / extra["spmv_t_s"] if "spmv_t_s" in extra else 0.0

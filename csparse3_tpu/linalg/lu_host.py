@@ -212,7 +212,7 @@ def lu_factor_host(n, Ap, Ai, Ax, q=None, tol: float = 1.0) -> HostLU:
     Uv = np.concatenate(out_U[2])
 
     def to_csc(c, r, v):
-        order = np.lexsort((r, c))
+        order = np.argsort(c.astype(np.int64) * n + r, kind="stable")
         c, r, v = c[order], r[order], v[order]
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.add.at(indptr, c + 1, 1)

@@ -385,7 +385,7 @@ class NewtonPowerFlow:
         jc = np.concatenate(jc_l)
         dim = npvpq + npq
         # canonical-order permutation: J.data[i] = stream[perm[i]]
-        perm = np.lexsort((jr, jc))
+        perm = np.argsort(jc.astype(np.int64) * dim + jr, kind="stable")
         self._keep = [jnp.asarray(k) for k in keeps]
         self._perm = jnp.asarray(perm)
         self._segs = segs

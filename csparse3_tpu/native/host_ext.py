@@ -355,18 +355,13 @@ for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z"):
     f.argtypes = [
         ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
         ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
-        _i64p, _i64p, ctypes.c_void_p,
+        _i64p, _i64p, ctypes.c_void_p, ctypes.c_int,
     ]
 
 
-def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
-    """Native C = A @ B for CSC operands; returns canonical
-    (indptr, indices, data)."""
-    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
-    cx = np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
-    vdt = np.complex128 if cx else np.float64
-    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
-    Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
+def _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx, sorted_):
+    """Gustavson passes on int64/contiguous operands; emit order per
+    ``sorted_``."""
     Cp = np.zeros(nB + 1, dtype=np.int64)
     nnz = _lib.csc_spgemm_size(
         m, _i64_ptr(Ap), _i64_ptr(Ai), nB, _i64_ptr(Bp), _i64_ptr(Bi),
@@ -379,8 +374,48 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
         m, _i64_ptr(Ap), _i64_ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
         nB, _i64_ptr(Bp), _i64_ptr(Bi), Bx.ctypes.data_as(ctypes.c_void_p),
         _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+        1 if sorted_ else 0,
     )
     return Cp, Ci[:nnz], Cx[:nnz]
+
+
+def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
+    """Native C = A @ B for CSC operands; returns canonical
+    (indptr, indices, data).
+
+    Route: M = B^T A^T Gustavson with insertion-order (unsorted) emit,
+    then C = M^T via ONE O(nnz) count-scatter transpose — the transpose
+    scans source columns in ascending order, so its output is canonical
+    regardless of within-column order of its input.  This replaces the
+    per-column std::sort (~3x the cost of the numeric pass at 1M nnz)."""
+    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
+    cx = np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
+    vdt = np.complex128 if cx else np.float64
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
+    if len(Ai) + len(Bi) < 65536:
+        # small operands: the per-column sort beats three extra
+        # transpose passes' fixed cost
+        return _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx,
+                           sorted_=True)
+    k = len(Ap) - 1  # inner dim: A is (m, k), B is (k, nB)
+    tr = _lib.csc_transpose_z if cx else _lib.csc_transpose_d
+
+    def transpose(rows, ncols, Xp, Xi, Xx):
+        Tp = np.zeros(rows + 1, dtype=np.int64)
+        nz = len(Xi)
+        Ti = np.empty(max(nz, 1), dtype=np.int64)
+        Tx = np.empty(max(nz, 1), dtype=vdt)
+        tr(rows, ncols, _i64_ptr(Xp), _i64_ptr(Xi),
+           Xx.ctypes.data_as(ctypes.c_void_p), _i64_ptr(Tp), _i64_ptr(Ti),
+           Tx.ctypes.data_as(ctypes.c_void_p))
+        return Tp, Ti[:nz], Tx[:nz]
+
+    TBp, TBi, TBx = transpose(k, nB, Bp, Bi, Bx)    # B^T: (nB, k) csc
+    TAp, TAi, TAx = transpose(m, k, Ap, Ai, Ax)     # A^T: (k, m) csc
+    Mp, Mi, Mx = _spgemm_raw(nB, TBp, TBi, TBx, m, TAp, TAi, TAx,
+                             vdt, cx, sorted_=False)  # M = B^T A^T: (nB, m)
+    return transpose(nB, m, Mp, Mi, Mx)             # C = M^T, canonical
 
 
 for _n in ("csc_transpose_d", "csc_transpose_z"):
@@ -390,6 +425,54 @@ for _n in ("csc_transpose_d", "csc_transpose_z"):
         ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
         _i64p, _i64p, ctypes.c_void_p,
     ]
+
+
+_lib.csc_axpby_d.restype = ctypes.c_int64
+_lib.csc_axpby_d.argtypes = [
+    ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, ctypes.c_double,
+    _i64p, _i64p, ctypes.c_void_p, ctypes.c_double,
+    _i64p, _i64p, ctypes.c_void_p,
+]
+_lib.csc_axpby_z.restype = ctypes.c_int64
+_lib.csc_axpby_z.argtypes = [
+    ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
+    ctypes.c_double, ctypes.c_double,
+    _i64p, _i64p, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+    _i64p, _i64p, ctypes.c_void_p,
+]
+
+
+def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
+    """Native C = alpha*A + beta*B for canonical CSC operands; returns
+    canonical (indptr, indices, data)."""
+    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
+    cx = (np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
+          or np.iscomplexobj(alpha) or np.iscomplexobj(beta))
+    vdt = np.complex128 if cx else np.float64
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
+    cap = max(len(Ai) + len(Bi), 1)
+    Cp = np.zeros(n + 1, dtype=np.int64)
+    Ci = np.empty(cap, dtype=np.int64)
+    Cx = np.empty(cap, dtype=vdt)
+    if cx:
+        al, be = complex(alpha), complex(beta)
+        nnz = _lib.csc_axpby_z(
+            n, _i64_ptr(Ap), _i64_ptr(Ai),
+            Ax.ctypes.data_as(ctypes.c_void_p), al.real, al.imag,
+            _i64_ptr(Bp), _i64_ptr(Bi),
+            Bx.ctypes.data_as(ctypes.c_void_p), be.real, be.imag,
+            _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+        )
+    else:
+        nnz = _lib.csc_axpby_d(
+            n, _i64_ptr(Ap), _i64_ptr(Ai),
+            Ax.ctypes.data_as(ctypes.c_void_p), float(alpha),
+            _i64_ptr(Bp), _i64_ptr(Bi),
+            Bx.ctypes.data_as(ctypes.c_void_p), float(beta),
+            _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+        )
+    return Cp, Ci[:nnz], Cx[:nnz]
 
 
 def csc_transpose(m, n, Ap, Ai, Ax):

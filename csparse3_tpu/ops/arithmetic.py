@@ -58,10 +58,24 @@ def _keys_np(a: CSC):
 def axpby(alpha, a: CSC, beta, b: CSC) -> CSC:
     """alpha*A + beta*B with exact union pattern
     (reference: csc_add_ff semantics, csc_numba.py:183-219).  Host-eager
-    (output nnz is data-dependent)."""
+    (output nnz is data-dependent).  Canonical float/complex operands route
+    to the native 2-pointer column merge (csr_binop_csr_canonical twin)."""
     _check_shapes(a, b)
     ipa, rowsa, va = a.np_arrays()
     ipb, rowsb, vb = b.np_arrays()
+    res_dt = np.result_type(va, vb, np.asarray(alpha), np.asarray(beta))
+    if (a.canonical and b.canonical
+            and np.issubdtype(res_dt, np.inexact)):
+        try:
+            from ..native import host_ext
+
+            Cp, Ci, Cx = host_ext.csc_axpby(
+                a.n, ipa, rowsa, va, alpha, ipb, rowsb, vb, beta)
+            idx = np.dtype(get_config().index_dtype)
+            return CSC(a.m, a.n, Cp.astype(idx), Ci.astype(idx),
+                       Cx.astype(res_dt, copy=False), canonical=True)
+        except ImportError:
+            pass
     rows = np.concatenate([rowsa, rowsb])
     cols = np.concatenate(
         [construct.expand_indptr_np(ipa), construct.expand_indptr_np(ipb)]

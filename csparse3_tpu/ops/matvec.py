@@ -135,7 +135,8 @@ class SpMVPlan:
             return
         # ELL: row-major resort, pad each row to W
         W = max(W, 1)
-        order = np.lexsort((cols_np, rows_np))
+        order = np.argsort(
+            rows_np.astype(np.int64) * self.n + cols_np, kind="stable")
         r_s, c_s, v_s = rows_np[order], cols_np[order], vals_np[order]
         slot = np.arange(len(r_s)) - np.concatenate([[0], np.cumsum(counts)])[r_s]
         ell_cols = np.zeros((self.m, W), dtype=np.int32)

@@ -74,7 +74,8 @@ def spgemm(a: CSC, b: CSC) -> CSC:
                 a.m, ipa, ixa, dta, b.n, ipb, ixb, dtb
             )
             idx = np.dtype(get_config().index_dtype)
-            return CSC(a.m, b.n, Cp.astype(idx), Ci.astype(idx), Cx,
+            return CSC(a.m, b.n, Cp.astype(idx), Ci.astype(idx),
+                       Cx.astype(np.result_type(dta, dtb), copy=False),
                        canonical=True)
     except ImportError:
         pass
@@ -143,7 +144,8 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
         z = jnp.zeros((0,), cfg.index_dtype)
         return SpGEMMPlan(z, z, z, z, 0, empty)
     rows = a.np_arrays()[1][a_pos]
-    perm = np.lexsort((rows, out_cols))
+    # fused-key stable argsort = radix sort (see construct.from_triplets)
+    perm = np.argsort(out_cols.astype(np.int64) * a.m + rows, kind="stable")
     r_s, c_s = rows[perm], out_cols[perm]
     new = np.empty(total, dtype=bool)
     new[0] = True

@@ -242,10 +242,8 @@ class DistBandedLU:
 
     def solve_blocks(self, bb):
         """Solve in sharded block space: (nb, s, B) -> (nb, s, B)."""
-        from jax.experimental.shard_map import shard_map
-
         ax = self.axis
-        f = shard_map(
+        f = jax.shard_map(
             self._local, mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
                       P(), P(), P()),

@@ -986,7 +986,7 @@ template <typename T>
 void spgemm_pass2(int64_t m, const int64_t* Ap, const int64_t* Ai,
                   const T* Ax, int64_t nB, const int64_t* Bp,
                   const int64_t* Bi, const T* Bx, const int64_t* Cp,
-                  int64_t* Ci, T* Cx) {
+                  int64_t* Ci, T* Cx, bool sorted) {
   std::vector<int64_t> mask(m, -1);
   std::vector<T> acc(m, T(0));
   for (int64_t j = 0; j < nB; ++j) {
@@ -1005,8 +1005,16 @@ void spgemm_pass2(int64_t m, const int64_t* Ap, const int64_t* Ai,
         }
       }
     }
-    std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
-    for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+    if (sorted) {
+      // canonical emit: per-column sort + gather from the accumulator
+      std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
+      for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+    } else {
+      // insertion-order emit; caller canonicalizes with ONE O(nnz)
+      // count-scatter transpose (the reference leaves SpGEMM output
+      // unsorted too, csr.h:609-670 linked-list emit)
+      for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+    }
   }
 }
 
@@ -1023,16 +1031,19 @@ int64_t csc_spgemm_size(int64_t m, const int64_t* Ap, const int64_t* Ai,
 void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           const double* Ax, int64_t nB, const int64_t* Bp,
                           const int64_t* Bi, const double* Bx,
-                          const int64_t* Cp, int64_t* Ci, double* Cx) {
-  spgemm_pass2<double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx);
+                          const int64_t* Cp, int64_t* Ci, double* Cx,
+                          int sorted) {
+  spgemm_pass2<double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
+                       sorted != 0);
 }
 
 void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           const void* Ax, int64_t nB, const int64_t* Bp,
                           const int64_t* Bi, const void* Bx,
-                          const int64_t* Cp, int64_t* Ci, void* Cx) {
+                          const int64_t* Cp, int64_t* Ci, void* Cx,
+                          int sorted) {
   spgemm_pass2<cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
-                     (const cplx*)Bx, Cp, Ci, (cplx*)Cx);
+                     (const cplx*)Bx, Cp, Ci, (cplx*)Cx, sorted != 0);
 }
 
 }  // extern "C"
@@ -1074,6 +1085,74 @@ void csc_transpose_z(int64_t m, int64_t n, const int64_t* Ap,
                      const int64_t* Ai, const void* Ax, int64_t* Tp,
                      int64_t* Ti, void* Tx) {
   transpose_impl<cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti, (cplx*)Tx);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Canonical CSC union binop: C = alpha*A + beta*B via per-column 2-pointer
+// merge (reference: csr_binop_csr_canonical, src/sparsetools/csr.h:783-889,
+// dispatched from CscMat.__add__/__sub__ at src/CSparse3/csc.py:301-346).
+// Inputs must be canonical; C capacity >= nnzA + nnzB; returns actual nnz.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+int64_t axpby_impl(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                   const T* Ax, T alpha, const int64_t* Bp, const int64_t* Bi,
+                   const T* Bx, T beta, int64_t* Cp, int64_t* Ci, T* Cx) {
+  int64_t nnz = 0;
+  Cp[0] = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    int64_t pa = Ap[j], pb = Bp[j];
+    const int64_t ea = Ap[j + 1], eb = Bp[j + 1];
+    while (pa < ea && pb < eb) {
+      const int64_t ra = Ai[pa], rb = Bi[pb];
+      if (ra == rb) {
+        Ci[nnz] = ra;
+        Cx[nnz++] = alpha * Ax[pa++] + beta * Bx[pb++];
+      } else if (ra < rb) {
+        Ci[nnz] = ra;
+        Cx[nnz++] = alpha * Ax[pa++];
+      } else {
+        Ci[nnz] = rb;
+        Cx[nnz++] = beta * Bx[pb++];
+      }
+    }
+    for (; pa < ea; ++pa) {
+      Ci[nnz] = Ai[pa];
+      Cx[nnz++] = alpha * Ax[pa];
+    }
+    for (; pb < eb; ++pb) {
+      Ci[nnz] = Bi[pb];
+      Cx[nnz++] = beta * Bx[pb];
+    }
+    Cp[j + 1] = nnz;
+  }
+  return nnz;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t csc_axpby_d(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const double* Ax, double alpha, const int64_t* Bp,
+                    const int64_t* Bi, const double* Bx, double beta,
+                    int64_t* Cp, int64_t* Ci, double* Cx) {
+  return axpby_impl<double>(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta, Cp, Ci,
+                            Cx);
+}
+
+int64_t csc_axpby_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const void* Ax, double alpha_re, double alpha_im,
+                    const int64_t* Bp, const int64_t* Bi, const void* Bx,
+                    double beta_re, double beta_im, int64_t* Cp, int64_t* Ci,
+                    void* Cx) {
+  return axpby_impl<cplx>(n, Ap, Ai, (const cplx*)Ax,
+                          cplx(alpha_re, alpha_im), Bp, Bi, (const cplx*)Bx,
+                          cplx(beta_re, beta_im), Cp, Ci, (cplx*)Cx);
 }
 
 }  // extern "C"

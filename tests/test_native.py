@@ -197,7 +197,10 @@ def test_hostmem_allocator_installed():
         from csparse3_tpu.native import _npalloc  # noqa: F401
     except ImportError:
         return  # extension not built; mallopt-only mode
-    name = np.core.multiarray.get_handler_name()
+    # numpy>=2 moved multiarray under _core; no public home for this yet
+    from numpy._core.multiarray import get_handler_name
+
+    name = get_handler_name()
     assert name == "populate_mmap_allocator"
     z = np.zeros(2_000_000, dtype=np.float64)
     assert not z.any()
