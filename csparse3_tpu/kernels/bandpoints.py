@@ -13,18 +13,27 @@ A dense-offset-range DIA plan (ops.matvec.DIAPlan) stores the wash at
 band density — ~200x redundancy at 200k buses, which caps SpMV at
 HBM-bandwidth/200.  This module splits the matrix:
 
-* ``OffsetsPlan`` — the heavy diagonals as slabs with STATIC shifts
-  (python-int offsets, unrolled; no scan, no dynamic slicing);
-* ``points_spmv_pallas`` — everything else as packed per-row-tile entry
-  lists processed by a Pallas kernel: the per-tile x window lives in
-  VMEM, "gather" is a one-hot matmul on the MXU built in-kernel from
-  int32 indices (TPUs have no vector-gather unit; a 128-wide one-hot
-  contraction is the hardware-native substitute), and the write-back is
-  a second one-hot matmul over the tile's rows.
+* heavy diagonals as slabs with STATIC shifts (python-int offsets,
+  unrolled; no scan, no gather) — ``OffsetsPlan`` standalone, or fused
+  into the kernel below;
+* everything else as packed per-row-tile entry lists processed by a
+  Pallas kernel: the per-tile x window lives in VMEM, "gather" is a
+  FACTORED one-hot contraction on the MXU built in-kernel from int32
+  indices (widx = q*T + r: a (T, E) within-block one-hot contracted
+  against all KW window blocks at once + a (KW, E) block-select mask —
+  ~KW x less VPU work than the direct (KW*T, E) one-hot; TPUs have no
+  vector-gather unit, so a one-hot matmul is the hardware-native
+  substitute), and the write-back is a second one-hot matmul over the
+  tile's rows.
 
-``SplitBandPoints`` composes both for split-complex matvecs; one x
-window + one pair of one-hot matrices serve the real AND imaginary slab
-sets and both output components.
+``SplitBandPoints`` runs BOTH parts in ONE fused kernel
+(``band_points_spmv_pallas``) per matvec: composing a separate XLA slab
+pass with a per-iteration pallas call measured ~10x the sum of the parts
+on the dev runtime, and the points window already covers every heavy
+offset, whose within-window start is a static lane offset.  Everything
+stays in the (component, vector) row layout — batch on sublanes, vector
+on lanes — because a (m, 2)-layout output uses 2 of 128 lanes per vreg
+(measured 15x slowdown).
 
 Reference kernels replaced: csc_matvec / dia_matvec
 (/root/reference/src/sparsetools/csc.h:28-45, dia.h:30-58).
@@ -38,9 +47,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["OffsetsPlan", "SplitBandPoints", "points_spmv_pallas",
-           "split_offsets"]
+           "band_points_spmv_pallas", "split_offsets"]
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +100,25 @@ class OffsetsPlan:
             y = y + self.slabs[k][:, None] * win
         return y[:, 0] if squeeze else y
 
+    def rows(self, x2):
+        """Row-layout variant: x2 (B, n) -> (B, m).  Keeping the batch on
+        SUBLANES and the vector on LANES end-to-end avoids the (n, B) <->
+        (B, n) relayouts that dominate small-B split-complex matvecs."""
+        x2 = jnp.asarray(x2, jnp.float32)
+        B = x2.shape[0]
+        if not self.offs:
+            return jnp.zeros((B, self.m), jnp.float32)
+        P = max(0, -min(self.offs))
+        Q = max(0, max(self.offs) + self.m - self.n)
+        xp = jnp.concatenate([
+            jnp.zeros((B, P), x2.dtype), x2, jnp.zeros((B, Q), x2.dtype)],
+            axis=1)
+        y = jnp.zeros((B, self.m), jnp.float32)
+        for k, o in enumerate(self.offs):
+            win = jax.lax.slice_in_dim(xp, P + o, P + o + self.m, axis=1)
+            y = y + self.slabs[k][None, :] * win
+        return y
+
 
 jax.tree_util.register_pytree_node(
     OffsetsPlan,
@@ -109,11 +138,13 @@ def _offsets_unflatten(aux, ch):
 # scattered points: packed per-row-tile entries + one-hot MXU kernel
 # ---------------------------------------------------------------------------
 
-def _pack_points(m, rows, cols, valr, vali, T):
+def _pack_points(m, rows, cols, valr, vali, T, off_range=None):
     """Pack entries into per-row-tile arrays, one row per tile: (nt, E).
 
     ``widx`` is the WINDOW-relative column of each entry for its tile;
-    ``wrow`` the tile-relative row (T = dead padding slot).
+    ``wrow`` the tile-relative row (T = dead padding slot).  ``off_range``
+    widens the window to also cover the given (lo, hi) diagonal offsets
+    (used by the fused kernel so the core slabs can read their windows).
     """
     nt = -(-m // T)
     t = rows // T
@@ -122,6 +153,9 @@ def _pack_points(m, rows, cols, valr, vali, T):
         omin_p, omax_p = int(d.min()), int(d.max())
     else:
         omin_p = omax_p = 0
+    if off_range is not None:
+        omin_p = min(omin_p, int(off_range[0]))
+        omax_p = max(omax_p, int(off_range[1]))
     P = max(0, -omin_p)
     spread = omax_p - omin_p
     KW = -(-(spread + T) // T) + 1
@@ -146,12 +180,9 @@ def _pack_points(m, rows, cols, valr, vali, T):
 
 
 def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
-    W = KW * T
-
     def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, *refs):
         xrefs, o_ref = refs[:-1], refs[-1]
         t = pl.program_id(0)
-        w = jnp.concatenate([r[:] for r in xrefs], axis=1)  # (2, W)
         # entry tables are fully VMEM-resident (constant index_map loads
         # them once); the tile's row comes out with a dynamic SUBLANE
         # slice, the one supported dynamic access
@@ -159,21 +190,38 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         wrow = wrow_ref[pl.ds(t, 1), :]
         vr = vr_ref[pl.ds(t, 1), :]  # (1, E) f32
         vi = vi_ref[pl.ds(t, 1), :]
+        # FACTORED one-hot gather: widx = q*T + r.  A direct (W, E)
+        # one-hot costs W*E = KW*T*E comparisons on the VPU; factoring
+        # into a (T, E) within-block one-hot (contracted on the MXU
+        # against ALL KW blocks at once) plus a (KW, E) block-select
+        # mask costs (T + KW)*E — ~KW x less VPU work, same MXU flops.
+        q = widx // T  # (1, E) block id
+        r = widx - q * T  # (1, E) within-block position
         # transposed one-hots: entries on LANES, so no transposes anywhere
-        csub = jax.lax.broadcasted_iota(jnp.int32, (W, E), 0)
-        ohT = (csub == widx).astype(jnp.float32)  # (W, E)
+        rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
+        M1 = (rsub == r).astype(jnp.float32)  # (T, E)
+        # stack re rows of every window block, then im rows: (2*KW, T)
+        # (a VMEM-resident blocked x + dynamic sublane slice would avoid
+        # these per-step window DMAs, but Mosaic requires dynamic sublane
+        # starts provably 8-aligned and t + c0 is not)
+        R = jnp.concatenate(
+            [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
         # HIGHEST: the v5e MXU truncates f32 operands to bf16 by default,
         # costing ~2^-9 relative error on the gathered x values
-        G = jnp.dot(w, ohT, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (2, E)
-        p_yr = vr * G[0:1, :] - vi * G[1:2, :]  # (1, E)
-        p_yi = vr * G[1:2, :] + vi * G[0:1, :]
+        Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (2*KW, E)
+        ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
+        mask = (ksub == q).astype(jnp.float32)  # (KW, E)
+        Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)  # (1, E)
+        Gi = jnp.sum(mask * Pg[KW:, :], axis=0, keepdims=True)
+        p_yr = vr * Gr - vi * Gi  # (1, E)
+        p_yi = vr * Gi + vi * Gr
         P2 = jnp.concatenate([p_yr, p_yi], axis=0)  # (2, E)
-        rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
         rowohT = (rsub == wrow).astype(jnp.float32)  # (T, E); dead rows 0
-        # (T, E) x (2, E) contracted on E -> (T, 2)
+        # (2, E) x (T, E) contracted on E -> (2, T): output stays in the
+        # (components, rows) layout so no host-side transpose is needed
         o_ref[:] = jax.lax.dot_general(
-            rowohT, P2, (((1,), (1,)), ((), ())),
+            P2, rowohT, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
@@ -191,8 +239,8 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         kernel,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, 2), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, 2), jnp.float32),
+        out_specs=pl.BlockSpec((2, T), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((2, m_pad), jnp.float32),
         interpret=interpret,
     )
 
@@ -216,8 +264,107 @@ def points_spmv_pallas(widx, wrow, vr, vi, x2, *, T, KW, omin_p, P, m,
         xp, x2.astype(jnp.float32), (0, P))
     call = _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret)
     xargs = [xp] * KW
-    y = call(widx, wrow, vr, vi, *xargs)  # (m_pad, 2)
-    return y[:m].T
+    y = call(widx, wrow, vr, vi, *xargs)  # (2, m_pad)
+    return y[:, :m]
+
+
+def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
+    """One kernel = heavy-diagonal slabs + one-hot point gather.
+
+    Composing the slab contraction (plain XLA) with a per-iteration
+    pallas call costs ~10x the sum of the parts on this runtime (measured:
+    40us core + 80us points -> 490us composed at 200k), so the core
+    diagonals move INTO the kernel: each tile's window already covers
+    every heavy offset, and the within-window start of offset ``o`` is
+    the STATIC lane offset  P + o - ((omin_p + P)//T)*T.
+    """
+    c0T = ((omin_p + P) // T) * T
+
+    def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, s2_ref, *refs):
+        xrefs, o_ref = refs[:-1], refs[-1]
+        t = pl.program_id(0)
+        widx = widx_ref[pl.ds(t, 1), :]  # (1, E) int32
+        wrow = wrow_ref[pl.ds(t, 1), :]
+        vr = vr_ref[pl.ds(t, 1), :]  # (1, E) f32
+        vi = vi_ref[pl.ds(t, 1), :]
+        q = widx // T
+        r = widx - q * T
+        rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
+        M1 = (rsub == r).astype(jnp.float32)  # (T, E)
+        R = jnp.concatenate(
+            [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
+        Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (2*KW, E)
+        ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
+        mask = (ksub == q).astype(jnp.float32)  # (KW, E)
+        Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
+        Gi = jnp.sum(mask * Pg[KW:, :], axis=0, keepdims=True)
+        p_yr = vr * Gr - vi * Gi
+        p_yi = vr * Gi + vi * Gr
+        P2 = jnp.concatenate([p_yr, p_yi], axis=0)  # (2, E)
+        rowohT = (rsub == wrow).astype(jnp.float32)
+        y = jax.lax.dot_general(
+            P2, rowohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (2, T)
+        # heavy-diagonal slabs: static lane slices of the window.  The
+        # slab block is (1, 2*D, T) — re rows then im rows, contiguous in
+        # HBM per tile (one DMA descriptor instead of 2*D strided rows)
+        w = jnp.concatenate([x[:] for x in xrefs], axis=1)  # (2, W)
+        s2 = s2_ref[0]  # (2*D, T)
+        yr, yi = y[0:1, :], y[1:2, :]
+        W = KW * T
+        for kd, o in enumerate(offs):
+            s = P + int(o) - c0T
+            # positive-normalized roll + aligned front slice: unaligned
+            # static lane slices lower poorly; rolls are native
+            xw = pltpu.roll(w, W - s, axis=1)[:, :T] if s else w[:, :T]
+            ar = s2[kd:kd + 1, :]  # (1, T)
+            ai = s2[D + kd:D + kd + 1, :]
+            yr = yr + ar * xw[0:1, :] - ai * xw[1:2, :]
+            yi = yi + ar * xw[1:2, :] + ai * xw[0:1, :]
+        o_ref[:] = jnp.concatenate([yr, yi], axis=0)
+
+    def xmap(shift):
+        return lambda t: (0, (t * T + omin_p + P) // T + shift)
+
+    full = lambda t: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((nt, E), full),
+        pl.BlockSpec((nt, E), full),
+        pl.BlockSpec((nt, E), full),
+        pl.BlockSpec((nt, E), full),
+        pl.BlockSpec((1, 2 * D, T), lambda t: (t, 0, 0)),
+    ] + [pl.BlockSpec((2, T), xmap(s)) for s in range(KW)]
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, T), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((2, m_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "T", "KW", "omin_p", "P", "m", "offs", "interpret"))
+def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
+                            omin_p, P, m, offs, interpret=False):
+    """Full split-complex SpMV: heavy-diagonal slabs + packed points in
+    ONE pallas call.  s2: (nt, 2*D, T) per-tile slab blocks (re rows then
+    im rows).  x2: (2, n) stacked (xr, xi).  Returns (2, m)."""
+    nt, E = widx.shape
+    m_pad = nt * T
+    last_base = ((nt - 1) * T + omin_p + P) // T * T
+    xp_len = max(last_base + KW * T,
+                 -(-(P + x2.shape[1]) // T) * T)
+    xp = jnp.zeros((2, xp_len), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(
+        xp, x2.astype(jnp.float32), (0, P))
+    D = s2.shape[1] // 2
+    call = _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret)
+    y = call(widx, wrow, vr, vi, s2, *([xp] * KW))  # (2, m_pad)
+    return y[:, :m]
 
 
 def split_offsets(rows, cols, n, frac: float = 0.02):
@@ -248,6 +395,9 @@ class SplitBandPoints:
 
     def __init__(self, a, frac: float = 0.02, tile: int = 256,
                  group_span: int | None = None):
+        if a.m != a.n:
+            raise ValueError(f"SplitBandPoints needs a square matrix, "
+                             f"got {a.shape}")
         ip, ix, vals = a.np_arrays()
         m, n = a.m, a.n
         rows = ix.astype(np.int64)
@@ -261,38 +411,54 @@ class SplitBandPoints:
         core = np.isin(d, list(heavy)) if heavy else np.zeros(len(d), bool)
         pts = ~core
         self.m, self.n = m, n
-        self.core_r = OffsetsPlan.from_entries(
-            m, n, rows[core], cols[core], vr[core], heavy)
-        self.core_i = (OffsetsPlan.from_entries(
-            m, n, rows[core], cols[core], vi[core], heavy)
-            if self.iscomplex else None)
         self.tile = tile
         self.group_span = group_span
-        # partition point entries into offset groups
+        nt = -(-m // tile)
+        m_pad = nt * tile
+        # heavy-diagonal slabs padded to m_pad (fed to the fused kernel
+        # tile-by-tile); D >= 1 so the BlockSpec stays well-formed
+        self.offs = tuple(sorted(int(o) for o in heavy))
+        D = max(len(self.offs), 1)
+        sr = np.zeros((D, m_pad), dtype=np.float32)
+        si = np.zeros((D, m_pad), dtype=np.float32)
+        omap = {o: k for k, o in enumerate(self.offs)}
+        for o, k in omap.items():
+            sel = core & (d == o)
+            sr[k, rows[sel]] = vr[sel]
+            if vi is not None:
+                si[k, rows[sel]] = vi[sel]
+        # per-tile layout (nt, 2*D, T): tile t's re+im slab rows contiguous
+        s2 = np.concatenate([sr, si], axis=0)  # (2D, m_pad)
+        self.slabs = jnp.asarray(np.ascontiguousarray(
+            s2.reshape(2 * D, nt, tile).transpose(1, 0, 2)))
+        # partition point entries into offset groups; group 0 carries the
+        # core slabs (fused kernel), other groups are points-only
         pr, pc = rows[pts], cols[pts]
         pvr = vr[pts]
         pvi = vi[pts] if vi is not None else None
         dd = pc - pr
         self.point_data = []   # jnp arrays per group
         self.point_meta = []   # static (T, KW, omin_p, P) per group
-        if len(dd):
-            if group_span is None:
-                gid = np.zeros(len(dd), dtype=np.int64)
-            else:
-                gid = (dd - int(dd.min())) // group_span
-            for g in np.unique(gid):
-                sel = gid == g
-                widx, wrow, gvr, gvi, omin_p, P, KW, _nt = _pack_points(
-                    m, pr[sel], pc[sel], pvr[sel],
-                    pvi[sel] if pvi is not None else None, tile)
-                self.point_data.append(
-                    (jnp.asarray(widx), jnp.asarray(wrow),
-                     jnp.asarray(gvr), jnp.asarray(gvi)))
-                self.point_meta.append((tile, KW, omin_p, P))
+        off_range = ((min(self.offs), max(self.offs)) if self.offs
+                     else (0, 0))
+        if group_span is None or not len(dd):
+            gids = [np.ones(len(dd), dtype=bool)]
+        else:
+            gid = (dd - int(dd.min())) // group_span
+            gids = [gid == g for g in np.unique(gid)]
+        for gi_, sel in enumerate(gids):
+            widx, wrow, gvr, gvi, omin_p, P, KW, _nt = _pack_points(
+                m, pr[sel], pc[sel], pvr[sel],
+                pvi[sel] if pvi is not None else None, tile,
+                off_range=off_range if gi_ == 0 else None)
+            self.point_data.append(
+                (jnp.asarray(widx), jnp.asarray(wrow),
+                 jnp.asarray(gvr), jnp.asarray(gvi)))
+            self.point_meta.append((tile, KW, omin_p, P))
 
     @property
     def core_ndiag(self):
-        return len(self.core_r.offs)
+        return len(self.offs)
 
     @property
     def n_groups(self):
@@ -301,32 +467,32 @@ class SplitBandPoints:
     def __call__(self, xr, xi):
         xr = jnp.asarray(xr, jnp.float32)
         xi = jnp.asarray(xi, jnp.float32)
-        x2 = jnp.stack([xr, xi], axis=1)  # (n, 2)
-        r2 = self.core_r(x2)
-        if self.core_i is not None:
-            i2 = self.core_i(x2)
-            yr = r2[:, 0] - i2[:, 1]
-            yi = r2[:, 1] + i2[:, 0]
-        else:
-            yr, yi = r2[:, 0], r2[:, 1]
-        if self.point_data:
-            x2r = jnp.stack([xr, xi], axis=0)
-            interp = _default_interpret()
-            for (widx, wrow, gvr, gvi), (T, KW, omin_p, P) in zip(
-                    self.point_data, self.point_meta):
-                yp = points_spmv_pallas(
-                    widx, wrow, gvr, gvi, x2r,
-                    T=T, KW=KW, omin_p=omin_p, P=P, m=self.m,
-                    interpret=interp)
-                yr = yr + yp[0]
-                yi = yi + yp[1]
+        # row layout (2, n) end-to-end: batch on sublanes, vector on lanes
+        x2 = jnp.stack([xr, xi], axis=0)  # (2, n)
+        interp = _default_interpret()
+        # group 0: fused slabs + points kernel (always present)
+        widx, wrow, gvr, gvi = self.point_data[0]
+        T, KW, omin_p, P = self.point_meta[0]
+        y = band_points_spmv_pallas(
+            widx, wrow, gvr, gvi, self.slabs, x2,
+            T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
+            interpret=interp)
+        yr, yi = y[0], y[1]
+        for (widx, wrow, gvr, gvi), (T, KW, omin_p, P) in zip(
+                self.point_data[1:], self.point_meta[1:]):
+            yp = points_spmv_pallas(
+                widx, wrow, gvr, gvi, x2,
+                T=T, KW=KW, omin_p=omin_p, P=P, m=self.m,
+                interpret=interp)
+            yr = yr + yp[0]
+            yi = yi + yp[1]
         return yr, yi
 
 
 jax.tree_util.register_pytree_node(
     SplitBandPoints,
-    lambda p: ((p.core_r, p.core_i, p.point_data),
-               (p.m, p.n, p.iscomplex, p.tile, p.group_span,
+    lambda p: ((p.slabs, p.point_data),
+               (p.m, p.n, p.iscomplex, p.tile, p.group_span, p.offs,
                 tuple(p.point_meta))),
     lambda aux, ch: _sbp_unflatten(aux, ch),
 )
@@ -334,7 +500,8 @@ jax.tree_util.register_pytree_node(
 
 def _sbp_unflatten(aux, ch):
     obj = object.__new__(SplitBandPoints)
-    (obj.m, obj.n, obj.iscomplex, obj.tile, obj.group_span, meta) = aux
+    (obj.m, obj.n, obj.iscomplex, obj.tile, obj.group_span, obj.offs,
+     meta) = aux
     obj.point_meta = list(meta)
-    (obj.core_r, obj.core_i, obj.point_data) = ch
+    (obj.slabs, obj.point_data) = ch
     return obj
