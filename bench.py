@@ -91,14 +91,29 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
         o, _ = jax.lax.scan(body, (a, b), None, length=R)
         return o
 
-    compiled = many.lower(plan, jnp.asarray(xr0), jnp.asarray(xi0),
-                          reps).compile()  # no transfers
+    # in-process delta (see run_solve100k): two chain lengths compiled
+    # once, timed back-to-back per trial — per-download tunnel variance
+    # hits both sides of a pairing equally and cancels.
     # full-result download: the only barrier this runtime honors is a data
     # dependency, and a correct value PROVES execution completed in-window
-    t0 = time.perf_counter()
-    out = compiled(plan, jnp.asarray(xr0), jnp.asarray(xi0))
-    got_r, got_i = np.asarray(out[0]), np.asarray(out[1])
-    t = time.perf_counter() - t0
+    R1 = max(reps // 16, 1)
+    xr_d, xi_d = jnp.asarray(xr0), jnp.asarray(xi0)
+    c1 = many.lower(plan, xr_d, xi_d, R1).compile()  # no transfers
+    c2 = many.lower(plan, xr_d, xi_d, reps).compile()
+    per = None
+    got_r = got_i = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o1 = c1(plan, xr_d, xi_d)
+        np.asarray(o1[0]), np.asarray(o1[1])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = c2(plan, xr_d, xi_d)
+        got_r, got_i = np.asarray(out[0]), np.asarray(out[1])
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
 
     A = Yp.to_scipy().tocsr()
     z = xr0.astype(np.complex64) + 1j * xi0.astype(np.complex64)
@@ -108,7 +123,8 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     scale = max(1e-30, np.abs(z).max())
     err = max(np.abs(got_r - z.real).max(), np.abs(got_i - z.imag).max())
     return {
-        "t": t,
+        "t": (per or -1.0) * reps,  # back-compat: t/reps ~ per-op
+        "per": per,
         "reps": reps,
         "nnz": int(Y.nnz),
         "ndiag": ndiag,
@@ -450,17 +466,21 @@ def main():
     # the dense-range DIA plan is not a candidate at 200k: its slabs are
     # ~3 GB there (200x redundancy) and the upload alone can outlast the
     # subprocess budget on a degraded tunnel
-    candidates = [  # (kind, scipy twin, fallback tag, r1, r2)
-        ("spmv_bp", "scipy_spmv", None, 20, 620),
-        ("spmv_bp_small", "scipy_spmv_small", "50k", 20, 620),
-        ("spmv_small", "scipy_spmv_small", "50k", 20, 220),
+    candidates = [  # (kind, scipy twin, fallback tag, reps)
+        ("spmv_bp", "scipy_spmv", None, 320),
+        ("spmv_bp_small", "scipy_spmv_small", "50k", 320),
+        ("spmv_small", "scipy_spmv_small", "50k", 160),
     ]
-    per_spmv, a, b, scipy_kind = None, {}, {}, "scipy_spmv"
+    per_spmv, a, scipy_kind = None, {}, "scipy_spmv"
     fail_log = {}
-    for kind, sck, fb, r1, r2 in candidates:
-        per, a, b = _delta(kind, r1, r2, timeout=600, attempts=2)
+    for kind, sck, fb, r2 in candidates:
+        a = _sub(kind, r2, timeout=600, attempts=2)
+        per = a.get("per")
+        if a.get("correct") is False:
+            a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')})")
+            per = None
         if not per:
-            fail_log[kind] = str(a.get("error") or b.get("error"))
+            fail_log[kind] = str(a.get("error", "no delta"))
         if per:
             per_spmv, scipy_kind = per, sck
             if fb:
@@ -472,7 +492,7 @@ def main():
         extra["spmv_nnz"] = a["nnz"]
         extra["device"] = a.get("device", "?")
     else:
-        extra["spmv_error"] = str(a.get("error") or b.get("error"))
+        extra["spmv_error"] = str(a.get("error", "no delta"))
     if fail_log:
         extra["spmv_rejected"] = fail_log
 
@@ -489,13 +509,17 @@ def main():
     else:
         extra["lusolve_error"] = str(a.get("error") or b.get("error"))
 
-    per_100k, a, b = _delta("solve100k", 2, 12, timeout=900, attempts=2)
+    a = _sub("solve100k", 12, timeout=900, attempts=2)
+    per_100k = a.get("per")
+    if a.get("correct") is False:
+        per_100k = None
+        a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')})")
     if per_100k:
         extra["solve100k_rhs_per_s"] = 1024 / per_100k
         extra["solve100k_factor_s"] = a["factor_s"]
         extra["solve100k_bw"] = a["bw"]
     else:
-        extra["solve100k_error"] = str(a.get("error") or b.get("error"))
+        extra["solve100k_error"] = str(a.get("error", "no delta"))
 
     per_rf, a, b = _delta("refactor", 3, 23)
     if per_rf:

@@ -176,3 +176,42 @@ def test_split_bandpoints_real_matrix_and_jit():
     As = A.to_scipy()
     np.testing.assert_allclose(np.asarray(yr), As @ xr, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(yi), As @ xi, rtol=2e-4, atol=2e-4)
+
+
+def test_split_bandpoints_pure_banded():
+    """No scattered points at all: fused kernel runs slabs-only with a
+    dead entry table."""
+    import csparse3_tpu as cst
+
+    n = 500
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.random.RandomState(6).rand(len(rows))
+    A = cst.from_triplets(rows, cols, vals, (n, n))
+    plan = SplitBandPoints(A, tile=128)
+    assert plan.core_ndiag == 3
+    xr = np.random.RandomState(7).rand(n).astype(np.float32)
+    xi = np.random.RandomState(8).rand(n).astype(np.float32)
+    yr, yi = plan(xr, xi)
+    As = A.to_scipy()
+    np.testing.assert_allclose(np.asarray(yr), As @ xr, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), As @ xi, rtol=2e-4, atol=2e-4)
+
+
+def test_split_bandpoints_offset_groups():
+    """group_span > 0: group 0 fused with the core, later groups via the
+    points-only kernel."""
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 900
+    g = synthetic_grid(n, seed=9)
+    Y, _, _ = ybus(g)
+    plan = SplitBandPoints(Y, tile=128, group_span=40)
+    assert plan.n_groups >= 2
+    rng = np.random.RandomState(10)
+    xr = rng.rand(n).astype(np.float32)
+    xi = rng.rand(n).astype(np.float32)
+    yr, yi = plan(xr, xi)
+    z = Y.to_scipy() @ (xr + 1j * xi)
+    np.testing.assert_allclose(np.asarray(yr), z.real, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yi), z.imag, rtol=2e-4, atol=2e-4)
