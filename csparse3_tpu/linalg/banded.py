@@ -204,23 +204,27 @@ def thomas_sweeps(ehat, sinv, uhat, bb):
     Two ``lax.scan`` sweeps of (s,s)@(s,B) matmuls — pure MXU work:
     y_k = b_k - Ehat_k y_{k-1} (forward), x_k = S_k^{-1} y_k - Uhat_k
     x_{k+1} (backward)."""
-    def fwd(y_prev, blk):
-        eh, rhs = blk
-        y_k = rhs - eh @ y_prev
-        return y_k, y_k
+    # HIGHEST: the MXU's default f32 path truncates operands to bf16;
+    # 2^-9 per product compounds through the nb-block recurrence
+    # (measured: residual 2e-2 at 3000 nodes vs 2e-6 with f32 math)
+    with jax.default_matmul_precision("highest"):
+        def fwd(y_prev, blk):
+            eh, rhs = blk
+            y_k = rhs - eh @ y_prev
+            return y_k, y_k
 
-    # derive the zero carry from the operands so it inherits their
-    # varying-manual-axes type under shard_map (a plain jnp.zeros carry
-    # is 'unvarying' and scan rejects the mismatch)
-    z0 = bb[0] * 0
-    _, y = jax.lax.scan(fwd, z0, (ehat, bb))
+        # derive the zero carry from the operands so it inherits their
+        # varying-manual-axes type under shard_map (a plain jnp.zeros carry
+        # is 'unvarying' and scan rejects the mismatch)
+        z0 = bb[0] * 0
+        _, y = jax.lax.scan(fwd, z0, (ehat, bb))
 
-    def bwd(x_next, blk):
-        si, uh, rhs = blk
-        x_k = si @ rhs - uh @ x_next
-        return x_k, x_k
+        def bwd(x_next, blk):
+            si, uh, rhs = blk
+            x_k = si @ rhs - uh @ x_next
+            return x_k, x_k
 
-    _, x = jax.lax.scan(bwd, z0, (sinv, uhat, y), reverse=True)
+        _, x = jax.lax.scan(bwd, z0, (sinv, uhat, y), reverse=True)
     return x
 
 
@@ -231,17 +235,20 @@ def thomas_factor_device(D, E, F):
     One ``lax.scan`` step per block: a batched (s,s) inverse (XLA LU)
     plus three (s,s)@(s,s) MXU matmuls.  E[0] must be zero, so the
     k = 0 step degenerates correctly with a zero carry."""
-    def step(carry, blk):
-        Sinv_prev, Fprev = carry
-        Dk, Ek, Fk = blk
-        Eh = Ek @ Sinv_prev
-        S = Dk - Eh @ Fprev
-        Sinv = jnp.linalg.inv(S)
-        Uh = Sinv @ Fk
-        return (Sinv, Fk), (Eh, Sinv, Uh)
+    # HIGHEST: see thomas_sweeps — bf16 MXU truncation compounds through
+    # the recurrence and the explicit inverses
+    with jax.default_matmul_precision("highest"):
+        def step(carry, blk):
+            Sinv_prev, Fprev = carry
+            Dk, Ek, Fk = blk
+            Eh = Ek @ Sinv_prev
+            S = Dk - Eh @ Fprev
+            Sinv = jnp.linalg.inv(S)
+            Uh = Sinv @ Fk
+            return (Sinv, Fk), (Eh, Sinv, Uh)
 
-    z = D[0] * 0
-    _, (ehat, sinv, uhat) = jax.lax.scan(step, (z, z), (D, E, F))
+        z = D[0] * 0
+        _, (ehat, sinv, uhat) = jax.lax.scan(step, (z, z), (D, E, F))
     return ehat, sinv, uhat
 
 
@@ -570,22 +577,25 @@ class BandedSolvePlan:
         bp = jnp.zeros((nb * s, B), dtype=dt).at[:n].set(b[self.perm_r])
         bb = bp.reshape(nb, s, B)
 
-        def fwd(x_prev, blk):
-            binv, sub, rhs = blk
-            x_k = binv @ (rhs - sub @ x_prev)
-            return x_k, x_k
+        # HIGHEST: see thomas_sweeps — bf16 MXU truncation compounds
+        # through the block recurrence
+        with jax.default_matmul_precision("highest"):
+            def fwd(x_prev, blk):
+                binv, sub, rhs = blk
+                x_k = binv @ (rhs - sub @ x_prev)
+                return x_k, x_k
 
-        x0 = jnp.zeros((s, B), dtype=dt)
-        _, y = jax.lax.scan(fwd, x0, (self.linv, self.lsub, bb))
+            x0 = jnp.zeros((s, B), dtype=dt)
+            _, y = jax.lax.scan(fwd, x0, (self.linv, self.lsub, bb))
 
-        def bwd(x_next, blk):
-            binv, sup, rhs = blk
-            x_k = binv @ (rhs - sup @ x_next)
-            return x_k, x_k
+            def bwd(x_next, blk):
+                binv, sup, rhs = blk
+                x_k = binv @ (rhs - sup @ x_next)
+                return x_k, x_k
 
-        _, z = jax.lax.scan(
-            bwd, x0, (self.uinv, self.usup, y), reverse=True
-        )
+            _, z = jax.lax.scan(
+                bwd, x0, (self.uinv, self.usup, y), reverse=True
+            )
         zf = z.reshape(nb * s, B)[:n]
         x = jnp.zeros_like(zf)
         x = x.at[self.perm_c].set(zf)

@@ -419,17 +419,21 @@ class DenseTailTriSolvePlan:
         nb = self.invd.shape[0]
         idx = jnp.arange(nb) * s
 
-        def step(r, blk):
-            invd, strip, off = blk
-            r_b = jax.lax.dynamic_slice_in_dim(r, off, s, axis=0)
-            x_b = invd @ r_b
-            r = r - strip @ x_b
-            return r, x_b
+        # HIGHEST: the MXU's default f32 path truncates operands to bf16,
+        # which compounds through the blocked substitution recurrence
+        with jax.default_matmul_precision("highest"):
+            def step(r, blk):
+                invd, strip, off = blk
+                r_b = jax.lax.dynamic_slice_in_dim(r, off, s, axis=0)
+                x_b = invd @ r_b
+                r = r - strip @ x_b
+                return r, x_b
 
-        # scan's stacked outputs align with xs order even when reverse=True
-        _, xs = jax.lax.scan(
-            step, r, (self.invd, self.strips, idx), reverse=not self.lower
-        )
+            # scan's stacked outputs align with xs order even if reversed
+            _, xs = jax.lax.scan(
+                step, r, (self.invd, self.strips, idx),
+                reverse=not self.lower
+            )
         return xs.reshape(nb * s, -1)
 
     def solve(self, b):

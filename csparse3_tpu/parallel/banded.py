@@ -237,7 +237,8 @@ class DistBandedLU:
         x_next_t = jnp.where(idx < self.P - 1,
                              jnp.take(xt, idx, axis=0, mode="clip"),
                              zero)
-        corr = w @ x_prev_b + v @ x_next_t                   # (m*s, B)
+        with jax.default_matmul_precision("highest"):  # bf16 MXU default
+            corr = w @ x_prev_b + v @ x_next_t               # (m*s, B)
         return (g.reshape(m * s, -1) - corr).reshape(m, s, -1)
 
     def solve_blocks(self, bb):

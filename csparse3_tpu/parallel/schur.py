@@ -262,7 +262,8 @@ class SchurSolvePlan:
         xg = self.gplan(g)
         x = jnp.zeros((self.n, B), dtype=dt).at[self.gamma].set(xg)
         for s in range(self.S):
-            xi = ys[s] - self.W[s] @ xg
+            with jax.default_matmul_precision("highest"):  # bf16 MXU default
+                xi = ys[s] - self.W[s] @ xg
             x = x.at[self.gather[s]].set(xi, mode="drop")
         return x[:, 0] if squeeze else x
 
@@ -299,7 +300,8 @@ class SchurSolvePlan:
             )
             g = jax.lax.psum(g_part, axis) + bfull[gamma].astype(dt)
             xg = gplan(g)  # replicated interface solve
-            xi = y - W[0] @ xg
+            with jax.default_matmul_precision("highest"):  # bf16 MXU default
+                xi = y - W[0] @ xg
             return xi[None], xg
 
         f = jax.shard_map(
