@@ -168,10 +168,22 @@ def run_lusolve(reps: int):
         o, _ = jax.lax.scan(body, b0, None, length=R)
         return o
 
-    compiled = chain.lower(splan, RHS, reps).compile()
-    t0 = time.perf_counter()
-    got = np.asarray(compiled(splan, RHS))
-    t = time.perf_counter() - t0
+    # in-process delta (see run_solve100k)
+    R1 = max(reps // 6, 1)
+    c1 = chain.lower(splan, RHS, R1).compile()
+    c2 = chain.lower(splan, RHS, reps).compile()
+    per = None
+    got = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(splan, RHS))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = np.asarray(c2(splan, RHS))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
     # host oracle chain (scipy splu on the same matrix); the normalize
     # step keeps scales comparable, so f32-vs-f64 drift stays tiny
     import scipy.sparse.linalg as spla
@@ -183,15 +195,14 @@ def run_lusolve(reps: int):
         xh = xh / np.abs(xh).max()
     err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
     return {
-        "t": t,
+        "t": (per or -1.0) * reps,  # back-compat: t/reps ~ per-solve
+        "per": per,
         "reps": reps,
         "rhs": 1024,
         "fill": int(lu.lnz + lu.unz),
         "factor_s": t_factor,
         "rel_err": err,
-        # f32 device solves vs f64 oracle drift ~cond*eps_f32 per chained
-        # iteration; 12 iterations land near 1e-2 legitimately
-        "correct": bool(err < 8e-2),
+        "correct": bool(err < 1e-3),
     }
 
 
@@ -456,23 +467,6 @@ def _sub(kind, reps, timeout=300, attempts=3):
     return {"error": err}
 
 
-def _delta(kind, r1, r2, **kw):
-    a = _sub(kind, r1, **kw)
-    b = _sub(kind, r2, **kw)
-    for r in (a, b):
-        if r.get("correct") is False:
-            r.setdefault("error", f"wrong result (rel_err={r.get('rel_err')})")
-    if "error" in a or "error" in b:
-        return None, a, b
-    d = b["t"] - a["t"]
-    if d <= 0.02 * max(a["t"], 0.05):
-        # delta drowned by per-process noise: unreliable, don't report
-        a = dict(a)
-        a["error"] = f"delta unreliable (t1={a['t']:.3f}, t2={b['t']:.3f})"
-        return None, a, b
-    return d / (r2 - r1), a, b
-
-
 def main():
     extra = {}
 
@@ -515,14 +509,18 @@ def main():
     if "error" not in sc:
         extra["spmv_scipy_t_s"] = sc["t"]
 
-    per_solve, a, b = _delta("lusolve", 2, 12, timeout=600)
+    a = _sub("lusolve", 12, timeout=600)
+    per_solve = a.get("per")
+    if a.get("correct") is False:
+        per_solve = None
+        a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')})")
     if per_solve:
         extra["lu_solve_rhs_per_s"] = 1024 / per_solve
         extra["lu_fill_nnz"] = a["fill"]
         extra["lu_factor_s"] = a["factor_s"]
         extra["lu_solve_nnz_per_s"] = a["fill"] * 1024 / per_solve
     else:
-        extra["lusolve_error"] = str(a.get("error") or b.get("error"))
+        extra["lusolve_error"] = str(a.get("error", "no delta"))
 
     a = _sub("solve100k", 12, timeout=900, attempts=2)
     per_100k = a.get("per")

@@ -49,7 +49,7 @@ from .ops.construct import (  # noqa: F401
     transpose,
 )
 from .ops.graph import component_labels, islands  # noqa: F401
-from .ops.slicing import sample_values, submatrix  # noqa: F401
+from .ops.slicing import sample_offsets, sample_values, submatrix  # noqa: F401
 from .ops.validate import has_canonical_format, has_sorted_indices, validate  # noqa: F401
 from .ops.matvec import (  # noqa: F401
     DIAPlan,

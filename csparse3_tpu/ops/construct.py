@@ -124,25 +124,28 @@ def from_triplets(rows, cols, vals, shape, *, sum_duplicates=True) -> CSC:
     fused = cols.astype(np.int64) * m + rows
     order = np.argsort(fused, kind="stable")  # by col (major), then row
     r_s, c_s, v_s = rows[order], cols[order], vals[order]
+    nnz = r_s.shape[0]
+    new = np.empty(nnz, dtype=bool)
+    new[0] = True
+    new[1:] = (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])
     if sum_duplicates:
-        nnz = r_s.shape[0]
-        new = np.empty(nnz, dtype=bool)
-        new[0] = True
-        new[1:] = (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])
         gid = np.cumsum(new) - 1
         k = int(gid[-1]) + 1
         r_u, c_u = r_s[new], c_s[new]
         v_u = np.zeros(k, dtype=v_s.dtype)
         np.add.at(v_u, gid, v_s)
+        canonical = True
     else:
         r_u, c_u, v_u = r_s, c_s, v_s
+        # sorted, but canonical also means duplicate-free
+        canonical = bool(new.all())
     indptr = np.zeros(n + 1, dtype=np_idx)
     counts = np.bincount(c_u, minlength=n)
     indptr[1:] = np.cumsum(counts)
     # pass numpy straight through: the CSC constructor keeps a host cache
     # (types._host_cache) so later host-symbolic ops skip the download
     return CSC(m, n, indptr, np.ascontiguousarray(r_u),
-               np.ascontiguousarray(v_u), canonical=True)
+               np.ascontiguousarray(v_u), canonical=canonical)
 
 
 def coo_to_csc(coo: COO, sum_duplicates: bool = True) -> CSC:

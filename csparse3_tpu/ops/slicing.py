@@ -26,7 +26,7 @@ from ..types import CSC
 from . import construct
 from ..utils.misc import slice_to_range
 
-__all__ = ["getitem", "submatrix", "sample_values"]
+__all__ = ["getitem", "submatrix", "sample_offsets", "sample_values"]
 
 
 def _norm_key(key, dim):
@@ -105,6 +105,26 @@ def submatrix(a: CSC, rows: np.ndarray, cols: np.ndarray) -> CSC:
     return construct.from_triplets(
         new_rows, out_cols[keep], sub_vals[keep], (len(rows), len(cols))
     )
+
+
+def sample_offsets(a: CSC, rows, cols):
+    """Position of each queried entry in ``a.data`` (-1 where absent).
+    Requires a canonical matrix (unique sorted entries), like the
+    duplicate-detecting contract of the reference.
+    Reference: csr_sample_offsets, src/sparsetools/csr.h:1560."""
+    if not a.canonical:
+        raise ValueError("sample_offsets requires a canonical matrix; "
+                         "call canonicalize() first")
+    rows = np.asarray(rows).ravel()
+    cols = np.asarray(cols).ravel()
+    ip, ix, _ = a.np_arrays()
+    ecols = np.repeat(np.arange(a.n, dtype=np.int64), np.diff(ip))
+    keys = ecols * a.m + ix.astype(np.int64)
+    q = cols.astype(np.int64) * a.m + rows.astype(np.int64)
+    pos = np.searchsorted(keys, q, side="left")
+    pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+    hit = (keys[pos_c] == q) if len(keys) else np.zeros(len(q), bool)
+    return np.where(hit, pos_c, -1).astype(np.int64)
 
 
 def sample_values(a: CSC, rows, cols):

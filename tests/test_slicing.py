@@ -78,3 +78,30 @@ def test_setitem_forbidden(pair):
     a, _ = pair
     with pytest.raises(TypeError):
         a[0, 0] = 1.0
+
+
+def test_sample_offsets():
+    import scipy.sparse as sp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.ops.slicing import sample_offsets
+
+    a = sp.random(30, 40, density=0.15, random_state=np.random.RandomState(3),
+                  format="csc")
+    A = cst.CSC.from_scipy(a)
+    a.sort_indices()
+    rows = np.array([0, 5, 29, 12, 7])
+    cols = np.array([0, 10, 39, 3, 22])
+    offs = sample_offsets(A, rows, cols)
+    _, _, data = A.np_arrays()
+    dense = a.toarray()
+    for r, c, o in zip(rows, cols, offs):
+        if o >= 0:
+            assert data[o] == dense[r, c]
+        else:
+            assert dense[r, c] == 0
+    # hits must be found for every stored entry
+    coo = a.tocoo()
+    offs2 = sample_offsets(A, coo.row, coo.col)
+    assert (offs2 >= 0).all()
+    np.testing.assert_allclose(data[offs2], coo.data)
