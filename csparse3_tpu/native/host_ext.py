@@ -345,38 +345,97 @@ def refactor_build(n, Lp, Li, Up, Ui, Ap, Ai, perm_r, q):
     return out
 
 
-_lib.csc_spgemm_size.restype = ctypes.c_int64
-_lib.csc_spgemm_size.argtypes = [
-    ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, _i64p,
-]
-for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z"):
-    f = getattr(_lib, _n)
-    f.restype = None
-    f.argtypes = [
-        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
-        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
-        _i64p, _i64p, ctypes.c_void_p, ctypes.c_int,
-    ]
+_i32p = ctypes.POINTER(ctypes.c_int32)
 
 
-def _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx, sorted_):
-    """Gustavson passes on int64/contiguous operands; emit order per
-    ``sorted_``."""
-    Cp = np.zeros(nB + 1, dtype=np.int64)
-    nnz = _lib.csc_spgemm_size(
-        m, _i64_ptr(Ap), _i64_ptr(Ai), nB, _i64_ptr(Bp), _i64_ptr(Bi),
-        _i64_ptr(Cp),
+def _reg(name, argtypes, restype=None):
+    f = getattr(_lib, name)
+    f.restype = restype
+    f.argtypes = argtypes
+    return f
+
+
+for _ip in (_i64p, _i32p):
+    _sfx = "" if _ip is _i64p else "32"
+    _reg("csc_spgemm_size" + _sfx,
+         [ctypes.c_int64, _ip, _ip, ctypes.c_int64, _ip, _ip, _ip],
+         ctypes.c_int64)
+    for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z"):
+        _reg(_n + _sfx, [
+            ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
+            ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
+            _ip, _ip, ctypes.c_void_p, ctypes.c_int,
+        ])
+    for _n in ("csc_transpose_d", "csc_transpose_z"):
+        _reg(_n + _sfx, [
+            ctypes.c_int64, ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
+            _ip, _ip, ctypes.c_void_p,
+        ])
+    _reg("csc_axpby_d" + _sfx, [
+        ctypes.c_int64, _ip, _ip, ctypes.c_void_p, ctypes.c_double,
+        _ip, _ip, ctypes.c_void_p, ctypes.c_double,
+        _ip, _ip, ctypes.c_void_p,
+    ], ctypes.c_int64)
+    _reg("csc_axpby_z" + _sfx, [
+        ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double,
+        _ip, _ip, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        _ip, _ip, ctypes.c_void_p,
+    ], ctypes.c_int64)
+
+
+def _index_env(*arrays):
+    """(np index dtype, fn-name suffix, ctypes ptr caster) for a call.
+
+    int32 operands stay int32 — half the index memory traffic and no
+    int64 conversion copies (the default config index dtype is int32);
+    anything else is normalized to int64.
+    """
+    if all(np.asarray(a).dtype == np.int32 for a in arrays):
+        idt = np.dtype(np.int32)
+        cast = lambda a: np.ascontiguousarray(a).ctypes.data_as(_i32p)  # noqa: E731
+        return idt, "32", cast
+    idt = np.dtype(np.int64)
+    cast = lambda a: _i64_ptr(_as_i64(a))  # noqa: E731
+    return idt, "", cast
+
+
+def _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx, sorted_, env):
+    """Gustavson passes; emit order per ``sorted_``.  Arrays must already
+    be contiguous in the env's index dtype."""
+    idt, sfx, ptr = env
+    Cp = np.zeros(nB + 1, dtype=idt)
+    nnz = getattr(_lib, "csc_spgemm_size" + sfx)(
+        m, ptr(Ap), ptr(Ai), nB, ptr(Bp), ptr(Bi), ptr(Cp),
     )
-    Ci = np.empty(max(nnz, 1), dtype=np.int64)
+    if nnz < 0:  # int32 overflow in the symbolic pass: redo in int64
+        env64 = (np.dtype(np.int64), "", lambda a: _i64_ptr(_as_i64(a)))
+        return _spgemm_raw(m, _as_i64(Ap), _as_i64(Ai), Ax, nB,
+                           _as_i64(Bp), _as_i64(Bi), Bx, vdt, cx, sorted_,
+                           env64)
+    Ci = np.empty(max(nnz, 1), dtype=idt)
     Cx = np.empty(max(nnz, 1), dtype=vdt)
-    fn = _lib.csc_spgemm_numeric_z if cx else _lib.csc_spgemm_numeric_d
+    fn = getattr(_lib, ("csc_spgemm_numeric_z" if cx else
+                        "csc_spgemm_numeric_d") + sfx)
     fn(
-        m, _i64_ptr(Ap), _i64_ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
-        nB, _i64_ptr(Bp), _i64_ptr(Bi), Bx.ctypes.data_as(ctypes.c_void_p),
-        _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+        m, ptr(Ap), ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+        nB, ptr(Bp), ptr(Bi), Bx.ctypes.data_as(ctypes.c_void_p),
+        ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
         1 if sorted_ else 0,
     )
     return Cp, Ci[:nnz], Cx[:nnz]
+
+
+def _transpose_raw(rows, ncols, Xp, Xi, Xx, vdt, cx, env):
+    idt, sfx, ptr = env
+    nz = len(Xi)
+    Tp = np.zeros(rows + 1, dtype=idt)
+    Ti = np.empty(max(nz, 1), dtype=idt)
+    Tx = np.empty(max(nz, 1), dtype=vdt)
+    fn = getattr(_lib, ("csc_transpose_z" if cx else "csc_transpose_d") + sfx)
+    fn(rows, ncols, ptr(Xp), ptr(Xi), Xx.ctypes.data_as(ctypes.c_void_p),
+       ptr(Tp), ptr(Ti), Tx.ctypes.data_as(ctypes.c_void_p))
+    return Tp, Ti[:nz], Tx[:nz]
 
 
 def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
@@ -388,7 +447,10 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
     scans source columns in ascending order, so its output is canonical
     regardless of within-column order of its input.  This replaces the
     per-column std::sort (~3x the cost of the numeric pass at 1M nnz)."""
-    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
+    env = _index_env(Ap, Ai, Bp, Bi)
+    idt = env[0]
+    Ap, Ai, Bp, Bi = (np.ascontiguousarray(a, dtype=idt)
+                      for a in (Ap, Ai, Bp, Bi))
     cx = np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
     vdt = np.complex128 if cx else np.float64
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
@@ -397,80 +459,52 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
         # small operands: the per-column sort beats three extra
         # transpose passes' fixed cost
         return _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx,
-                           sorted_=True)
+                           sorted_=True, env=env)
     k = len(Ap) - 1  # inner dim: A is (m, k), B is (k, nB)
-    tr = _lib.csc_transpose_z if cx else _lib.csc_transpose_d
-
-    def transpose(rows, ncols, Xp, Xi, Xx):
-        Tp = np.zeros(rows + 1, dtype=np.int64)
-        nz = len(Xi)
-        Ti = np.empty(max(nz, 1), dtype=np.int64)
-        Tx = np.empty(max(nz, 1), dtype=vdt)
-        tr(rows, ncols, _i64_ptr(Xp), _i64_ptr(Xi),
-           Xx.ctypes.data_as(ctypes.c_void_p), _i64_ptr(Tp), _i64_ptr(Ti),
-           Tx.ctypes.data_as(ctypes.c_void_p))
-        return Tp, Ti[:nz], Tx[:nz]
-
-    TBp, TBi, TBx = transpose(k, nB, Bp, Bi, Bx)    # B^T: (nB, k) csc
-    TAp, TAi, TAx = transpose(m, k, Ap, Ai, Ax)     # A^T: (k, m) csc
+    TBp, TBi, TBx = _transpose_raw(k, nB, Bp, Bi, Bx, vdt, cx, env)
+    TAp, TAi, TAx = _transpose_raw(m, k, Ap, Ai, Ax, vdt, cx, env)
     Mp, Mi, Mx = _spgemm_raw(nB, TBp, TBi, TBx, m, TAp, TAi, TAx,
-                             vdt, cx, sorted_=False)  # M = B^T A^T: (nB, m)
-    return transpose(nB, m, Mp, Mi, Mx)             # C = M^T, canonical
-
-
-for _n in ("csc_transpose_d", "csc_transpose_z"):
-    f = getattr(_lib, _n)
-    f.restype = None
-    f.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
-        _i64p, _i64p, ctypes.c_void_p,
-    ]
-
-
-_lib.csc_axpby_d.restype = ctypes.c_int64
-_lib.csc_axpby_d.argtypes = [
-    ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, ctypes.c_double,
-    _i64p, _i64p, ctypes.c_void_p, ctypes.c_double,
-    _i64p, _i64p, ctypes.c_void_p,
-]
-_lib.csc_axpby_z.restype = ctypes.c_int64
-_lib.csc_axpby_z.argtypes = [
-    ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
-    ctypes.c_double, ctypes.c_double,
-    _i64p, _i64p, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
-    _i64p, _i64p, ctypes.c_void_p,
-]
+                             vdt, cx, sorted_=False, env=env)
+    if Mp.dtype != env[0]:  # overflow fallback switched to int64
+        env = (np.dtype(np.int64), "", lambda a: _i64_ptr(_as_i64(a)))
+    return _transpose_raw(nB, m, Mp, Mi, Mx, vdt, cx, env)
 
 
 def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
     """Native C = alpha*A + beta*B for canonical CSC operands; returns
     canonical (indptr, indices, data)."""
-    Ap, Ai, Bp, Bi = map(_as_i64, (Ap, Ai, Bp, Bi))
+    env = _index_env(Ap, Ai, Bp, Bi)
+    cap = len(Ai) + len(Bi)
+    if env[1] == "32" and cap > np.iinfo(np.int32).max:
+        env = (np.dtype(np.int64), "", lambda a: _i64_ptr(_as_i64(a)))
+    idt, sfx, ptr = env
+    Ap, Ai, Bp, Bi = (np.ascontiguousarray(a, dtype=idt)
+                      for a in (Ap, Ai, Bp, Bi))
     cx = (np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
           or np.iscomplexobj(alpha) or np.iscomplexobj(beta))
     vdt = np.complex128 if cx else np.float64
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
-    cap = max(len(Ai) + len(Bi), 1)
-    Cp = np.zeros(n + 1, dtype=np.int64)
-    Ci = np.empty(cap, dtype=np.int64)
+    cap = max(cap, 1)
+    Cp = np.zeros(n + 1, dtype=idt)
+    Ci = np.empty(cap, dtype=idt)
     Cx = np.empty(cap, dtype=vdt)
     if cx:
         al, be = complex(alpha), complex(beta)
-        nnz = _lib.csc_axpby_z(
-            n, _i64_ptr(Ap), _i64_ptr(Ai),
+        nnz = getattr(_lib, "csc_axpby_z" + sfx)(
+            n, ptr(Ap), ptr(Ai),
             Ax.ctypes.data_as(ctypes.c_void_p), al.real, al.imag,
-            _i64_ptr(Bp), _i64_ptr(Bi),
+            ptr(Bp), ptr(Bi),
             Bx.ctypes.data_as(ctypes.c_void_p), be.real, be.imag,
-            _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+            ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
         )
     else:
-        nnz = _lib.csc_axpby_d(
-            n, _i64_ptr(Ap), _i64_ptr(Ai),
+        nnz = getattr(_lib, "csc_axpby_d" + sfx)(
+            n, ptr(Ap), ptr(Ai),
             Ax.ctypes.data_as(ctypes.c_void_p), float(alpha),
-            _i64_ptr(Bp), _i64_ptr(Bi),
+            ptr(Bp), ptr(Bi),
             Bx.ctypes.data_as(ctypes.c_void_p), float(beta),
-            _i64_ptr(Cp), _i64_ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
+            ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
         )
     return Cp, Ci[:nnz], Cx[:nnz]
 
@@ -478,15 +512,11 @@ def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
 def csc_transpose(m, n, Ap, Ai, Ax):
     """Native A^T for CSC (count-scatter, O(nnz)); returns canonical CSC
     arrays of the (n, m) transpose."""
-    Ap, Ai = _as_i64(Ap), _as_i64(Ai)
+    env = _index_env(Ap, Ai)
+    idt = env[0]
+    Ap = np.ascontiguousarray(Ap, dtype=idt)
+    Ai = np.ascontiguousarray(Ai, dtype=idt)
     cx = np.iscomplexobj(Ax)
     vdt = np.complex128 if cx else np.float64
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
-    nnz = len(Ai)
-    Tp = np.zeros(m + 1, dtype=np.int64)
-    Ti = np.empty(max(nnz, 1), dtype=np.int64)
-    Tx = np.empty(max(nnz, 1), dtype=vdt)
-    fn = _lib.csc_transpose_z if cx else _lib.csc_transpose_d
-    fn(m, n, _i64_ptr(Ap), _i64_ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
-       _i64_ptr(Tp), _i64_ptr(Ti), Tx.ctypes.data_as(ctypes.c_void_p))
-    return Tp, Ti[:nnz], Tx[:nnz]
+    return _transpose_raw(m, n, Ap, Ai, Ax, vdt, cx, env)

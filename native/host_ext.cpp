@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -957,12 +958,13 @@ RefactorBuild* refactor_build(int64_t n, const int64_t* Lp, const int64_t* Li,
 
 namespace {
 
-template <typename T>
-int64_t spgemm_pass1(int64_t m, const int64_t* Ap, const int64_t* Ai,
-                     int64_t nB, const int64_t* Bp, const int64_t* Bi,
-                     int64_t* Cp) {
+template <typename I>
+int64_t spgemm_pass1(int64_t m, const I* Ap, const I* Ai,
+                     int64_t nB, const I* Bp, const I* Bi,
+                     I* Cp) {
   std::vector<int64_t> mask(m, -1);
   int64_t nnz = 0;
+  const int64_t imax = (int64_t)std::numeric_limits<I>::max();
   Cp[0] = 0;
   for (int64_t j = 0; j < nB; ++j) {
     int64_t cnt = 0;
@@ -977,16 +979,17 @@ int64_t spgemm_pass1(int64_t m, const int64_t* Ap, const int64_t* Ai,
       }
     }
     nnz += cnt;
-    Cp[j + 1] = nnz;
+    if (nnz > imax) return -1;  // index-type overflow (csr.h:591 guard)
+    Cp[j + 1] = (I)nnz;
   }
   return nnz;
 }
 
-template <typename T>
-void spgemm_pass2(int64_t m, const int64_t* Ap, const int64_t* Ai,
-                  const T* Ax, int64_t nB, const int64_t* Bp,
-                  const int64_t* Bi, const T* Bx, const int64_t* Cp,
-                  int64_t* Ci, T* Cx, bool sorted) {
+template <typename I, typename T>
+void spgemm_pass2(int64_t m, const I* Ap, const I* Ai,
+                  const T* Ax, int64_t nB, const I* Bp,
+                  const I* Bi, const T* Bx, const I* Cp,
+                  I* Ci, T* Cx, bool sorted) {
   std::vector<int64_t> mask(m, -1);
   std::vector<T> acc(m, T(0));
   for (int64_t j = 0; j < nB; ++j) {
@@ -998,7 +1001,7 @@ void spgemm_pass2(int64_t m, const int64_t* Ap, const int64_t* Ai,
         const int64_t r = Ai[pa];
         if (mask[r] != j) {
           mask[r] = j;
-          Ci[head++] = r;
+          Ci[head++] = (I)r;
           acc[r] = Ax[pa] * bv;
         } else {
           acc[r] += Ax[pa] * bv;
@@ -1025,7 +1028,7 @@ extern "C" {
 int64_t csc_spgemm_size(int64_t m, const int64_t* Ap, const int64_t* Ai,
                         int64_t nB, const int64_t* Bp, const int64_t* Bi,
                         int64_t* Cp) {
-  return spgemm_pass1<double>(m, Ap, Ai, nB, Bp, Bi, Cp);
+  return spgemm_pass1<int64_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
 }
 
 void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
@@ -1033,8 +1036,8 @@ void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           const int64_t* Bi, const double* Bx,
                           const int64_t* Cp, int64_t* Ci, double* Cx,
                           int sorted) {
-  spgemm_pass2<double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
-                       sorted != 0);
+  spgemm_pass2<int64_t, double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
+                                sorted != 0);
 }
 
 void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
@@ -1042,8 +1045,34 @@ void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           const int64_t* Bi, const void* Bx,
                           const int64_t* Cp, int64_t* Ci, void* Cx,
                           int sorted) {
-  spgemm_pass2<cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
-                     (const cplx*)Bx, Cp, Ci, (cplx*)Cx, sorted != 0);
+  spgemm_pass2<int64_t, cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
+                              (const cplx*)Bx, Cp, Ci, (cplx*)Cx,
+                              sorted != 0);
+}
+
+int64_t csc_spgemm_size32(int64_t m, const int32_t* Ap, const int32_t* Ai,
+                          int64_t nB, const int32_t* Bp, const int32_t* Bi,
+                          int32_t* Cp) {
+  return spgemm_pass1<int32_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
+}
+
+void csc_spgemm_numeric_d32(int64_t m, const int32_t* Ap, const int32_t* Ai,
+                            const double* Ax, int64_t nB, const int32_t* Bp,
+                            const int32_t* Bi, const double* Bx,
+                            const int32_t* Cp, int32_t* Ci, double* Cx,
+                            int sorted) {
+  spgemm_pass2<int32_t, double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
+                                sorted != 0);
+}
+
+void csc_spgemm_numeric_z32(int64_t m, const int32_t* Ap, const int32_t* Ai,
+                            const void* Ax, int64_t nB, const int32_t* Bp,
+                            const int32_t* Bi, const void* Bx,
+                            const int32_t* Cp, int32_t* Ci, void* Cx,
+                            int sorted) {
+  spgemm_pass2<int32_t, cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
+                              (const cplx*)Bx, Cp, Ci, (cplx*)Cx,
+                              sorted != 0);
 }
 
 }  // extern "C"
@@ -1055,18 +1084,18 @@ void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
 
 namespace {
 
-template <typename T>
-void transpose_impl(int64_t m, int64_t n, const int64_t* Ap, const int64_t* Ai,
-                    const T* Ax, int64_t* Tp, int64_t* Ti, T* Tx) {
+template <typename I, typename T>
+void transpose_impl(int64_t m, int64_t n, const I* Ap, const I* Ai,
+                    const T* Ax, I* Tp, I* Ti, T* Tx) {
   const int64_t nnz = Ap[n];
-  std::memset(Tp, 0, (m + 1) * sizeof(int64_t));
+  std::memset(Tp, 0, (m + 1) * sizeof(I));
   for (int64_t p = 0; p < nnz; ++p) Tp[Ai[p] + 1]++;
   for (int64_t r = 0; r < m; ++r) Tp[r + 1] += Tp[r];
-  std::vector<int64_t> fill(Tp, Tp + m);
+  std::vector<I> fill(Tp, Tp + m);
   for (int64_t c = 0; c < n; ++c)
     for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
       const int64_t t = fill[Ai[p]]++;
-      Ti[t] = c;
+      Ti[t] = (I)c;
       Tx[t] = Ax[p];
     }
 }
@@ -1078,13 +1107,27 @@ extern "C" {
 void csc_transpose_d(int64_t m, int64_t n, const int64_t* Ap,
                      const int64_t* Ai, const double* Ax, int64_t* Tp,
                      int64_t* Ti, double* Tx) {
-  transpose_impl<double>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
+  transpose_impl<int64_t, double>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
 }
 
 void csc_transpose_z(int64_t m, int64_t n, const int64_t* Ap,
                      const int64_t* Ai, const void* Ax, int64_t* Tp,
                      int64_t* Ti, void* Tx) {
-  transpose_impl<cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti, (cplx*)Tx);
+  transpose_impl<int64_t, cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti,
+                                (cplx*)Tx);
+}
+
+void csc_transpose_d32(int64_t m, int64_t n, const int32_t* Ap,
+                       const int32_t* Ai, const double* Ax, int32_t* Tp,
+                       int32_t* Ti, double* Tx) {
+  transpose_impl<int32_t, double>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
+}
+
+void csc_transpose_z32(int64_t m, int64_t n, const int32_t* Ap,
+                       const int32_t* Ai, const void* Ax, int32_t* Tp,
+                       int32_t* Ti, void* Tx) {
+  transpose_impl<int32_t, cplx>(m, n, Ap, Ai, (const cplx*)Ax, Tp, Ti,
+                                (cplx*)Tx);
 }
 
 }  // extern "C"
@@ -1098,17 +1141,17 @@ void csc_transpose_z(int64_t m, int64_t n, const int64_t* Ap,
 
 namespace {
 
-template <typename T>
-int64_t axpby_impl(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                   const T* Ax, T alpha, const int64_t* Bp, const int64_t* Bi,
-                   const T* Bx, T beta, int64_t* Cp, int64_t* Ci, T* Cx) {
+template <typename I, typename T>
+int64_t axpby_impl(int64_t n, const I* Ap, const I* Ai,
+                   const T* Ax, T alpha, const I* Bp, const I* Bi,
+                   const T* Bx, T beta, I* Cp, I* Ci, T* Cx) {
   int64_t nnz = 0;
   Cp[0] = 0;
   for (int64_t j = 0; j < n; ++j) {
     int64_t pa = Ap[j], pb = Bp[j];
     const int64_t ea = Ap[j + 1], eb = Bp[j + 1];
     while (pa < ea && pb < eb) {
-      const int64_t ra = Ai[pa], rb = Bi[pb];
+      const I ra = Ai[pa], rb = Bi[pb];
       if (ra == rb) {
         Ci[nnz] = ra;
         Cx[nnz++] = alpha * Ax[pa++] + beta * Bx[pb++];
@@ -1128,7 +1171,7 @@ int64_t axpby_impl(int64_t n, const int64_t* Ap, const int64_t* Ai,
       Ci[nnz] = Bi[pb];
       Cx[nnz++] = beta * Bx[pb];
     }
-    Cp[j + 1] = nnz;
+    Cp[j + 1] = (I)nnz;
   }
   return nnz;
 }
@@ -1141,8 +1184,8 @@ int64_t csc_axpby_d(int64_t n, const int64_t* Ap, const int64_t* Ai,
                     const double* Ax, double alpha, const int64_t* Bp,
                     const int64_t* Bi, const double* Bx, double beta,
                     int64_t* Cp, int64_t* Ci, double* Cx) {
-  return axpby_impl<double>(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta, Cp, Ci,
-                            Cx);
+  return axpby_impl<int64_t, double>(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta,
+                                     Cp, Ci, Cx);
 }
 
 int64_t csc_axpby_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
@@ -1150,9 +1193,29 @@ int64_t csc_axpby_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
                     const int64_t* Bp, const int64_t* Bi, const void* Bx,
                     double beta_re, double beta_im, int64_t* Cp, int64_t* Ci,
                     void* Cx) {
-  return axpby_impl<cplx>(n, Ap, Ai, (const cplx*)Ax,
-                          cplx(alpha_re, alpha_im), Bp, Bi, (const cplx*)Bx,
-                          cplx(beta_re, beta_im), Cp, Ci, (cplx*)Cx);
+  return axpby_impl<int64_t, cplx>(n, Ap, Ai, (const cplx*)Ax,
+                                   cplx(alpha_re, alpha_im), Bp, Bi,
+                                   (const cplx*)Bx, cplx(beta_re, beta_im),
+                                   Cp, Ci, (cplx*)Cx);
+}
+
+int64_t csc_axpby_d32(int64_t n, const int32_t* Ap, const int32_t* Ai,
+                      const double* Ax, double alpha, const int32_t* Bp,
+                      const int32_t* Bi, const double* Bx, double beta,
+                      int32_t* Cp, int32_t* Ci, double* Cx) {
+  return axpby_impl<int32_t, double>(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta,
+                                     Cp, Ci, Cx);
+}
+
+int64_t csc_axpby_z32(int64_t n, const int32_t* Ap, const int32_t* Ai,
+                      const void* Ax, double alpha_re, double alpha_im,
+                      const int32_t* Bp, const int32_t* Bi, const void* Bx,
+                      double beta_re, double beta_im, int32_t* Cp,
+                      int32_t* Ci, void* Cx) {
+  return axpby_impl<int32_t, cplx>(n, Ap, Ai, (const cplx*)Ax,
+                                   cplx(alpha_re, alpha_im), Bp, Bi,
+                                   (const cplx*)Bx, cplx(beta_re, beta_im),
+                                   Cp, Ci, (cplx*)Cx);
 }
 
 }  // extern "C"
