@@ -134,7 +134,9 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     }
 
 
-def run_lusolve(reps: int):
+def run_lusolve(reps: int, ng: int = 10_000):
+    """Config-3 (BASELINE.md): LU factor + 1024-RHS triangular solve at
+    case2869pegase-scale (~10k nodes)."""
     import functools
 
     import jax
@@ -144,7 +146,6 @@ def run_lusolve(reps: int):
     from csparse3_tpu.linalg import splu
     from csparse3_tpu.models.grids import synthetic_grid
 
-    ng = 3000
     g2 = synthetic_grid(ng, seed=1)
     bp = 1.0 / g2.x
     rows = np.concatenate([g2.f, g2.t, g2.f, g2.t])
@@ -206,7 +207,7 @@ def run_lusolve(reps: int):
     }
 
 
-def run_solve100k(reps: int):
+def run_solve100k(reps: int, n: int = 100_000):
     """Config-4 (BASELINE.md): 1024-RHS solve against a factored
     100k-node grid on one chip.  Factor = linalg.BandedLU block-Thomas
     (no sparse LU); solve chain = inverse iteration with PER-COLUMN
@@ -223,7 +224,7 @@ def run_solve100k(reps: int):
     from csparse3_tpu.linalg import BandedLU
     from csparse3_tpu.models.grids import synthetic_grid
 
-    n, B, VER = 100_000, 1024, 64
+    B, VER = 1024, 64
     g = synthetic_grid(n, seed=1)
     bp = 1.0 / g.x
     rows = np.concatenate([g.f, g.t, g.f, g.t])
@@ -426,8 +427,14 @@ def run_spmv_bp_small(reps: int):
     return run_spmv(reps, n=50_000, plan_kind="bandpoints")
 
 
+def run_solve10k(reps: int):
+    """Config-3 scale via the block-Thomas path (BandedLU at 10k)."""
+    return run_solve100k(reps, n=10_000)
+
+
 _KINDS = {
     "spmv": run_spmv,
+    "solve10k": run_solve10k,
     "spmv_small": run_spmv_small,
     "spmv_pallas": run_spmv_pallas,
     "spmv_pallas_small": run_spmv_pallas_small,
@@ -521,6 +528,17 @@ def main():
         extra["lu_solve_nnz_per_s"] = a["fill"] * 1024 / per_solve
     else:
         extra["lusolve_error"] = str(a.get("error", "no delta"))
+
+    a = _sub("solve10k", 12, timeout=900)
+    per_10k = a.get("per")
+    if a.get("correct") is False:
+        per_10k = None
+        a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')})")
+    if per_10k:
+        extra["solve10k_rhs_per_s"] = 1024 / per_10k
+        extra["solve10k_factor_s"] = a["factor_s"]
+    else:
+        extra["solve10k_error"] = str(a.get("error", "no delta"))
 
     a = _sub("solve100k", 12, timeout=900, attempts=2)
     per_100k = a.get("per")
