@@ -91,6 +91,7 @@ class SparseLU:
         self.singular_cols = host.singular_cols
         self._plan: Optional[SolvePlan] = None
         self._plan_style = None
+        self._csolve = None  # cached jitted transfer-safe complex solver
 
     @property
     def is_singular(self) -> bool:
@@ -157,7 +158,14 @@ class SparseLU:
         return RefactorPlan(self._h, a)
 
     def solve(self, b):
-        """x = A^{-1} b on device (b: (n,) or (n, k))."""
+        """x = A^{-1} b (b: (n,) or (n, k)).
+
+        Real systems return a device array.  Complex systems cross the
+        host<->device boundary as float pairs (utils.xfer — some TPU
+        attachments cannot transfer complex buffers at all) and return a
+        host numpy array; use ``solve_plan()`` directly to keep complex
+        results on device for chaining.
+        """
         if self.is_singular:
             import warnings
 
@@ -165,7 +173,20 @@ class SparseLU:
                 f"matrix is singular at columns {self.singular_cols[:8]}...; "
                 "solution contains inf/nan (SuperLU-compatible behavior)"
             )
-        return self.solve_plan()(b)
+        plan = self.solve_plan()
+        complex_factors = np.iscomplexobj(self._h.Lx)
+        if complex_factors or np.iscomplexobj(np.asarray(b)):
+            from ..utils.xfer import split, splitc, unsplit
+
+            bh = np.asarray(b)
+            if not np.iscomplexobj(bh):
+                # complex factors ⇒ complex result; promote b so split()
+                # packs it and the (…, 2) pair layout is unambiguous
+                bh = bh.astype(np.result_type(bh.dtype, self._h.Lx.dtype))
+            if self._csolve is None:
+                self._csolve = jax.jit(splitc(plan))
+            return unsplit(self._csolve(split(bh)))
+        return plan(b)
 
     def solve_host(self, b):
         """Host (numpy) solve — oracle path."""
