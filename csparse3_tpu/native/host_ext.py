@@ -442,11 +442,14 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
     """Native C = A @ B for CSC operands; returns canonical
     (indptr, indices, data).
 
-    Route: M = B^T A^T Gustavson with insertion-order (unsorted) emit,
-    then C = M^T via ONE O(nnz) count-scatter transpose — the transpose
-    scans source columns in ascending order, so its output is canonical
-    regardless of within-column order of its input.  This replaces the
-    per-column std::sort (~3x the cost of the numeric pass at 1M nnz)."""
+    Route: direct A·B Gustavson, both passes FLOP-balanced across
+    threads (columns of C are independent given the symbolic offsets),
+    with canonical per-column sort+gather emit.  The former
+    transpose-canonicalized formulations lose to this: the unsorted
+    emit's count-scatter transpose is a cache-hostile random scatter
+    (~8x a canonical-input transpose) and its fresh output buffers hit
+    the sandbox's fresh-page cliff, while the per-column sort
+    parallelizes with the numeric pass for free."""
     env = _index_env(Ap, Ai, Bp, Bi)
     idt = env[0]
     Ap, Ai, Bp, Bi = (np.ascontiguousarray(a, dtype=idt)
@@ -455,19 +458,8 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
     vdt = np.complex128 if cx else np.float64
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
-    if len(Ai) + len(Bi) < 65536:
-        # small operands: the per-column sort beats three extra
-        # transpose passes' fixed cost
-        return _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx,
-                           sorted_=True, env=env)
-    k = len(Ap) - 1  # inner dim: A is (m, k), B is (k, nB)
-    TBp, TBi, TBx = _transpose_raw(k, nB, Bp, Bi, Bx, vdt, cx, env)
-    TAp, TAi, TAx = _transpose_raw(m, k, Ap, Ai, Ax, vdt, cx, env)
-    Mp, Mi, Mx = _spgemm_raw(nB, TBp, TBi, TBx, m, TAp, TAi, TAx,
-                             vdt, cx, sorted_=False, env=env)
-    if Mp.dtype != env[0]:  # overflow fallback switched to int64
-        env = (np.dtype(np.int64), "", lambda a: _i64_ptr(_as_i64(a)))
-    return _transpose_raw(nB, m, Mp, Mi, Mx, vdt, cx, env)
+    return _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx,
+                       sorted_=True, env=env)
 
 
 def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):

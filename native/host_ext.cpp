@@ -21,6 +21,7 @@
 #include <cstring>
 #include <limits>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 #include <dlfcn.h>
@@ -958,28 +959,88 @@ RefactorBuild* refactor_build(int64_t n, const int64_t* Lp, const int64_t* Li,
 
 namespace {
 
+// Columns of C are independent in Gustavson SpGEMM, so both passes
+// parallelize across column ranges with per-thread SPA workspaces (the
+// reference's kernels are explicitly single-threaded, SURVEY §2.4;
+// scipy's C++ is too — this is where the host path beats both).
+// Ranges are balanced by per-column FLOP counts, not column counts.
+
+inline int spgemm_nthreads(int64_t flops) {
+  if (flops < 1 << 18) return 1;  // thread spawn ~50us; skip tiny products
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = (int)(hw ? hw : 1);
+  return t > 8 ? 8 : t;
+}
+
+// flops[j] = sum over B(:,j) entries k of nnz(A(:,k)); returns total and
+// fills an nthreads+1 column-boundary split with ~equal flops per chunk.
+template <typename I>
+int64_t spgemm_splits(int64_t nB, const I* Ap, const I* Bp, const I* Bi,
+                      int nth, std::vector<int64_t>& bounds) {
+  std::vector<int64_t> cum(nB + 1, 0);
+  for (int64_t j = 0; j < nB; ++j) {
+    int64_t f = 0;
+    for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
+      const int64_t k = Bi[pb];
+      f += Ap[k + 1] - Ap[k];
+    }
+    cum[j + 1] = cum[j] + f;
+  }
+  const int64_t total = cum[nB];
+  bounds.assign(nth + 1, nB);
+  bounds[0] = 0;
+  for (int t = 1; t < nth; ++t) {
+    const int64_t want = total * t / nth;
+    bounds[t] = std::lower_bound(cum.begin(), cum.end(), want) - cum.begin();
+    if (bounds[t] > nB) bounds[t] = nB;
+    if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+  }
+  return total;
+}
+
 template <typename I>
 int64_t spgemm_pass1(int64_t m, const I* Ap, const I* Ai,
                      int64_t nB, const I* Bp, const I* Bi,
                      I* Cp) {
-  std::vector<int64_t> mask(m, -1);
-  int64_t nnz = 0;
   const int64_t imax = (int64_t)std::numeric_limits<I>::max();
-  Cp[0] = 0;
-  for (int64_t j = 0; j < nB; ++j) {
-    int64_t cnt = 0;
-    for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
-      const int64_t k = Bi[pb];
-      for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
-        const int64_t r = Ai[pa];
-        if (mask[r] != j) {
-          mask[r] = j;
-          ++cnt;
+  std::vector<int64_t> bounds;
+  const int64_t flops =
+      spgemm_splits<I>(nB, Ap, Bp, Bi, spgemm_nthreads(INT64_MAX), bounds);
+  const int nth = spgemm_nthreads(flops);
+  if ((int64_t)bounds.size() != nth + 1)
+    spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
+
+  auto count_range = [&](int64_t j0, int64_t j1) {
+    std::vector<int64_t> mask(m, -1);
+    for (int64_t j = j0; j < j1; ++j) {
+      int64_t cnt = 0;
+      for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
+        const int64_t k = Bi[pb];
+        for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
+          const int64_t r = Ai[pa];
+          if (mask[r] != j) {
+            mask[r] = j;
+            ++cnt;
+          }
         }
       }
+      Cp[j + 1] = (I)cnt;  // per-column count; prefix-summed below
     }
-    nnz += cnt;
-    if (nnz > imax) return -1;  // index-type overflow (csr.h:591 guard)
+  };
+  if (nth == 1) {
+    count_range(0, nB);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nth; ++t)
+      ts.emplace_back(count_range, bounds[t], bounds[t + 1]);
+    for (auto& th : ts) th.join();
+  }
+  // serial prefix sum with the reference's overflow guard (csr.h:591)
+  int64_t nnz = 0;
+  Cp[0] = 0;
+  for (int64_t j = 0; j < nB; ++j) {
+    nnz += (int64_t)Cp[j + 1];
+    if (nnz > imax) return -1;
     Cp[j + 1] = (I)nnz;
   }
   return nnz;
@@ -990,34 +1051,51 @@ void spgemm_pass2(int64_t m, const I* Ap, const I* Ai,
                   const T* Ax, int64_t nB, const I* Bp,
                   const I* Bi, const T* Bx, const I* Cp,
                   I* Ci, T* Cx, bool sorted) {
-  std::vector<int64_t> mask(m, -1);
-  std::vector<T> acc(m, T(0));
-  for (int64_t j = 0; j < nB; ++j) {
-    int64_t head = Cp[j];
-    for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
-      const int64_t k = Bi[pb];
-      const T bv = Bx[pb];
-      for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
-        const int64_t r = Ai[pa];
-        if (mask[r] != j) {
-          mask[r] = j;
-          Ci[head++] = (I)r;
-          acc[r] = Ax[pa] * bv;
-        } else {
-          acc[r] += Ax[pa] * bv;
+  std::vector<int64_t> bounds;
+  const int64_t flops =
+      spgemm_splits<I>(nB, Ap, Bp, Bi, spgemm_nthreads(INT64_MAX), bounds);
+  const int nth = spgemm_nthreads(flops);
+  if ((int64_t)bounds.size() != nth + 1)
+    spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
+
+  auto numeric_range = [&](int64_t j0, int64_t j1) {
+    std::vector<int64_t> mask(m, -1);
+    std::vector<T> acc(m, T(0));
+    for (int64_t j = j0; j < j1; ++j) {
+      int64_t head = Cp[j];
+      for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
+        const int64_t k = Bi[pb];
+        const T bv = Bx[pb];
+        for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
+          const int64_t r = Ai[pa];
+          if (mask[r] != j) {
+            mask[r] = j;
+            Ci[head++] = (I)r;
+            acc[r] = Ax[pa] * bv;
+          } else {
+            acc[r] += Ax[pa] * bv;
+          }
         }
       }
+      if (sorted) {
+        // canonical emit: per-column sort + gather from the accumulator
+        std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
+        for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+      } else {
+        // insertion-order emit; caller canonicalizes with ONE O(nnz)
+        // count-scatter transpose (the reference leaves SpGEMM output
+        // unsorted too, csr.h:609-670 linked-list emit)
+        for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+      }
     }
-    if (sorted) {
-      // canonical emit: per-column sort + gather from the accumulator
-      std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
-      for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
-    } else {
-      // insertion-order emit; caller canonicalizes with ONE O(nnz)
-      // count-scatter transpose (the reference leaves SpGEMM output
-      // unsorted too, csr.h:609-670 linked-list emit)
-      for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
-    }
+  };
+  if (nth == 1) {
+    numeric_range(0, nB);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nth; ++t)
+      ts.emplace_back(numeric_range, bounds[t], bounds[t + 1]);
+    for (auto& th : ts) th.join();
   }
 }
 
@@ -1088,16 +1166,71 @@ template <typename I, typename T>
 void transpose_impl(int64_t m, int64_t n, const I* Ap, const I* Ai,
                     const T* Ax, I* Tp, I* Ti, T* Tx) {
   const int64_t nnz = Ap[n];
-  std::memset(Tp, 0, (m + 1) * sizeof(I));
-  for (int64_t p = 0; p < nnz; ++p) Tp[Ai[p] + 1]++;
-  for (int64_t r = 0; r < m; ++r) Tp[r + 1] += Tp[r];
-  std::vector<I> fill(Tp, Tp + m);
-  for (int64_t c = 0; c < n; ++c)
-    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
-      const int64_t t = fill[Ai[p]]++;
-      Ti[t] = (I)c;
-      Tx[t] = Ax[p];
+  unsigned hw = std::thread::hardware_concurrency();
+  int nth = (nnz >= (int64_t)1 << 19) ? (int)(hw ? hw : 1) : 1;
+  if (nth > 8) nth = 8;
+  if (nth <= 1) {
+    std::memset(Tp, 0, (m + 1) * sizeof(I));
+    for (int64_t p = 0; p < nnz; ++p) Tp[Ai[p] + 1]++;
+    for (int64_t r = 0; r < m; ++r) Tp[r + 1] += Tp[r];
+    std::vector<I> fill(Tp, Tp + m);
+    for (int64_t c = 0; c < n; ++c)
+      for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+        const int64_t t = fill[Ai[p]]++;
+        Ti[t] = (I)c;
+        Tx[t] = Ax[p];
+      }
+    return;
+  }
+  // Parallel two-phase histogram transpose.  Threads own contiguous
+  // ascending source-column ranges (nnz-balanced via Ap, which is
+  // already the cumulative); per-(thread,row) counts give each thread a
+  // private write cursor per output column, so the scatter is race-free
+  // AND preserves ascending-source-column order within each output
+  // column — the canonicalization property the SpGEMM route relies on.
+  std::vector<int64_t> cb(nth + 1, n);
+  cb[0] = 0;
+  for (int t = 1; t < nth; ++t) {
+    const I want = (I)(nnz * t / nth);
+    cb[t] = std::lower_bound(Ap, Ap + n + 1, want) - Ap;
+    if (cb[t] > n) cb[t] = n;
+    if (cb[t] < cb[t - 1]) cb[t] = cb[t - 1];
+  }
+  std::vector<std::vector<int64_t>> cnt(nth);
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nth; ++t)
+      ts.emplace_back([&, t] {
+        cnt[t].assign(m, 0);
+        for (int64_t p = Ap[cb[t]]; p < Ap[cb[t + 1]]; ++p) cnt[t][Ai[p]]++;
+      });
+    for (auto& th : ts) th.join();
+  }
+  Tp[0] = 0;
+  for (int64_t r = 0; r < m; ++r) {
+    int64_t s = 0;
+    for (int t = 0; t < nth; ++t) {
+      const int64_t c = cnt[t][r];
+      cnt[t][r] = s;  // becomes the thread's within-row offset
+      s += c;
     }
+    Tp[r + 1] = Tp[r] + (I)s;
+  }
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nth; ++t)
+      ts.emplace_back([&, t] {
+        std::vector<int64_t>& off = cnt[t];
+        for (int64_t r = 0; r < m; ++r) off[r] += Tp[r];
+        for (int64_t c = cb[t]; c < cb[t + 1]; ++c)
+          for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+            const int64_t d = off[Ai[p]]++;
+            Ti[d] = (I)c;
+            Tx[d] = Ax[p];
+          }
+      });
+    for (auto& th : ts) th.join();
+  }
 }
 
 }  // namespace
