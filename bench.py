@@ -160,14 +160,20 @@ def run_lusolve(reps: int, ng: int = 10_000):
     splan = lu.banded_solve_plan()
     RHS = jnp.asarray(np.random.RandomState(1).rand(ng, 1024))
 
+    VER = 64  # verified download slice (columns are independent chains)
+
     @functools.partial(jax.jit, static_argnums=2)
     def chain(p, b0, R):
         def body(b, _):
             x = p(b)
-            return x / jnp.max(jnp.abs(x)), None
+            # PER-COLUMN normalization: column j's trajectory depends
+            # only on column j, so a column slice of the result is its
+            # own full-length chain — verify 64 of 1024 columns (2.5 MB
+            # download instead of 40 MB over the flaky tunnel)
+            return x / jnp.max(jnp.abs(x), axis=0, keepdims=True), None
 
         o, _ = jax.lax.scan(body, b0, None, length=R)
-        return o
+        return o[:, :VER]
 
     # in-process delta (see run_solve100k)
     R1 = max(reps // 6, 1)
@@ -175,7 +181,7 @@ def run_lusolve(reps: int, ng: int = 10_000):
     c2 = chain.lower(splan, RHS, reps).compile()
     per = None
     got = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         np.asarray(c1(splan, RHS))
         t1 = time.perf_counter() - t0
@@ -185,15 +191,16 @@ def run_lusolve(reps: int, ng: int = 10_000):
         d = (t2 - t1) / (reps - R1)
         if d > 0 and (per is None or d < per):
             per = d
-    # host oracle chain (scipy splu on the same matrix); the normalize
-    # step keeps scales comparable, so f32-vs-f64 drift stays tiny
+    # host oracle chain (scipy splu on the same matrix) over the
+    # verified slice only; per-column normalization keeps scales
+    # comparable, so f32-vs-f64 drift stays tiny
     import scipy.sparse.linalg as spla
 
     slu = spla.splu(Breg.to_scipy().tocsc())
-    xh = np.asarray(RHS, dtype=np.float64)
+    xh = np.asarray(RHS[:, :VER], dtype=np.float64)
     for _ in range(reps):
         xh = slu.solve(xh)
-        xh = xh / np.abs(xh).max()
+        xh = xh / np.abs(xh).max(axis=0, keepdims=True)
     err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
     return {
         "t": (per or -1.0) * reps,  # back-compat: t/reps ~ per-solve
