@@ -360,22 +360,24 @@ for _ip in (_i64p, _i32p):
     _reg("csc_spgemm_size" + _sfx,
          [ctypes.c_int64, _ip, _ip, ctypes.c_int64, _ip, _ip, _ip],
          ctypes.c_int64)
-    for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z"):
+    for _n in ("csc_spgemm_numeric_d", "csc_spgemm_numeric_z",
+               "csc_spgemm_numeric_s"):
         _reg(_n + _sfx, [
             ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
             ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
             _ip, _ip, ctypes.c_void_p, ctypes.c_int,
         ])
-    for _n in ("csc_transpose_d", "csc_transpose_z"):
+    for _n in ("csc_transpose_d", "csc_transpose_z", "csc_transpose_s"):
         _reg(_n + _sfx, [
             ctypes.c_int64, ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
             _ip, _ip, ctypes.c_void_p,
         ])
-    _reg("csc_axpby_d" + _sfx, [
-        ctypes.c_int64, _ip, _ip, ctypes.c_void_p, ctypes.c_double,
-        _ip, _ip, ctypes.c_void_p, ctypes.c_double,
-        _ip, _ip, ctypes.c_void_p,
-    ], ctypes.c_int64)
+    for _n in ("csc_axpby_d", "csc_axpby_s"):
+        _reg(_n + _sfx, [
+            ctypes.c_int64, _ip, _ip, ctypes.c_void_p, ctypes.c_double,
+            _ip, _ip, ctypes.c_void_p, ctypes.c_double,
+            _ip, _ip, ctypes.c_void_p,
+        ], ctypes.c_int64)
     _reg("csc_axpby_z" + _sfx, [
         ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
         ctypes.c_double, ctypes.c_double,
@@ -400,11 +402,22 @@ def _index_env(*arrays):
     return idt, "", cast
 
 
+def _host_vdt(cx, *vals):
+    """Value dtype for a native call: complex128 when any operand is
+    complex, float32 when EVERY operand already is (grid data — skips
+    the up/down conversion copies), float64 otherwise."""
+    if cx:
+        return np.complex128
+    if all(np.asarray(v).dtype == np.float32 for v in vals):
+        return np.float32
+    return np.float64
+
+
 def _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx, sorted_, env):
     """Gustavson passes; emit order per ``sorted_``.  Arrays must already
     be contiguous in the env's index dtype."""
     idt, sfx, ptr = env
-    Cp = np.zeros(nB + 1, dtype=idt)
+    Cp = np.empty(nB + 1, dtype=idt)  # pass1 writes every entry
     nnz = getattr(_lib, "csc_spgemm_size" + sfx)(
         m, ptr(Ap), ptr(Ai), nB, ptr(Bp), ptr(Bi), ptr(Cp),
     )
@@ -416,6 +429,7 @@ def _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx, sorted_, env):
     Ci = np.empty(max(nnz, 1), dtype=idt)
     Cx = np.empty(max(nnz, 1), dtype=vdt)
     fn = getattr(_lib, ("csc_spgemm_numeric_z" if cx else
+                        "csc_spgemm_numeric_s" if vdt == np.float32 else
                         "csc_spgemm_numeric_d") + sfx)
     fn(
         m, ptr(Ap), ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
@@ -432,7 +446,9 @@ def _transpose_raw(rows, ncols, Xp, Xi, Xx, vdt, cx, env):
     Tp = np.zeros(rows + 1, dtype=idt)
     Ti = np.empty(max(nz, 1), dtype=idt)
     Tx = np.empty(max(nz, 1), dtype=vdt)
-    fn = getattr(_lib, ("csc_transpose_z" if cx else "csc_transpose_d") + sfx)
+    fn = getattr(_lib, ("csc_transpose_z" if cx else
+                        "csc_transpose_s" if vdt == np.float32 else
+                        "csc_transpose_d") + sfx)
     fn(rows, ncols, ptr(Xp), ptr(Xi), Xx.ctypes.data_as(ctypes.c_void_p),
        ptr(Tp), ptr(Ti), Tx.ctypes.data_as(ctypes.c_void_p))
     return Tp, Ti[:nz], Tx[:nz]
@@ -455,7 +471,7 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
     Ap, Ai, Bp, Bi = (np.ascontiguousarray(a, dtype=idt)
                       for a in (Ap, Ai, Bp, Bi))
     cx = np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
-    vdt = np.complex128 if cx else np.float64
+    vdt = _host_vdt(cx, Ax, Bx)
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
     return _spgemm_raw(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, vdt, cx,
@@ -474,7 +490,7 @@ def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
                       for a in (Ap, Ai, Bp, Bi))
     cx = (np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
           or np.iscomplexobj(alpha) or np.iscomplexobj(beta))
-    vdt = np.complex128 if cx else np.float64
+    vdt = _host_vdt(cx, Ax, Bx)
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
     cap = max(cap, 1)
@@ -491,7 +507,8 @@ def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
             ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
         )
     else:
-        nnz = getattr(_lib, "csc_axpby_d" + sfx)(
+        nnz = getattr(_lib, ("csc_axpby_s" if vdt == np.float32 else
+                             "csc_axpby_d") + sfx)(
             n, ptr(Ap), ptr(Ai),
             Ax.ctypes.data_as(ctypes.c_void_p), float(alpha),
             ptr(Bp), ptr(Bi),
@@ -509,6 +526,6 @@ def csc_transpose(m, n, Ap, Ai, Ax):
     Ap = np.ascontiguousarray(Ap, dtype=idt)
     Ai = np.ascontiguousarray(Ai, dtype=idt)
     cx = np.iscomplexobj(Ax)
-    vdt = np.complex128 if cx else np.float64
+    vdt = _host_vdt(cx, Ax)
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     return _transpose_raw(m, n, Ap, Ai, Ax, vdt, cx, env)

@@ -72,7 +72,7 @@ def axpby(alpha, a: CSC, beta, b: CSC) -> CSC:
             Cp, Ci, Cx = host_ext.csc_axpby(
                 a.n, ipa, rowsa, va, alpha, ipb, rowsb, vb, beta)
             idx = np.dtype(get_config().index_dtype)
-            return CSC(a.m, a.n, Cp.astype(idx), Ci.astype(idx),
+            return CSC(a.m, a.n, Cp.astype(idx, copy=False), Ci.astype(idx, copy=False),
                        Cx.astype(res_dt, copy=False), canonical=True)
         except ImportError:
             pass

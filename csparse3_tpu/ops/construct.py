@@ -239,7 +239,7 @@ def transpose(a: CSC) -> CSC:
                 from ..native import host_ext
 
                 Tp, Ti, Tx = host_ext.csc_transpose(a.m, a.n, ip, old_rows, vals)
-                return CSC(a.n, a.m, Tp.astype(idx), Ti.astype(idx),
+                return CSC(a.n, a.m, Tp.astype(idx, copy=False), Ti.astype(idx, copy=False),
                            Tx.astype(vals.dtype, copy=False),
                            canonical=a.canonical)
             except ImportError:

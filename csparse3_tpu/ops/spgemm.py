@@ -74,7 +74,8 @@ def spgemm(a: CSC, b: CSC) -> CSC:
                 a.m, ipa, ixa, dta, b.n, ipb, ixb, dtb
             )
             idx = np.dtype(get_config().index_dtype)
-            return CSC(a.m, b.n, Cp.astype(idx), Ci.astype(idx),
+            return CSC(a.m, b.n, Cp.astype(idx, copy=False),
+                       Ci.astype(idx, copy=False),
                        Cx.astype(np.result_type(dta, dtb), copy=False),
                        canonical=True)
     except ImportError:

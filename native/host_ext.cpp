@@ -972,11 +972,27 @@ inline int spgemm_nthreads(int64_t flops) {
   return t > 8 ? 8 : t;
 }
 
-// flops[j] = sum over B(:,j) entries k of nnz(A(:,k)); returns total and
-// fills an nthreads+1 column-boundary split with ~equal flops per chunk.
+// Total multiply-add count, array-free: sum over B entries k of
+// nnz(A(:,k)).  Cheap O(nnzB) scan used to pick the thread count
+// WITHOUT building the O(nB) cumulative array (that array is only
+// needed when we actually split, and on the sandboxed host fresh-page
+// allocation costs dominate small products).
 template <typename I>
-int64_t spgemm_splits(int64_t nB, const I* Ap, const I* Bp, const I* Bi,
-                      int nth, std::vector<int64_t>& bounds) {
+inline int64_t spgemm_flops(int64_t nB, const I* Ap, const I* Bp,
+                            const I* Bi) {
+  int64_t total = 0;
+  const int64_t nnzB = Bp[nB];
+  for (int64_t pb = 0; pb < nnzB; ++pb) {
+    const int64_t k = Bi[pb];
+    total += Ap[k + 1] - Ap[k];
+  }
+  return total;
+}
+
+// Fills an nth+1 column-boundary split with ~equal flops per chunk.
+template <typename I>
+void spgemm_splits(int64_t nB, const I* Ap, const I* Bp, const I* Bi,
+                   int nth, std::vector<int64_t>& bounds) {
   std::vector<int64_t> cum(nB + 1, 0);
   for (int64_t j = 0; j < nB; ++j) {
     int64_t f = 0;
@@ -995,7 +1011,30 @@ int64_t spgemm_splits(int64_t nB, const I* Ap, const I* Bp, const I* Bi,
     if (bounds[t] > nB) bounds[t] = nB;
     if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
   }
-  return total;
+}
+
+// Persistent per-thread SPA workspaces: repeated small products reuse
+// warm pages instead of paying the sandbox's fresh-page fault cliff on
+// every call (spawned worker threads get fresh ones, but those only
+// exist on products big enough to amortize them).
+inline std::vector<int64_t>& tls_spa_mask(int64_t m) {
+  static thread_local std::vector<int64_t> v;
+  if ((int64_t)v.size() < m) v.resize(m);  // value-init 0; epochs start at 1
+  return v;
+}
+
+// Monotone per-thread column tag: lets the persistent mask skip even its
+// O(m) reset — stale tags can never equal a fresh one.
+inline int64_t& tls_spa_epoch() {
+  static thread_local int64_t e = 0;
+  return e;
+}
+
+template <typename T>
+inline std::vector<T>& tls_spa_acc(int64_t m) {
+  static thread_local std::vector<T> v;
+  if ((int64_t)v.size() < m) v.resize(m);
+  return v;
 }
 
 template <typename I>
@@ -1003,23 +1042,27 @@ int64_t spgemm_pass1(int64_t m, const I* Ap, const I* Ai,
                      int64_t nB, const I* Bp, const I* Bi,
                      I* Cp) {
   const int64_t imax = (int64_t)std::numeric_limits<I>::max();
-  std::vector<int64_t> bounds;
+  // nnzB < 64k can't reach the 2^18-flop threading threshold unless the
+  // average A-column fanout is >= 4; the O(nnzB) flops scan is pure
+  // overhead there, and per-column splits can't help single-column skew
   const int64_t flops =
-      spgemm_splits<I>(nB, Ap, Bp, Bi, spgemm_nthreads(INT64_MAX), bounds);
+      Bp[nB] < (1 << 16) ? 0 : spgemm_flops<I>(nB, Ap, Bp, Bi);
   const int nth = spgemm_nthreads(flops);
-  if ((int64_t)bounds.size() != nth + 1)
-    spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
+  std::vector<int64_t> bounds;
+  if (nth > 1) spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
 
   auto count_range = [&](int64_t j0, int64_t j1) {
-    std::vector<int64_t> mask(m, -1);
+    std::vector<int64_t>& mask = tls_spa_mask(m);
+    int64_t& epoch = tls_spa_epoch();
     for (int64_t j = j0; j < j1; ++j) {
+      const int64_t tag = ++epoch;
       int64_t cnt = 0;
       for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
         const int64_t k = Bi[pb];
         for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
           const int64_t r = Ai[pa];
-          if (mask[r] != j) {
-            mask[r] = j;
+          if (mask[r] != tag) {
+            mask[r] = tag;
             ++cnt;
           }
         }
@@ -1051,25 +1094,27 @@ void spgemm_pass2(int64_t m, const I* Ap, const I* Ai,
                   const T* Ax, int64_t nB, const I* Bp,
                   const I* Bi, const T* Bx, const I* Cp,
                   I* Ci, T* Cx, bool sorted) {
-  std::vector<int64_t> bounds;
   const int64_t flops =
-      spgemm_splits<I>(nB, Ap, Bp, Bi, spgemm_nthreads(INT64_MAX), bounds);
+      Bp[nB] < (1 << 16) ? 0 : spgemm_flops<I>(nB, Ap, Bp, Bi);
   const int nth = spgemm_nthreads(flops);
-  if ((int64_t)bounds.size() != nth + 1)
-    spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
+  std::vector<int64_t> bounds;
+  if (nth > 1) spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
 
   auto numeric_range = [&](int64_t j0, int64_t j1) {
-    std::vector<int64_t> mask(m, -1);
-    std::vector<T> acc(m, T(0));
+    std::vector<int64_t>& mask = tls_spa_mask(m);
+    int64_t& epoch = tls_spa_epoch();
+    // acc needs no init: every read is guarded by a same-column mask hit
+    std::vector<T>& acc = tls_spa_acc<T>(m);
     for (int64_t j = j0; j < j1; ++j) {
+      const int64_t tag = ++epoch;
       int64_t head = Cp[j];
       for (int64_t pb = Bp[j]; pb < Bp[j + 1]; ++pb) {
         const int64_t k = Bi[pb];
         const T bv = Bx[pb];
         for (int64_t pa = Ap[k]; pa < Ap[k + 1]; ++pa) {
           const int64_t r = Ai[pa];
-          if (mask[r] != j) {
-            mask[r] = j;
+          if (mask[r] != tag) {
+            mask[r] = tag;
             Ci[head++] = (I)r;
             acc[r] = Ax[pa] * bv;
           } else {
@@ -1078,8 +1123,21 @@ void spgemm_pass2(int64_t m, const I* Ap, const I* Ai,
         }
       }
       if (sorted) {
-        // canonical emit: per-column sort + gather from the accumulator
-        std::sort(Ci + Cp[j], Ci + Cp[j + 1]);
+        // canonical emit: per-column sort + gather from the accumulator.
+        // Power-grid columns are short (~2-20 rows): branch-light
+        // insertion sort beats an introsort call there.
+        const int64_t len = Cp[j + 1] - Cp[j];
+        I* c = Ci + Cp[j];
+        if (len <= 48) {
+          for (int64_t a = 1; a < len; ++a) {
+            const I v = c[a];
+            int64_t b = a - 1;
+            while (b >= 0 && c[b] > v) { c[b + 1] = c[b]; --b; }
+            c[b + 1] = v;
+          }
+        } else {
+          std::sort(c, c + len);
+        }
         for (int64_t p = Cp[j]; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
       } else {
         // insertion-order emit; caller canonicalizes with ONE O(nnz)
@@ -1152,6 +1210,209 @@ void csc_spgemm_numeric_z32(int64_t m, const int32_t* Ap, const int32_t* Ai,
                               (const cplx*)Bx, Cp, Ci, (cplx*)Cx,
                               sorted != 0);
 }
+
+// float32 twins: grid workloads store f32 values (SplitBandPoints etc.);
+// converting to f64 around every host product costs more than the product
+void csc_spgemm_numeric_s(int64_t m, const int64_t* Ap, const int64_t* Ai,
+                          const float* Ax, int64_t nB, const int64_t* Bp,
+                          const int64_t* Bi, const float* Bx,
+                          const int64_t* Cp, int64_t* Ci, float* Cx,
+                          int sorted) {
+  spgemm_pass2<int64_t, float>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
+                               sorted != 0);
+}
+
+void csc_spgemm_numeric_s32(int64_t m, const int32_t* Ap, const int32_t* Ai,
+                            const float* Ax, int64_t nB, const int32_t* Bp,
+                            const int32_t* Bi, const float* Bx,
+                            const int32_t* Cp, int32_t* Ci, float* Cx,
+                            int sorted) {
+  spgemm_pass2<int32_t, float>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
+                               sorted != 0);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused symmetric product C = A @ A^T (the reference's flagship flow
+// `A = C * C.t()`, src/test/test3_lil_matrix.py:29-48).  One call pair,
+// no Python-side transpose, and only the LOWER-inclusive half (r >= j) is
+// Gustavson-accumulated — the strict upper half is mirrored by a
+// column-major scan of the finished lower entries, which lands each
+// output column's upper block pre-sorted (j ascends during the scan) and
+// directly ahead of its sorted lower block, so C is canonical with half
+// the accumulate+sort work of the general kernel.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Pattern transpose + per-column upper counts, cached between the size
+// and numeric calls (thread_local: each Python thread gets its own; the
+// numeric call validates the token and rebuilds on mismatch).
+struct GramCtx {
+  int64_t m = -1, k = -1, nnz = -1;
+  std::vector<int64_t> Tp, Ti;      // A^T pattern (CSR of A)
+  std::vector<int64_t> up_cnt;      // strict-upper entries per output col
+};
+
+inline GramCtx& tls_gram_ctx() {
+  static thread_local GramCtx c;
+  return c;
+}
+
+template <typename I>
+void gram_build_T(int64_t m, int64_t k, const I* Ap, const I* Ai,
+                  GramCtx& g) {
+  const int64_t nnz = Ap[k];
+  g.Tp.assign(m + 1, 0);
+  g.Ti.resize(nnz);
+  for (int64_t p = 0; p < nnz; ++p) g.Tp[Ai[p] + 1]++;
+  for (int64_t r = 0; r < m; ++r) g.Tp[r + 1] += g.Tp[r];
+  std::vector<int64_t> fill(g.Tp.begin(), g.Tp.end() - 1);
+  for (int64_t c = 0; c < k; ++c)
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p)
+      g.Ti[fill[Ai[p]]++] = c;
+  g.m = m;
+  g.k = k;
+  g.nnz = nnz;
+}
+
+// pass1: per-column lower-inclusive counts into low_cnt, strict-upper
+// mirror counts into up_cnt, full Cp cumsum; returns total nnz (or -1 on
+// index overflow).
+template <typename I>
+int64_t gram_pass1(int64_t m, const I* Ap, const I* Ai, GramCtx& g,
+                   I* Cp) {
+  const int64_t imax = (int64_t)std::numeric_limits<I>::max();
+  std::vector<int64_t>& mask = tls_spa_mask(m);
+  int64_t& epoch = tls_spa_epoch();
+  g.up_cnt.assign(m, 0);
+  std::vector<int64_t> low_cnt(m, 0);
+  for (int64_t j = 0; j < m; ++j) {
+    const int64_t tag = ++epoch;
+    int64_t cnt = 0;
+    for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
+      const int64_t kk = g.Ti[pb];
+      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
+        const int64_t r = Ai[pa];
+        if (r < j) continue;  // lower-inclusive only
+        if (mask[r] != tag) {
+          mask[r] = tag;
+          ++cnt;
+          if (r > j) g.up_cnt[r]++;
+        }
+      }
+    }
+    low_cnt[j] = cnt;
+  }
+  int64_t nnz = 0;
+  Cp[0] = 0;
+  for (int64_t j = 0; j < m; ++j) {
+    nnz += low_cnt[j] + g.up_cnt[j];
+    if (nnz > imax) return -1;
+    Cp[j + 1] = (I)nnz;
+  }
+  return nnz;
+}
+
+template <typename I, typename T>
+void gram_pass2(int64_t m, const I* Ap, const I* Ai, const T* Ax,
+                GramCtx& g, const I* Cp, I* Ci, T* Cx) {
+  std::vector<int64_t>& mask = tls_spa_mask(m);
+  int64_t& epoch = tls_spa_epoch();
+  std::vector<T>& acc = tls_spa_acc<T>(m);
+  for (int64_t j = 0; j < m; ++j) {
+    const int64_t tag = ++epoch;
+    // lower block of column j starts after its (mirrored) upper block
+    const int64_t lo = Cp[j] + g.up_cnt[j];
+    int64_t head = lo;
+    for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
+      const int64_t kk = g.Ti[pb];
+      // A^T value: A[j, kk] — find via the A column scan below instead
+      // of a search: Gustavson multiplies column kk of A by scalar
+      // A[j, kk]; that scalar is at the position where Ai == j.
+      T bv = T(0);
+      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa)
+        if (Ai[pa] == (I)j) {
+          bv = Ax[pa];
+          break;
+        }
+      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
+        const int64_t r = Ai[pa];
+        if (r < j) continue;
+        if (mask[r] != tag) {
+          mask[r] = tag;
+          Ci[head++] = (I)r;
+          acc[r] = Ax[pa] * bv;
+        } else {
+          acc[r] += Ax[pa] * bv;
+        }
+      }
+    }
+    const int64_t len = head - lo;
+    I* c = Ci + lo;
+    if (len <= 48) {
+      for (int64_t a = 1; a < len; ++a) {
+        const I v = c[a];
+        int64_t b = a - 1;
+        while (b >= 0 && c[b] > v) { c[b + 1] = c[b]; --b; }
+        c[b + 1] = v;
+      }
+    } else {
+      std::sort(c, c + len);
+    }
+    for (int64_t p = lo; p < lo + len; ++p) Cx[p] = acc[Ci[p]];
+  }
+  // mirror: scan finished lower entries column-major; each strict-lower
+  // (r, j) lands at the upper cursor of column r with j ascending -> the
+  // upper blocks come out sorted and ahead of their lower blocks.
+  std::vector<int64_t> fill(m);
+  for (int64_t j = 0; j < m; ++j) fill[j] = Cp[j];
+  for (int64_t j = 0; j < m; ++j) {
+    for (int64_t p = Cp[j] + g.up_cnt[j]; p < Cp[j + 1]; ++p) {
+      const int64_t r = Ci[p];
+      if (r == j) continue;
+      const int64_t t = fill[r]++;
+      Ci[t] = (I)j;
+      Cx[t] = Cx[p];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t csc_gram_size(int64_t m, int64_t k, const int64_t* Ap,
+                      const int64_t* Ai, int64_t* Cp) {
+  GramCtx& g = tls_gram_ctx();
+  gram_build_T<int64_t>(m, k, Ap, Ai, g);
+  return gram_pass1<int64_t>(m, Ap, Ai, g, Cp);
+}
+
+int64_t csc_gram_size32(int64_t m, int64_t k, const int32_t* Ap,
+                        const int32_t* Ai, int32_t* Cp) {
+  GramCtx& g = tls_gram_ctx();
+  gram_build_T<int32_t>(m, k, Ap, Ai, g);
+  return gram_pass1<int32_t>(m, Ap, Ai, g, Cp);
+}
+
+#define GRAM_NUMERIC(name, IT, VT, CAST)                                   \
+  int name(int64_t m, int64_t k, const IT* Ap, const IT* Ai,               \
+           const void* Ax, const IT* Cp, IT* Ci, void* Cx) {               \
+    GramCtx& g = tls_gram_ctx();                                           \
+    if (g.m != m || g.k != k || g.nnz != (int64_t)Ap[k]) return 0;         \
+    gram_pass2<IT, VT>(m, Ap, Ai, (const VT*)Ax, g, Cp, Ci, (VT*)Cx);      \
+    return 1;                                                              \
+  }
+
+GRAM_NUMERIC(csc_gram_numeric_d, int64_t, double, )
+GRAM_NUMERIC(csc_gram_numeric_s, int64_t, float, )
+GRAM_NUMERIC(csc_gram_numeric_z, int64_t, cplx, )
+GRAM_NUMERIC(csc_gram_numeric_d32, int32_t, double, )
+GRAM_NUMERIC(csc_gram_numeric_s32, int32_t, float, )
+GRAM_NUMERIC(csc_gram_numeric_z32, int32_t, cplx, )
+#undef GRAM_NUMERIC
 
 }  // extern "C"
 
@@ -1263,6 +1524,18 @@ void csc_transpose_z32(int64_t m, int64_t n, const int32_t* Ap,
                                 (cplx*)Tx);
 }
 
+void csc_transpose_s(int64_t m, int64_t n, const int64_t* Ap,
+                     const int64_t* Ai, const float* Ax, int64_t* Tp,
+                     int64_t* Ti, float* Tx) {
+  transpose_impl<int64_t, float>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
+}
+
+void csc_transpose_s32(int64_t m, int64_t n, const int32_t* Ap,
+                       const int32_t* Ai, const float* Ax, int32_t* Tp,
+                       int32_t* Ti, float* Tx) {
+  transpose_impl<int32_t, float>(m, n, Ap, Ai, Ax, Tp, Ti, Tx);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1349,6 +1622,22 @@ int64_t csc_axpby_z32(int64_t n, const int32_t* Ap, const int32_t* Ai,
                                    cplx(alpha_re, alpha_im), Bp, Bi,
                                    (const cplx*)Bx, cplx(beta_re, beta_im),
                                    Cp, Ci, (cplx*)Cx);
+}
+
+int64_t csc_axpby_s(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const float* Ax, double alpha, const int64_t* Bp,
+                    const int64_t* Bi, const float* Bx, double beta,
+                    int64_t* Cp, int64_t* Ci, float* Cx) {
+  return axpby_impl<int64_t, float>(n, Ap, Ai, Ax, (float)alpha, Bp, Bi, Bx,
+                                    (float)beta, Cp, Ci, Cx);
+}
+
+int64_t csc_axpby_s32(int64_t n, const int32_t* Ap, const int32_t* Ai,
+                      const float* Ax, double alpha, const int32_t* Bp,
+                      const int32_t* Bi, const float* Bx, double beta,
+                      int32_t* Cp, int32_t* Ci, float* Cx) {
+  return axpby_impl<int32_t, float>(n, Ap, Ai, Ax, (float)alpha, Bp, Bi, Bx,
+                                    (float)beta, Cp, Ci, Cx);
 }
 
 }  // extern "C"
