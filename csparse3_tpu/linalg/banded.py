@@ -348,18 +348,64 @@ class BandedLU:
         self.n = n
         self.s = s
         self.bw = bw
-        # complex stacks stay HOST numpy: some attachment paths cannot
-        # transfer complex dtypes at all (utils.xfer doc), but host
+        # Factor stacks stay HOST numpy here and upload lazily on first
+        # device access (the _ehat/_sinv/_uhat/perm properties): at 100k
+        # nodes the ~620 MB upload costs more than the factorization on
+        # a remote-attached chip, and solve plans that never touch this
+        # object's device path (host solves, refactor templates) never
+        # pay it.  Complex stacks NEVER upload: some attachment paths
+        # cannot transfer complex dtypes at all (utils.xfer doc) — host
         # arrays embed as HLO constants under closure-jit transfer-free.
         # Use jax.jit(utils.splitc(plan)) for complex device solves.
-        leaf = (lambda x: x) if np.iscomplexobj(sinv) else jnp.asarray
-        self._ehat = leaf(ehat)
-        self._sinv = leaf(sinv)
-        self._uhat = leaf(uhat)
-        t0 = _mark("upload", t0)
-        self.perm = leaf(perm)
+        self._ehat = ehat
+        self._sinv = sinv
+        self._uhat = uhat
+        self.perm = perm
         # host copies for solve_host (storage-dtype sweeps in f64 math)
         self._h = (ehat, sinv, uhat, perm)
+
+    # --- lazy device upload -------------------------------------------
+    # Host numpy until first device access; then uploaded once and
+    # cached.  Complex arrays are returned as-is (see __init__ note).
+
+    def _leaf(self, attr):
+        v = getattr(self, attr)
+        if isinstance(v, np.ndarray) and not np.iscomplexobj(v):
+            v = jnp.asarray(v)
+            setattr(self, attr, v)
+        return v
+
+    @property
+    def _ehat(self):
+        return self._leaf("_ehat_v")
+
+    @_ehat.setter
+    def _ehat(self, v):
+        self._ehat_v = v
+
+    @property
+    def _sinv(self):
+        return self._leaf("_sinv_v")
+
+    @_sinv.setter
+    def _sinv(self, v):
+        self._sinv_v = v
+
+    @property
+    def _uhat(self):
+        return self._leaf("_uhat_v")
+
+    @_uhat.setter
+    def _uhat(self, v):
+        self._uhat_v = v
+
+    @property
+    def perm(self):
+        return self._leaf("_perm_v")
+
+    @perm.setter
+    def perm(self, v):
+        self._perm_v = v
 
     def tree_flatten(self):
         return ((self._ehat, self._sinv, self._uhat, self.perm),
@@ -479,7 +525,7 @@ class BandedRefactor:
         pad_idx = (pad // s) * (s * s) + (pad % s) * s + (pad % s)
         self._idx = jnp.asarray(idx)
         self._pad_idx = jnp.asarray(pad_idx)
-        self._dtype = plan._sinv.dtype
+        self._dtype = plan._sinv_v.dtype  # dtype only: skip the lazy upload
         self._perm = plan.perm
         self._aux = (n, s, nb, plan.bw)
 

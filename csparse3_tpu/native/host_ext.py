@@ -384,6 +384,15 @@ for _ip in (_i64p, _i32p):
         _ip, _ip, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
         _ip, _ip, ctypes.c_void_p,
     ], ctypes.c_int64)
+    _reg("csc_gram_size" + _sfx,
+         [ctypes.c_int64, ctypes.c_int64, _ip, _ip, _ip],
+         ctypes.c_int64)
+    for _n in ("csc_gram_numeric_d", "csc_gram_numeric_s",
+               "csc_gram_numeric_z"):
+        _reg(_n + _sfx, [
+            ctypes.c_int64, ctypes.c_int64, _ip, _ip, ctypes.c_void_p,
+            _ip, _ip, ctypes.c_void_p,
+        ], ctypes.c_int)
 
 
 def _index_env(*arrays):
@@ -515,6 +524,40 @@ def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
             Bx.ctypes.data_as(ctypes.c_void_p), float(beta),
             ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p),
         )
+    return Cp, Ci[:nnz], Cx[:nnz]
+
+
+def csc_gram(m, k, Ap, Ai, Ax):
+    """C = A @ A.T for A (m x k) CSC — the reference's flagship
+    connectivity product (test3_lil_matrix.py:29-48, A = C * C.t()).
+
+    Fused native kernel: lower-half Gustavson + sorted mirror (symmetric
+    output, including complex without conjugation — (A Aᵀ)ᵀ = A Aᵀ).
+    Returns canonical (Cp, Ci, Cx).
+    """
+    env = _index_env(Ap, Ai)
+    idt, sfx, ptr = env
+    Ap = np.ascontiguousarray(Ap, dtype=idt)
+    Ai = np.ascontiguousarray(Ai, dtype=idt)
+    cx = np.iscomplexobj(Ax)
+    vdt = _host_vdt(cx, Ax)
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    Cp = np.empty(m + 1, dtype=idt)
+    nnz = getattr(_lib, "csc_gram_size" + sfx)(m, k, ptr(Ap), ptr(Ai), ptr(Cp))
+    if nnz < 0:
+        raise OverflowError(
+            "gram output nnz exceeds index dtype (reference guard: "
+            "sparsetools csr.h:591-596); use int64 indices"
+        )
+    Ci = np.empty(max(nnz, 1), dtype=idt)
+    Cx = np.empty(max(nnz, 1), dtype=vdt)
+    fn = getattr(_lib, ("csc_gram_numeric_z" if cx else
+                        "csc_gram_numeric_s" if vdt == np.float32 else
+                        "csc_gram_numeric_d") + sfx)
+    ok = fn(m, k, ptr(Ap), ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+            ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p))
+    if not ok:
+        raise RuntimeError("gram numeric pass called without matching size pass")
     return Cp, Ci[:nnz], Cx[:nnz]
 
 

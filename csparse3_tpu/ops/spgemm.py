@@ -97,7 +97,25 @@ def spgemm(a: CSC, b: CSC) -> CSC:
 
 def gram(a: CSC) -> CSC:
     """A @ A.T — the GridCal connectivity product
-    (reference flow: test3_lil_matrix.py A = C * C.t())."""
+    (reference flow: test3_lil_matrix.py A = C * C.t()).
+
+    Native path: one fused C++ kernel (lower-half Gustavson + sorted
+    mirror) — no explicit transpose, half the accumulate/sort work of
+    the general SpGEMM.  Falls back to spgemm(a, a.T)."""
+    a = a if a.canonical else construct.canonicalize(a)
+    try:
+        from ..native import host_ext
+
+        ip, rows, vals = a.np_arrays()
+        if np.issubdtype(vals.dtype, np.floating) or \
+                np.issubdtype(vals.dtype, np.complexfloating):
+            Cp, Ci, Cx = host_ext.csc_gram(a.m, a.n, ip, rows, vals)
+            idx = np.dtype(get_config().index_dtype)
+            return CSC(a.m, a.m, Cp.astype(idx, copy=False),
+                       Ci.astype(idx, copy=False),
+                       Cx.astype(vals.dtype, copy=False), canonical=True)
+    except ImportError:
+        pass
     return spgemm(a, construct.transpose(a))
 
 

@@ -1246,13 +1246,17 @@ void csc_spgemm_numeric_s32(int64_t m, const int32_t* Ap, const int32_t* Ai,
 
 namespace {
 
-// Pattern transpose + per-column upper counts, cached between the size
-// and numeric calls (thread_local: each Python thread gets its own; the
-// numeric call validates the token and rebuilds on mismatch).
+// A^T pattern + source positions + per-column upper counts, cached
+// between the size and numeric calls (thread_local: each Python thread
+// gets its own; the numeric call validates the token and rebuilds on
+// mismatch).
 struct GramCtx {
   int64_t m = -1, k = -1, nnz = -1;
   std::vector<int64_t> Tp, Ti;      // A^T pattern (CSR of A)
+  std::vector<int64_t> Tpos;        // source position in A of each T entry
   std::vector<int64_t> up_cnt;      // strict-upper entries per output col
+  std::vector<int64_t> bounds;      // column split shared by both passes
+  int nth = 1;
 };
 
 inline GramCtx& tls_gram_ctx() {
@@ -1266,49 +1270,109 @@ void gram_build_T(int64_t m, int64_t k, const I* Ap, const I* Ai,
   const int64_t nnz = Ap[k];
   g.Tp.assign(m + 1, 0);
   g.Ti.resize(nnz);
+  g.Tpos.resize(nnz);
   for (int64_t p = 0; p < nnz; ++p) g.Tp[Ai[p] + 1]++;
   for (int64_t r = 0; r < m; ++r) g.Tp[r + 1] += g.Tp[r];
   std::vector<int64_t> fill(g.Tp.begin(), g.Tp.end() - 1);
   for (int64_t c = 0; c < k; ++c)
-    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p)
-      g.Ti[fill[Ai[p]]++] = c;
+    for (int64_t p = Ap[c]; p < Ap[c + 1]; ++p) {
+      const int64_t t = fill[Ai[p]]++;
+      g.Ti[t] = c;
+      g.Tpos[t] = p;
+    }
   g.m = m;
   g.k = k;
   g.nnz = nnz;
 }
 
-// pass1: per-column lower-inclusive counts into low_cnt, strict-upper
-// mirror counts into up_cnt, full Cp cumsum; returns total nnz (or -1 on
-// index overflow).
+// Balance output columns by Gustavson flops: column j of C costs
+// sum over T-row-j entries kk of nnz(A(:,kk)).
+template <typename I>
+void gram_splits(int64_t m, const I* Ap, GramCtx& g) {
+  int64_t total = 0;
+  const int64_t nnz = g.nnz;
+  for (int64_t p = 0; p < nnz; ++p) {
+    const int64_t kk = g.Ti[p];
+    total += Ap[kk + 1] - Ap[kk];
+  }
+  g.nth = spgemm_nthreads(total);
+  g.bounds.assign(g.nth + 1, 0);
+  if (g.nth == 1) {
+    g.bounds[g.nth] = m;
+    return;
+  }
+  std::vector<int64_t> cum(m + 1, 0);
+  for (int64_t j = 0; j < m; ++j) {
+    int64_t f = 0;
+    for (int64_t p = g.Tp[j]; p < g.Tp[j + 1]; ++p) {
+      const int64_t kk = g.Ti[p];
+      f += Ap[kk + 1] - Ap[kk];
+    }
+    cum[j + 1] = cum[j] + f;
+  }
+  g.bounds[g.nth] = m;
+  for (int t = 1; t < g.nth; ++t) {
+    const int64_t want = total * t / g.nth;
+    g.bounds[t] = std::lower_bound(cum.begin(), cum.end(), want) -
+                  cum.begin() - 1;
+    if (g.bounds[t] < g.bounds[t - 1]) g.bounds[t] = g.bounds[t - 1];
+    if (g.bounds[t] > m) g.bounds[t] = m;
+  }
+}
+
+// pass1: per-column lower-inclusive counts (into Cp[j+1] slots),
+// strict-upper mirror counts into up_cnt; serial prefix sum with the
+// overflow guard; returns total nnz (or -1 on index overflow).
+// Threaded over the flop-balanced column split; each worker accumulates
+// its own up-count array, reduced after the join.
 template <typename I>
 int64_t gram_pass1(int64_t m, const I* Ap, const I* Ai, GramCtx& g,
                    I* Cp) {
   const int64_t imax = (int64_t)std::numeric_limits<I>::max();
-  std::vector<int64_t>& mask = tls_spa_mask(m);
-  int64_t& epoch = tls_spa_epoch();
   g.up_cnt.assign(m, 0);
-  std::vector<int64_t> low_cnt(m, 0);
-  for (int64_t j = 0; j < m; ++j) {
-    const int64_t tag = ++epoch;
-    int64_t cnt = 0;
-    for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
-      const int64_t kk = g.Ti[pb];
-      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
-        const int64_t r = Ai[pa];
-        if (r < j) continue;  // lower-inclusive only
-        if (mask[r] != tag) {
-          mask[r] = tag;
-          ++cnt;
-          if (r > j) g.up_cnt[r]++;
+  std::vector<std::vector<int64_t>> up_parts;
+
+  auto count_range = [&](int64_t j0, int64_t j1, int64_t* up) {
+    std::vector<int64_t>& mask = tls_spa_mask(m);
+    int64_t& epoch = tls_spa_epoch();
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t tag = ++epoch;
+      int64_t cnt = 0;
+      for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
+        const int64_t kk = g.Ti[pb];
+        for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
+          const int64_t r = Ai[pa];
+          if (r < j) continue;  // lower-inclusive only
+          if (mask[r] != tag) {
+            mask[r] = tag;
+            ++cnt;
+            if (r > j) up[r]++;
+          }
         }
       }
+      Cp[j + 1] = (I)cnt;  // per-column lower count; prefix-summed below
     }
-    low_cnt[j] = cnt;
+  };
+
+  if (g.nth == 1) {
+    count_range(0, m, g.up_cnt.data());
+  } else {
+    up_parts.assign(g.nth, {});
+    std::vector<std::thread> ts;
+    for (int t = 0; t < g.nth; ++t) {
+      up_parts[t].assign(m, 0);
+      ts.emplace_back(count_range, g.bounds[t], g.bounds[t + 1],
+                      up_parts[t].data());
+    }
+    for (auto& th : ts) th.join();
+    for (int t = 0; t < g.nth; ++t)
+      for (int64_t r = 0; r < m; ++r) g.up_cnt[r] += up_parts[t][r];
   }
+
   int64_t nnz = 0;
   Cp[0] = 0;
   for (int64_t j = 0; j < m; ++j) {
-    nnz += low_cnt[j] + g.up_cnt[j];
+    nnz += (int64_t)Cp[j + 1] + g.up_cnt[j];
     if (nnz > imax) return -1;
     Cp[j + 1] = (I)nnz;
   }
@@ -1318,51 +1382,55 @@ int64_t gram_pass1(int64_t m, const I* Ap, const I* Ai, GramCtx& g,
 template <typename I, typename T>
 void gram_pass2(int64_t m, const I* Ap, const I* Ai, const T* Ax,
                 GramCtx& g, const I* Cp, I* Ci, T* Cx) {
-  std::vector<int64_t>& mask = tls_spa_mask(m);
-  int64_t& epoch = tls_spa_epoch();
-  std::vector<T>& acc = tls_spa_acc<T>(m);
-  for (int64_t j = 0; j < m; ++j) {
-    const int64_t tag = ++epoch;
-    // lower block of column j starts after its (mirrored) upper block
-    const int64_t lo = Cp[j] + g.up_cnt[j];
-    int64_t head = lo;
-    for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
-      const int64_t kk = g.Ti[pb];
-      // A^T value: A[j, kk] — find via the A column scan below instead
-      // of a search: Gustavson multiplies column kk of A by scalar
-      // A[j, kk]; that scalar is at the position where Ai == j.
-      T bv = T(0);
-      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa)
-        if (Ai[pa] == (I)j) {
-          bv = Ax[pa];
-          break;
-        }
-      for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
-        const int64_t r = Ai[pa];
-        if (r < j) continue;
-        if (mask[r] != tag) {
-          mask[r] = tag;
-          Ci[head++] = (I)r;
-          acc[r] = Ax[pa] * bv;
-        } else {
-          acc[r] += Ax[pa] * bv;
+  auto numeric_range = [&](int64_t j0, int64_t j1) {
+    std::vector<int64_t>& mask = tls_spa_mask(m);
+    int64_t& epoch = tls_spa_epoch();
+    std::vector<T>& acc = tls_spa_acc<T>(m);
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t tag = ++epoch;
+      // lower block of column j starts after its (mirrored) upper block
+      const int64_t lo = Cp[j] + g.up_cnt[j];
+      int64_t head = lo;
+      for (int64_t pb = g.Tp[j]; pb < g.Tp[j + 1]; ++pb) {
+        const int64_t kk = g.Ti[pb];
+        const T bv = Ax[g.Tpos[pb]];  // A^T[kk, j] == A[j, kk]
+        for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
+          const int64_t r = Ai[pa];
+          if (r < j) continue;
+          if (mask[r] != tag) {
+            mask[r] = tag;
+            Ci[head++] = (I)r;
+            acc[r] = Ax[pa] * bv;
+          } else {
+            acc[r] += Ax[pa] * bv;
+          }
         }
       }
-    }
-    const int64_t len = head - lo;
-    I* c = Ci + lo;
-    if (len <= 48) {
-      for (int64_t a = 1; a < len; ++a) {
-        const I v = c[a];
-        int64_t b = a - 1;
-        while (b >= 0 && c[b] > v) { c[b + 1] = c[b]; --b; }
-        c[b + 1] = v;
+      const int64_t len = head - lo;
+      I* c = Ci + lo;
+      if (len <= 48) {
+        for (int64_t a = 1; a < len; ++a) {
+          const I v = c[a];
+          int64_t b = a - 1;
+          while (b >= 0 && c[b] > v) { c[b + 1] = c[b]; --b; }
+          c[b + 1] = v;
+        }
+      } else {
+        std::sort(c, c + len);
       }
-    } else {
-      std::sort(c, c + len);
+      for (int64_t p = lo; p < lo + len; ++p) Cx[p] = acc[Ci[p]];
     }
-    for (int64_t p = lo; p < lo + len; ++p) Cx[p] = acc[Ci[p]];
+  };
+
+  if (g.nth == 1) {
+    numeric_range(0, m);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < g.nth; ++t)
+      ts.emplace_back(numeric_range, g.bounds[t], g.bounds[t + 1]);
+    for (auto& th : ts) th.join();
   }
+
   // mirror: scan finished lower entries column-major; each strict-lower
   // (r, j) lands at the upper cursor of column r with j ascending -> the
   // upper blocks come out sorted and ahead of their lower blocks.
@@ -1387,6 +1455,7 @@ int64_t csc_gram_size(int64_t m, int64_t k, const int64_t* Ap,
                       const int64_t* Ai, int64_t* Cp) {
   GramCtx& g = tls_gram_ctx();
   gram_build_T<int64_t>(m, k, Ap, Ai, g);
+  gram_splits<int64_t>(m, Ap, g);
   return gram_pass1<int64_t>(m, Ap, Ai, g, Cp);
 }
 
@@ -1394,6 +1463,7 @@ int64_t csc_gram_size32(int64_t m, int64_t k, const int32_t* Ap,
                         const int32_t* Ai, int32_t* Cp) {
   GramCtx& g = tls_gram_ctx();
   gram_build_T<int32_t>(m, k, Ap, Ai, g);
+  gram_splits<int32_t>(m, Ap, g);
   return gram_pass1<int32_t>(m, Ap, Ai, g, Cp);
 }
 

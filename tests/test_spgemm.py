@@ -34,6 +34,33 @@ def test_gram():
                      pattern_exact=False)
 
 
+@pytest.mark.parametrize("m,k,dens,dtype", [
+    (200, 300, 0.03, np.float64),
+    (500, 100, 0.02, np.float64),     # tall: k < m
+    (300, 300, 0.05, np.complex128),  # symmetric non-conjugated product
+    (400, 200, 0.04, np.float32),
+    (3000, 3000, 0.01, np.float64),   # above the threading threshold
+])
+def test_gram_fused_kernel(m, k, dens, dtype):
+    """The fused native A@A.T kernel (lower-half Gustavson + mirror) vs
+    scipy, including canonical (strictly sorted) output columns."""
+    a_sp = rand_sp(m, k, dens, seed=m + k)
+    if np.issubdtype(dtype, np.complexfloating):
+        a_sp = a_sp + 1j * rand_sp(m, k, dens, seed=m + k + 1)
+    a_sp = a_sp.astype(dtype).tocsc()
+    g = cst.gram(cst.CSC.from_scipy(a_sp))
+    ref = (a_sp @ a_sp.T).tocsc()
+    ref.sum_duplicates()
+    rtol = 1e-5 if dtype == np.float32 else 1e-11
+    assert_csc_equal(g, ref, rtol=rtol, pattern_exact=False)
+    ip, rows, _ = g.np_arrays()
+    ip = np.asarray(ip)
+    rows = np.asarray(rows)
+    for j in range(g.n):
+        seg = rows[ip[j]:ip[j + 1]]
+        assert np.all(np.diff(seg) > 0), f"column {j} not canonical"
+
+
 def test_empty_product():
     a = cst.from_triplets([], [], [], (4, 3))
     b = cst.from_triplets([0], [0], [1.0], (3, 2))
