@@ -25,6 +25,7 @@ from .ops.arithmetic import (  # noqa: F401
     eldiv,
     eliminate_zeros,
     elmul,
+    equal,
     maximum,
     minimum,
     scale,
@@ -43,6 +44,7 @@ from .ops.construct import (  # noqa: F401
     dia_to_csc,
     diag,
     diags,
+    expand_indptr,
     eye,
     from_triplets,
     random_csc,
