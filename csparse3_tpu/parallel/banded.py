@@ -276,6 +276,10 @@ class DistBandedLU:
         x = self.unblocks(self.solve_blocks(self.blocks(b)))
         return x[:, 0] if squeeze else x
 
+    def solve(self, b):
+        """x = A^{-1} b — alias of ``__call__`` (SparseLU-compatible)."""
+        return self(b)
+
     # -- host twin ------------------------------------------------------------
     def solve_host(self, b):
         """numpy replay of the SPIKE solve (for verification)."""
