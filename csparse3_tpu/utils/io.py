@@ -21,7 +21,8 @@ import numpy as np
 
 from ..types import COO, CSC, CSR
 
-__all__ = ["save_npz", "load_npz", "save_lu", "load_lu"]
+__all__ = ["save_npz", "load_npz", "save_lu", "load_lu",
+           "save_banded", "load_banded"]
 
 
 def save_npz(path, a, compressed: bool = True):
@@ -91,3 +92,34 @@ def load_lu(path):
             singular_cols=f["singular_cols"],
         )
     return SparseLU(h, h.Lx.dtype)
+
+
+def save_banded(path, plan, compressed: bool = True):
+    """Persist a linalg.BandedLU (block-Thomas factor stacks + layout).
+
+    The factor-once / solve-many pattern at 100k+ nodes makes the factor
+    the expensive step; this checkpoints it so later processes (or other
+    hosts) skip straight to device solves (SURVEY §5.4)."""
+    if plan._h is None:
+        raise ValueError("host factor stacks lost through pytree flattening")
+    ehat, sinv, uhat, perm = plan._h
+    payload = dict(
+        n=np.int64(plan.n), s=np.int64(plan.s), bw=np.int64(plan.bw),
+        ehat=ehat, sinv=sinv, uhat=uhat, perm=np.asarray(perm),
+    )
+    (np.savez_compressed if compressed else np.savez)(path, **payload)
+
+
+def load_banded(path):
+    """Rebuild a BandedLU from disk (host stacks; device upload stays
+    lazy, on first device use)."""
+    from ..linalg.banded import BandedLU
+
+    with np.load(path, allow_pickle=False) as f:
+        ehat, sinv, uhat = f["ehat"], f["sinv"], f["uhat"]
+        perm = f["perm"]
+        obj = BandedLU._from_stacks(
+            ehat, sinv, uhat, perm,
+            int(f["n"]), int(f["s"]), int(f["bw"]))
+        obj._h = (ehat, sinv, uhat, perm)
+    return obj

@@ -64,3 +64,30 @@ def test_timeit_sync():
 
     x = jnp.ones(16)
     assert timeit(lambda v: v + 1, x, iters=2, warmup=1) >= 0
+
+
+def test_banded_roundtrip(tmp_path):
+    import csparse3_tpu as cst
+    from csparse3_tpu.linalg import BandedLU
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.utils.io import load_banded, save_banded
+
+    n = 1000
+    g = synthetic_grid(n, seed=3)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    a = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                cst.diags(np.full(n, 3.0)))
+    plan = BandedLU(a)
+    p = tmp_path / "banded.npz"
+    save_banded(p, plan)
+    plan2 = load_banded(p)
+    assert (plan2.n, plan2.s, plan2.bw) == (plan.n, plan.s, plan.bw)
+    b = np.random.RandomState(0).rand(n)
+    np.testing.assert_array_equal(plan.solve_host(b), plan2.solve_host(b))
+    # device path works off the reloaded stacks too
+    x = np.asarray(plan2(b))
+    ref = plan.solve_host(b.astype(np.float64))
+    assert np.abs(x - ref).max() / np.abs(ref).max() < 5e-4
