@@ -1434,16 +1434,42 @@ void gram_pass2(int64_t m, const I* Ap, const I* Ai, const T* Ax,
   // mirror: scan finished lower entries column-major; each strict-lower
   // (r, j) lands at the upper cursor of column r with j ascending -> the
   // upper blocks come out sorted and ahead of their lower blocks.
-  std::vector<int64_t> fill(m);
-  for (int64_t j = 0; j < m; ++j) fill[j] = Cp[j];
-  for (int64_t j = 0; j < m; ++j) {
-    for (int64_t p = Cp[j] + g.up_cnt[j]; p < Cp[j + 1]; ++p) {
-      const int64_t r = Ci[p];
-      if (r == j) continue;
-      const int64_t t = fill[r]++;
-      Ci[t] = (I)j;
-      Cx[t] = Cx[p];
+  // Threaded by DESTINATION column range: every worker scans the whole
+  // lower set (sequential reads, shared in cache) but writes only its
+  // own range — write sets are disjoint, no ordering is lost because
+  // each worker still sees j ascending.
+  auto mirror_range = [&](int64_t r0, int64_t r1) {
+    std::vector<int64_t> fill(r1 - r0);
+    for (int64_t r = r0; r < r1; ++r) fill[r - r0] = Cp[r];
+    for (int64_t j = 0; j < m; ++j) {
+      for (int64_t p = Cp[j] + g.up_cnt[j]; p < Cp[j + 1]; ++p) {
+        const int64_t r = Ci[p];
+        if (r < r0 || r >= r1 || r == j) continue;
+        const int64_t t = fill[r - r0]++;
+        Ci[t] = (I)j;
+        Cx[t] = Cx[p];
+      }
     }
+  };
+  if (g.nth == 1) {
+    mirror_range(0, m);
+  } else {
+    // balance by mirrored-entry count (up_cnt prefix)
+    int64_t total_up = 0;
+    for (int64_t r = 0; r < m; ++r) total_up += g.up_cnt[r];
+    std::vector<int64_t> rb(g.nth + 1, 0);
+    rb[g.nth] = m;
+    int64_t acc = 0, t = 1;
+    for (int64_t r = 0; r < m && t < g.nth; ++r) {
+      acc += g.up_cnt[r];
+      while (t < g.nth && acc >= total_up * t / g.nth) rb[t++] = r + 1;
+    }
+    for (int q = 1; q < g.nth; ++q)
+      if (rb[q] < rb[q - 1]) rb[q] = rb[q - 1];
+    std::vector<std::thread> ts;
+    for (int q = 0; q < g.nth; ++q)
+      ts.emplace_back(mirror_range, rb[q], rb[q + 1]);
+    for (auto& th : ts) th.join();
   }
 }
 
