@@ -72,6 +72,8 @@ def component_labels(a: CSC):
 def islands(a: CSC) -> List[np.ndarray]:
     """List of node-index arrays, one per connected component
     (reference: CscMat.islands, csc.py:515-521 -> find_islands)."""
+    if a.m == 0:
+        return []
     labels = component_labels(a)
     order = np.argsort(labels, kind="stable")
     labels_sorted = labels[order]
