@@ -391,6 +391,39 @@ class CSR(_SparseBase):
         a = a.tocsr()
         return cls(a.shape[0], a.shape[1], a.indptr, a.indices, a.data)
 
+    def t(self) -> CSC:
+        """Transpose — zero-copy: the CSR arrays of A ARE the CSC arrays
+        of A^T (reference: csr.h:418 csr_tocsc doubles as transpose)."""
+        ip, ix, dt = self.np_arrays()
+        return CSC(self.n, self.m, ip, ix, dt, canonical=self.canonical)
+
+    @property
+    def T(self) -> CSC:
+        return self.t()
+
+    # operators delegate to the CSC op layer (CSC is the primary format;
+    # reference csc.h delegates to csr.h the same way, with roles swapped)
+    def __matmul__(self, other):
+        return self.to_csc() @ other
+
+    def __mul__(self, other):
+        return self.to_csc() * other
+
+    def __rmul__(self, other):
+        return self.to_csc().__rmul__(other)
+
+    def __add__(self, other):
+        other = other.to_csc() if isinstance(other, CSR) else other
+        return (self.to_csc() + other).to_csr()
+
+    def __sub__(self, other):
+        other = other.to_csc() if isinstance(other, CSR) else other
+        return (self.to_csc() - other).to_csr()
+
+    def __neg__(self):
+        ip, ix, dt = self.np_arrays()
+        return CSR(self.m, self.n, ip, ix, -dt, canonical=self.canonical)
+
 
 @jax.tree_util.register_pytree_node_class
 class COO(_SparseBase):
@@ -457,6 +490,11 @@ class COO(_SparseBase):
 
         r, c, d = self.np_arrays()
         return sp.coo_matrix((d, (r, c)), shape=self.shape)
+
+    @classmethod
+    def from_scipy(cls, a) -> "COO":
+        a = a.tocoo()
+        return cls(a.shape[0], a.shape[1], a.row, a.col, a.data)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -104,3 +104,35 @@ class TestValidate:
                     np.ones(2), canonical=False)
         assert cst.has_sorted_indices(A)
         assert not cst.has_canonical_format(A)
+
+
+def test_csr_operators_and_transpose():
+    """CSR operator surface delegates to the CSC layer; transpose is
+    zero-copy (reference: csr.h:418 csr_tocsc doubles as transpose)."""
+    import scipy.sparse as sp
+
+    a = sp.random(30, 20, density=0.2, format="csr",
+                  random_state=np.random.RandomState(5))
+    b = sp.random(30, 20, density=0.2, format="csr",
+                  random_state=np.random.RandomState(6))
+    R, B = cst.CSR.from_scipy(a), cst.CSR.from_scipy(b)
+    x = np.ones(20)
+    np.testing.assert_allclose(np.asarray(R @ x), a @ x, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray((R + B).todense()),
+                               (a + b).toarray(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray((R - B).todense()),
+                               (a - b).toarray(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray((3.0 * R).todense()),
+                               3 * a.toarray(), rtol=1e-12)
+    assert isinstance(R + B, cst.CSR)
+    t = R.T
+    assert isinstance(t, cst.CSC)
+    np.testing.assert_allclose(np.asarray(t.todense()), a.T.toarray())
+
+
+def test_coo_from_scipy():
+    import scipy.sparse as sp
+
+    a = sp.random(12, 9, density=0.3, random_state=np.random.RandomState(7))
+    c = cst.COO.from_scipy(a)
+    np.testing.assert_allclose(np.asarray(c.to_csc().todense()), a.toarray())
