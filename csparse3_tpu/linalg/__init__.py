@@ -1,3 +1,4 @@
+from .cholesky import LDLTSolvePlan, SparseLDLT, ldlt  # noqa: F401
 from .lu import SolvePlan, SparseLU, splu, spsolve  # noqa: F401
 from .ordering import amd, get_ordering, mindeg, natural, nd, rcm  # noqa: F401
 from .btf import BTFLU, btf, btf_splu, max_transversal  # noqa: F401

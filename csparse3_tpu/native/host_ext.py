@@ -63,6 +63,66 @@ class _LUResult(ctypes.Structure):
     ]
 
 
+class _LDLTResult(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("lnz", ctypes.c_int64),
+        ("nsing", ctypes.c_int64),
+        ("Lp", _i64p),
+        ("Li", _i64p),
+        ("sing", _i64p),
+        ("Lx", ctypes.c_void_p),
+        ("D", ctypes.c_void_p),
+    ]
+
+
+for _name in ("ldlt_factor_d", "ldlt_factor_z"):
+    fn = getattr(_lib, _name)
+    fn.restype = ctypes.POINTER(_LDLTResult)
+    fn.argtypes = [ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p]
+_lib.ldlt_free.restype = None
+_lib.ldlt_free.argtypes = [ctypes.POINTER(_LDLTResult)]
+
+
+def ldlt_factor(n, Ap, Ai, Ax):
+    """A = L D L^T of a symmetric CSC (values: full matrix, both
+    triangles).  Returns (Lp, Li, Lx, D, sing) with L unit-lower
+    (unit diagonal stored)."""
+    Ap = _as_i64(Ap)
+    Ai = _as_i64(Ai)
+    Ax = np.ascontiguousarray(np.asarray(Ax))
+    if np.issubdtype(Ax.dtype, np.complexfloating):
+        Ax = Ax.astype(np.complex128, copy=False)
+        fn, vdt = _lib.ldlt_factor_z, np.complex128
+    else:
+        Ax = Ax.astype(np.float64, copy=False)
+        fn, vdt = _lib.ldlt_factor_d, np.float64
+    res = fn(ctypes.c_int64(n), _i64_ptr(Ap), _i64_ptr(Ai),
+             Ax.ctypes.data_as(ctypes.c_void_p))
+    r = res.contents
+    try:
+        def icopy(ptr, cnt):
+            if cnt == 0:
+                return np.zeros(0, dtype=np.int64)
+            return np.ctypeslib.as_array(ptr, shape=(cnt,)).copy()
+
+        def vcopy(ptr, cnt):
+            if cnt == 0:
+                return np.zeros(0, dtype=vdt)
+            p = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_double))
+            k = cnt * (2 if vdt == np.complex128 else 1)
+            return np.ctypeslib.as_array(p, shape=(k,)).copy().view(vdt)
+
+        Lp = icopy(r.Lp, n + 1)
+        Li = icopy(r.Li, r.lnz)
+        Lx = vcopy(r.Lx, r.lnz)
+        D = vcopy(r.D, n)
+        sing = icopy(r.sing, r.nsing)
+    finally:
+        _lib.ldlt_free(res)
+    return Lp, Li, Lx, D, sing
+
+
 for _name in ("lu_factor_d", "lu_factor_z"):
     fn = getattr(_lib, _name)
     fn.restype = ctypes.POINTER(_LUResult)

@@ -234,7 +234,7 @@ def scale_columns(a: CSC, d) -> CSC:
     """Column scaling A @ diag(d) (reference: csr_scale_columns, csr.h:125)."""
     d = jnp.asarray(d)
     k = a.nnz
-    if construct.is_traced(a.indptr, a.indices, a.data, d):
+    if construct.container_traced(a) or construct.is_traced(d):
         cols = construct.expand_indptr(a.indptr, k)
     else:
         cols = jnp.asarray(construct.expand_indptr_np(np.asarray(a.indptr), k))

@@ -63,6 +63,20 @@ def is_traced(*arrays) -> bool:
     return any(isinstance(x, jax.core.Tracer) for x in arrays)
 
 
+def container_traced(a) -> bool:
+    """``is_traced`` over a container's RAW fields.
+
+    Never goes through the lazy-upload properties (``a.indptr`` etc.):
+    property access device_puts host fields, which is a wasted full-matrix
+    upload on host-only flows and FATAL for complex data on attachments
+    that cannot transfer complex dtypes at all (utils.xfer doc).
+    """
+    raw = (getattr(a, f) for f in ("_indptr", "_indices", "_data",
+                                   "_rows", "_cols")
+           if hasattr(a, f))
+    return any(isinstance(x, jax.core.Tracer) for x in raw)
+
+
 def expand_indptr_np(indptr, nnz: int | None = None):
     """Host twin of expand_indptr: indptr -> per-entry segment ids."""
     indptr = np.asarray(indptr)
@@ -187,7 +201,7 @@ def _resort_np(n_major, major, minor, vals, idx_dtype):
 def csc_to_csr(a: CSC) -> CSR:
     """CSC -> CSR re-sort (reference: csc_to_csr, csc_numba.py:360-397)."""
     k = a.nnz
-    if not is_traced(a.indptr, a.indices, a.data):
+    if not container_traced(a):
         ip, rows, vals = a.np_arrays()
         cols = expand_indptr_np(ip)
         indptr, c_s, v_s = _resort_np(
@@ -206,7 +220,7 @@ def csc_to_csr(a: CSC) -> CSR:
 
 def csr_to_csc(a: CSR) -> CSC:
     k = a.nnz
-    if not is_traced(a.indptr, a.indices, a.data):
+    if not container_traced(a):
         ip, cols, vals = a.np_arrays()
         rows = expand_indptr_np(ip)
         indptr, r_s, v_s = _resort_np(
@@ -230,7 +244,7 @@ def transpose(a: CSC) -> CSC:
     re-sort with roles swapped, i.e. one stable sort by old row index.
     """
     k = a.nnz
-    if not is_traced(a.indptr, a.indices, a.data):
+    if not container_traced(a):
         ip, old_rows, vals = a.np_arrays()
         idx = np.dtype(get_config().index_dtype)
         if np.issubdtype(vals.dtype, np.floating) or np.issubdtype(

@@ -111,7 +111,7 @@ class SpMVPlan:
 
     def __init__(self, a: CSC, layout: str | None = None, max_waste: float = 4.0):
         self.m, self.n = a.shape
-        if construct.is_traced(a.indptr, a.indices, a.data):
+        if construct.container_traced(a):
             # traced structure: only the stream layout is buildable
             rows, cols, vals = _entry_streams(a)
             self.layout = "stream"

@@ -68,4 +68,17 @@ struct LUResult {
 
 void lu_free(LUResult* r);
 
+struct LDLTResult {
+  int64_t n;
+  int64_t lnz;    // entries of L including the stored unit diagonal
+  int64_t nsing;  // columns with an exactly-zero pivot d[k]
+  int64_t* Lp;
+  int64_t* Li;
+  int64_t* sing;
+  void* Lx;
+  void* D;
+};
+
+void ldlt_free(LDLTResult* r);
+
 }  // extern "C"

@@ -2329,3 +2329,148 @@ void btf_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse LDL^T factorization — up-looking, CSparse cs_chol lineage
+// (the symmetric counterpart the reference's CSparse ancestry defines but
+// the Python port never reached; SURVEY scope note).  A = L D L^T with L
+// unit lower triangular (unit diagonal STORED, so the factor feeds the
+// same TriSolvePlan machinery as LU's L) and D diagonal.  No pivoting:
+// the symmetric fill-reducing ordering is the only permutation, which is
+// exact for the symmetric diagonally-dominant systems of this domain
+// (DC / fast-decoupled B' and B'' matrices); zero pivots are REPORTED
+// (sing list), matching the SuperLU-style LU behavior.
+//
+// Row pattern of L(k, :) comes from the elimination tree (cs_ereach):
+// walk each upper entry A[r, k] (r < k) up the etree until a node marked
+// with this column's stamp, pushing the path — the concatenated paths in
+// pop order are a topological order of the row's sparse triangular solve.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+LDLTResult* ldlt_factor_impl(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                             const T* Ax) {
+  // elimination tree (upper-triangle walk with ancestor path compression)
+  std::vector<int64_t> parent(n, -1), ancestor(n, -1);
+  for (int64_t k = 0; k < n; ++k) {
+    for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+      int64_t i = Ai[p];
+      while (i != -1 && i < k) {
+        const int64_t nxt = ancestor[i];
+        ancestor[i] = k;
+        if (nxt == -1) parent[i] = k;
+        i = nxt;
+      }
+    }
+  }
+
+  // column counts: one ereach per column (stamped walk), +1 for the diag
+  std::vector<int64_t> w(n, -1), stack(n), cnt(n, 1);
+  auto ereach = [&](int64_t k, std::vector<int64_t>& s) -> int64_t {
+    int64_t top = n;
+    w[k] = k;  // never walk past k
+    for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+      int64_t i = Ai[p];
+      if (i >= k) continue;  // lower/diag entries of the symmetric input
+      int64_t len = 0;
+      while (w[i] != k) {
+        stack[len++] = i;
+        w[i] = k;
+        i = parent[i];
+        if (i == -1) break;
+      }
+      while (len > 0) s[--top] = stack[--len];
+    }
+    return top;
+  };
+
+  std::vector<int64_t> s(n);
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t top = ereach(k, s);
+    for (int64_t t = top; t < n; ++t) cnt[s[t]]++;
+  }
+  std::vector<int64_t> Lp(n + 1, 0);
+  for (int64_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + cnt[j];
+  const int64_t lnz = Lp[n];
+
+  LDLTResult* r = (LDLTResult*)std::calloc(1, sizeof(LDLTResult));
+  r->n = n;
+  r->lnz = lnz;
+  r->Lp = (int64_t*)std::malloc((n + 1) * sizeof(int64_t));
+  r->Li = (int64_t*)std::malloc(lnz * sizeof(int64_t));
+  r->Lx = std::malloc(lnz * sizeof(T));
+  r->D = std::malloc(n * sizeof(T));
+  std::memcpy(r->Lp, Lp.data(), (n + 1) * sizeof(int64_t));
+  int64_t* Li = r->Li;
+  T* Lx = (T*)r->Lx;
+  T* D = (T*)r->D;
+
+  std::fill(w.begin(), w.end(), -1);
+  std::vector<int64_t> c(n);      // append cursor per column (after diag)
+  std::vector<T> x(n, T(0));      // sparse accumulator for row k
+  std::vector<int64_t> sing;
+  for (int64_t k = 0; k < n; ++k) {
+    // open column k with its stored unit diagonal
+    Li[Lp[k]] = k;
+    Lx[Lp[k]] = T(1);
+    c[k] = Lp[k] + 1;
+    // scatter upper entries of column k; diagonal seeds d_k
+    T dk = T(0);
+    const int64_t top = ereach(k, s);
+    for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+      const int64_t i = Ai[p];
+      if (i < k) x[i] = Ax[p];
+      else if (i == k) dk = Ax[p];
+    }
+    // sparse triangular solve along the etree topological order
+    for (int64_t t = top; t < n; ++t) {
+      const int64_t j = s[t];
+      const T yj = x[j];  // = d[j] * L[k, j]
+      x[j] = T(0);
+      const T lkj = yj / D[j];
+      for (int64_t p = Lp[j] + 1; p < c[j]; ++p) x[Li[p]] -= Lx[p] * yj;
+      dk -= lkj * yj;
+      Li[c[j]] = k;
+      Lx[c[j]] = lkj;
+      c[j]++;
+    }
+    D[k] = dk;
+    if (dk == T(0)) sing.push_back(k);
+  }
+  r->nsing = (int64_t)sing.size();
+  r->sing = (int64_t*)std::malloc(std::max<size_t>(sing.size(), 1) *
+                                  sizeof(int64_t));
+  if (!sing.empty())
+    std::memcpy(r->sing, sing.data(), sing.size() * sizeof(int64_t));
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+void ldlt_free(LDLTResult* r) {
+  if (!r) return;
+  std::free(r->Lp);
+  std::free(r->Li);
+  std::free(r->sing);
+  std::free(r->Lx);
+  std::free(r->D);
+  std::free(r);
+}
+
+LDLTResult* ldlt_factor_d(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                          const double* Ax) {
+  return ldlt_factor_impl<double>(n, Ap, Ai, Ax);
+}
+
+// complex SYMMETRIC (not Hermitian) — Ybus is symmetric, so LDL^T applies
+// without conjugation
+LDLTResult* ldlt_factor_z(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                          const void* Ax) {
+  return ldlt_factor_impl<cplx>(n, Ap, Ai, (const cplx*)Ax);
+}
+
+}  // extern "C"
