@@ -149,7 +149,11 @@ class _Slabs(NamedTuple):
     e_rows: np.ndarray  # (nlev, We) entry rows, pad n
     e_cols: np.ndarray  # (nlev, We) entry cols, pad n
     e_vals: np.ndarray  # (nlev, We) entry vals, pad 0
-    r_rows: np.ndarray  # (nlev, Wr) rows finalized at each level, pad n
+    r_rows: np.ndarray  # (nlev, Wr) rows finalized at each level; padding
+    #                       uses n+1 — OUT of the (n+1)-slot workspace, so
+    #                       mode="drop" discards it and the written indices
+    #                       are genuinely unique (unique_indices=True is
+    #                       then sound, which scatter-mul GRADIENTS require)
     r_dinv: np.ndarray  # (nlev, Wr) 1/diag for those rows, pad 1
 
 
@@ -185,8 +189,8 @@ def _build_slabs(n, rows, cols, vals, diag, lower: bool) -> _Slabs:
     with np.errstate(divide="ignore"):  # zero pivot -> inf (SuperLU-style)
         dinv = (1.0 / diag).astype(diag.dtype)
     r_rows, r_dinv = pad_group(
-        lev, [all_rows, dinv], [n, 1]
-    ) if n else (np.full((1, 1), n), np.ones((1, 1), dtype=diag.dtype))
+        lev, [all_rows, dinv], [n + 1, 1]
+    ) if n else (np.full((1, 1), n + 1), np.ones((1, 1), dtype=diag.dtype))
     return _Slabs(e_rows, e_cols, e_vals, r_rows, r_dinv)
 
 
@@ -239,7 +243,7 @@ class TriSolvePlan:
         self.e_rows = pad_lev(slabs.e_rows, n)
         self.e_cols = pad_lev(slabs.e_cols, n)
         self.e_vals = pad_lev(slabs.e_vals, 0)
-        self.r_rows = pad_lev(slabs.r_rows, n)
+        self.r_rows = pad_lev(slabs.r_rows, n + 1)  # n+1: dropped, stays unique
         self.r_dinv = pad_lev(slabs.r_dinv, 1)
         self._nlev = nlev
 
@@ -282,7 +286,8 @@ class TriSolvePlan:
             for i in range(K):  # unrolled in-trace
                 contrib = ev[i][:, None] * x[ec[i]]
                 x = x.at[er[i]].add(-contrib, mode="drop")
-                x = x.at[rr[i]].multiply(rd[i][:, None], mode="drop")
+                x = x.at[rr[i]].multiply(rd[i][:, None], mode="drop",
+                                         unique_indices=True)
             return x, None
 
         x, _ = jax.lax.scan(

@@ -102,3 +102,58 @@ def test_real_unsymmetric():
         x, spla.spsolve(sp.csc_matrix((dt2, ix, ip), shape=(100, 100)), b),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_grad_through_refactor_solve():
+    """Differentiable factor-solve: jax.grad of a solve w.r.t. the MATRIX
+    VALUES flows through the wavefront refactorization (power-flow
+    sensitivity analysis use case).  Oracle: central finite differences."""
+    import jax.numpy as jnp
+
+    from csparse3_tpu import linalg
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    n = 200
+    g = synthetic_grid(n, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    a = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                cst.diags(np.full(n, 3.0)))
+    lu = linalg.splu(a)
+    rp = lu.refactor_plan(a)
+    b = np.random.RandomState(0).rand(n)
+    _, _, data = a.np_arrays()
+
+    def loss(d):
+        return jnp.sum(rp.refactor(d)(b) ** 2)
+
+    grad = np.asarray(jax.grad(loss)(jnp.asarray(data)))
+    assert np.isfinite(grad).all()
+    eps = 1e-6
+    for k in (0, 7, 50):
+        d1 = data.copy()
+        d1[k] += eps
+        d0 = data.copy()
+        d0[k] -= eps
+        fd = (float(loss(jnp.asarray(d1))) - float(loss(jnp.asarray(d0))))
+        fd /= 2 * eps
+        np.testing.assert_allclose(grad[k], fd, rtol=1e-5)
+
+
+def test_grad_solve_wrt_rhs():
+    """grad through the level-scheduled solve w.r.t. b equals 2 A^-T A^-1 b."""
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu import linalg
+
+    a_sp = rand_sp(80, 80, 0.06, seed=9) + sp.diags(np.full(80, 4.0))
+    a = cst.CSC.from_scipy(a_sp.tocsc())
+    plan = linalg.splu(a).solve_plan()
+    b = np.random.RandomState(1).rand(80)
+    g = np.asarray(jax.grad(lambda bb: jnp.sum(plan(bb) ** 2))(jnp.asarray(b)))
+    x = spla.spsolve(a_sp.tocsc(), b)
+    ref = 2.0 * spla.spsolve(a_sp.tocsc().T, x)
+    np.testing.assert_allclose(g, ref, rtol=1e-8, atol=1e-10)
