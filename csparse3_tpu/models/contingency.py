@@ -1,0 +1,150 @@
+"""N-1 contingency screening — batched same-pattern refactorization.
+
+THE canonical power-systems batch workload (what GridCal-class tools run
+all day): for every branch outage, re-solve the network and check the
+post-outage flows.  The TPU formulation makes the whole sweep one
+compiled program:
+
+* A branch outage never changes the B' PATTERN — only four values (the
+  ff/tt diagonals and the ft/tf couplings lose that branch's
+  susceptance).  So the base case is factored ONCE on host (pattern +
+  pivot order frozen), and every contingency is a device NUMERIC
+  refactorization (linalg.RefactorPlan, the KLU-style wavefront) —
+  ``vmap`` over the per-outage value arrays batches all scenarios onto
+  the MXU with zero host round-trips.
+
+* Islanding detection falls out of the arithmetic: an outage that splits
+  the grid makes the reduced B' exactly singular, the frozen-pivot
+  refactorization hits a zero pivot, and inf/nan floods that scenario's
+  solution (the SuperLU-style report-don't-raise policy) — ``ok`` is
+  just ``isfinite``.
+
+Reference counterpart: none (the reference is the sparse engine such
+tools sit on; SURVEY §2.4).  This module is the model-family layer the
+north star's "batched power-flow solves" config (BASELINE config 4)
+points at.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..linalg import splu
+from ..ops import construct
+from ..ops.slicing import sample_offsets
+from .grids import SLACK, Grid
+
+__all__ = ["DCContingency"]
+
+
+class DCContingency:
+    """DC (B' theta = P) N-1 screening for a grid.
+
+    ``run(outages)`` returns (flows, theta, ok): per-scenario branch
+    flows (K, n_branch), bus angles (K, n_bus, slack = 0), and a
+    finite-solution mask (False = the outage islands the grid).
+    """
+
+    def __init__(self, grid: Grid, ordering="auto"):
+        n = grid.n_bus
+        f, t = grid.f, grid.t
+        bsus = 1.0 / grid.x
+        rows = np.concatenate([f, t, f, t])
+        cols = np.concatenate([t, f, f, t])
+        vals = np.concatenate([-bsus, -bsus, bsus, bsus])
+        B = construct.from_triplets(rows, cols, vals, (n, n))
+        keep = np.flatnonzero(np.asarray(grid.bus_type) != SLACK)
+        red = np.full(n, -1, dtype=np.int64)
+        red[keep] = np.arange(len(keep))
+        Br = B[keep, keep]
+
+        lu = splu(Br, ordering=ordering)
+        self._rp = lu.refactor_plan(Br)
+        _, _, base = Br.np_arrays()
+
+        # per-branch outage stamp: up to 4 (position, delta) pairs in the
+        # reduced matrix; entries touching the slack simply vanish
+        m = grid.n_branch
+        rf, rt = red[f], red[t]
+        ls = []
+        for rr, cc, sgn in ((rf, rf, +1.0), (rt, rt, +1.0),
+                            (rf, rt, -1.0), (rt, rf, -1.0)):
+            live = (rr >= 0) & (cc >= 0)
+            pos = np.zeros(m, dtype=np.int64)
+            pos[live] = sample_offsets(Br, rr[live], cc[live])
+            delta = np.where(live, sgn * bsus, 0.0)
+            # a structurally-live entry must exist in the assembled B'
+            assert (pos[live] >= 0).all()
+            ls.append((pos, delta))
+        self._pos = np.stack([p for p, _ in ls], axis=1)      # (m, 4)
+        self._delta = np.stack([d for _, d in ls], axis=1)    # (m, 4)
+
+        self.grid = grid
+        self.keep = keep
+        self._base = base
+        self._P = (np.asarray(grid.pg) - np.asarray(grid.pd))[keep]
+        self._binv_x = 1.0 / np.asarray(grid.x)
+        self._f, self._t = np.asarray(f), np.asarray(t)
+        self._red = red
+        self._run = None
+
+    @property
+    def n_branch(self) -> int:
+        return self.grid.n_branch
+
+    def base_theta(self):
+        """Pre-contingency angles (device solve with the base values)."""
+        th = np.zeros(self.grid.n_bus)
+        th[self.keep] = np.asarray(
+            self._rp.refactor(jnp.asarray(self._base))(jnp.asarray(self._P)))
+        return th
+
+    def _build_run(self):
+        rp = self._rp
+        P = jnp.asarray(self._P)
+        pos = jnp.asarray(self._pos)
+        delta = jnp.asarray(self._delta)
+        base = jnp.asarray(self._base)
+        red_f = jnp.asarray(self._red[self._f])
+        red_t = jnp.asarray(self._red[self._t])
+        binv_x = jnp.asarray(self._binv_x)
+        nb = len(self.keep)
+
+        def one(k):
+            data = base.at[pos[k]].add(-delta[k])
+            th_r = rp.refactor(data)(P)
+            # angles at slack buses are 0; gather with a guard row
+            th_pad = jnp.concatenate([th_r, jnp.zeros(1, th_r.dtype)])
+            gf = jnp.where(red_f >= 0, red_f, nb)
+            gt = jnp.where(red_t >= 0, red_t, nb)
+            flows = binv_x * (th_pad[gf] - th_pad[gt])
+            flows = flows.at[k].set(0.0)  # the outaged branch carries none
+            return flows, th_r
+
+        def run(ks):
+            return jax.vmap(one)(ks)
+
+        return jax.jit(run)
+
+    def run(self, outages=None, batch: int | None = None):
+        """Screen ``outages`` (default: every branch).  Returns
+        (flows (K, n_branch), theta (K, n_bus), ok (K,))."""
+        if outages is None:
+            outages = np.arange(self.n_branch)
+        outages = np.asarray(outages, dtype=np.int64)
+        if self._run is None:
+            self._run = self._build_run()
+        chunks_f, chunks_t = [], []
+        step = batch or len(outages)
+        for s in range(0, len(outages), step):
+            fl, th = self._run(jnp.asarray(outages[s:s + step]))
+            chunks_f.append(np.asarray(fl))
+            chunks_t.append(np.asarray(th))
+        flows = np.concatenate(chunks_f)
+        th_r = np.concatenate(chunks_t)
+        theta = np.zeros((len(outages), self.grid.n_bus))
+        theta[:, self.keep] = th_r
+        ok = np.isfinite(flows).all(axis=1) & np.isfinite(th_r).all(axis=1)
+        return flows, theta, ok

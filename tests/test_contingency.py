@@ -1,0 +1,77 @@
+"""N-1 DC contingency screening vs per-outage scipy solves."""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from csparse3_tpu.models.contingency import DCContingency
+from csparse3_tpu.models.grids import SLACK, ieee14, synthetic_grid
+
+
+def _oracle_outage(g, k):
+    n = g.n_bus
+    keep = np.flatnonzero(np.asarray(g.bus_type) != SLACK)
+    P = (np.asarray(g.pg) - np.asarray(g.pd))[keep]
+    mask = np.ones(g.n_branch, bool)
+    mask[k] = False
+    f, t, x = g.f[mask], g.t[mask], g.x[mask]
+    b = 1.0 / x
+    rows = np.concatenate([f, t, f, t])
+    cols = np.concatenate([t, f, f, t])
+    vals = np.concatenate([-b, -b, b, b])
+    B = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
+    B = B[keep][:, keep].tocsc()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        th_r = spla.spsolve(B, P)
+    if not np.isfinite(th_r).all():
+        return None
+    th = np.zeros(n)
+    th[keep] = th_r
+    fl = (th[g.f] - th[g.t]) / g.x
+    fl[k] = 0.0
+    return fl
+
+
+def test_ieee14_all_outages():
+    g = ieee14()
+    ca = DCContingency(g)
+    flows, theta, ok = ca.run()
+    assert flows.shape == (g.n_branch, g.n_branch)
+    islanded = 0
+    for k in range(g.n_branch):
+        ref = _oracle_outage(g, k)
+        if ref is None:
+            assert not ok[k], f"outage {k}: islanding not detected"
+            islanded += 1
+            continue
+        assert ok[k], f"outage {k}: spuriously flagged singular"
+        scale = max(np.abs(ref).max(), 1e-12)
+        np.testing.assert_allclose(flows[k], ref, rtol=0, atol=1e-8 * scale)
+    assert islanded >= 1  # the radial branch to bus 8 islands it
+
+
+def test_synthetic_sample_and_batching():
+    g = synthetic_grid(300, seed=4)
+    ca = DCContingency(g)
+    ks = np.random.RandomState(0).choice(g.n_branch, 12, replace=False)
+    f1, t1, ok1 = ca.run(ks)
+    f2, t2, ok2 = ca.run(ks, batch=5)  # uneven chunks, same result
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_allclose(f1, f2, rtol=1e-12)
+    for i, k in enumerate(ks):
+        ref = _oracle_outage(g, k)
+        assert ref is not None and ok1[i]
+        scale = max(np.abs(ref).max(), 1e-12)
+        np.testing.assert_allclose(f1[i], ref, rtol=0, atol=1e-7 * scale)
+
+
+def test_base_theta_matches_dc_power_flow():
+    from csparse3_tpu.models.powerflow import dc_power_flow
+
+    g = ieee14()
+    ca = DCContingency(g)
+    np.testing.assert_allclose(ca.base_theta(), dc_power_flow(g),
+                               rtol=1e-8, atol=1e-10)
