@@ -439,6 +439,50 @@ def run_solve10k(reps: int):
     return run_solve100k(reps, n=10_000)
 
 
+
+
+def run_contingency(reps: int):
+    """N-1 DC contingency screening rate: vmapped device refactor+solve
+    per outage (models/contingency.py).  Verified against the host base
+    solve; warm rate over `reps` outages."""
+    import time as _time
+
+    import numpy as np
+
+    from csparse3_tpu.models.contingency import DCContingency
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    g = synthetic_grid(1000, seed=4)
+    ca = DCContingency(g)
+    K = min(max(int(reps), 64), ca.n_branch)
+    ks = np.arange(K)
+    flows, theta, ok = ca.run(ks, batch=64)  # compile + warm
+    t0 = _time.perf_counter()
+    flows, theta, ok = ca.run(ks, batch=64)
+    t = _time.perf_counter() - t0
+    # correctness: non-islanding scenarios finite, and scenario 0 matches
+    # a host-differential rebuild
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.models.grids import SLACK
+
+    n = g.n_bus
+    keep = np.flatnonzero(np.asarray(g.bus_type) != SLACK)
+    P = (np.asarray(g.pg) - np.asarray(g.pd))[keep]
+    mask = np.ones(g.n_branch, bool); mask[0] = False
+    f, t_, x = g.f[mask], g.t[mask], g.x[mask]
+    bv = 1.0 / x
+    rows = np.concatenate([f, t_, f, t_]); cols = np.concatenate([t_, f, f, t_])
+    vals = np.concatenate([-bv, -bv, bv, bv])
+    B = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()[keep][:, keep]
+    th = np.zeros(n); th[keep] = spla.spsolve(B.tocsc(), P)
+    ref = (th[g.f] - th[g.t]) / g.x; ref[0] = 0.0
+    rel = float(np.abs(flows[0] - ref).max() / max(np.abs(ref).max(), 1e-12))
+    return {"t": t, "K": int(K), "ok": int(ok.sum()), "rel_err": rel,
+            "correct": rel < 5e-4}
+
+
 _KINDS = {
     "spmv": run_spmv,
     "solve10k": run_solve10k,
@@ -452,6 +496,7 @@ _KINDS = {
     "solve100k": run_solve100k,
     "refactor": run_refactor,
     "spgemm": run_spgemm,
+    "contingency": run_contingency,
     "scipy_spmv": run_scipy_spmv,
 }
 
@@ -568,6 +613,12 @@ def main():
         extra["refactor_per_s"] = 1.0 / per_rf
     else:
         extra["refactor_error"] = str(a.get("error", "no delta"))
+
+    a = _sub("contingency", 256)
+    if a.get("correct") and a.get("t"):
+        extra["contingency_per_s"] = a["K"] / a["t"]
+    else:
+        extra["contingency_error"] = str(a.get("error", a.get("rel_err", "?")))
 
     gm = _sub("spgemm", 3)
     if "error" not in gm:

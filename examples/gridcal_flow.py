@@ -6,10 +6,19 @@ reference: assemble Ybus, factor, and run the fully-jittable AC power flow.
 Run: python examples/gridcal_flow.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
-jax.config.update("jax_enable_x64", True)  # float64 end-to-end for the demo
+# float64 end-to-end on the CPU backend: this demo shows exact f64 parity
+# with the reference's flow; the TPU path (f32/split-complex) is what
+# bench.py and examples/contingency_screening.py exercise
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import csparse3_tpu as cst
 from csparse3_tpu.models.grids import ieee14, rcm_grid
