@@ -89,6 +89,7 @@ class DCContingency:
         self._f, self._t = np.asarray(f), np.asarray(t)
         self._red = red
         self._run = None
+        self._run_raw = None
 
     @property
     def n_branch(self) -> int:
@@ -126,7 +127,38 @@ class DCContingency:
         def run(ks):
             return jax.vmap(one)(ks)
 
+        self._run_raw = run
         return jax.jit(run)
+
+    def run_sharded(self, mesh, outages=None, axis: str | None = None):
+        """Distribute the sweep over a mesh axis (data parallel: scenarios
+        are independent, so the outage list shards and the frozen plan
+        replicates — zero communication).  Returns (flows, theta, ok) like
+        ``run``.  Pads the scenario count to a mesh-size multiple; padding
+        scenarios recompute outage 0 and are dropped."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if outages is None:
+            outages = np.arange(self.n_branch)
+        outages = np.asarray(outages, dtype=np.int64)
+        axis = axis or mesh.axis_names[0]
+        S = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        K = len(outages)
+        pad = (-K) % S
+        ks = np.concatenate([outages, np.full(pad, outages[0])])
+        shard = NamedSharding(mesh, PartitionSpec(axis))
+        if self._run is None:
+            self._run = self._build_run()
+        fl, th_r = jax.jit(self._run_raw,
+                           in_shardings=shard,
+                           out_shardings=(shard, shard))(
+            jax.device_put(jnp.asarray(ks), shard))
+        flows = np.asarray(fl)[:K]
+        th_r = np.asarray(th_r)[:K]
+        theta = np.zeros((K, self.grid.n_bus))
+        theta[:, self.keep] = th_r
+        ok = np.isfinite(flows).all(axis=1) & np.isfinite(th_r).all(axis=1)
+        return flows, theta, ok
 
     def run(self, outages=None, batch: int | None = None):
         """Screen ``outages`` (default: every branch).  Returns

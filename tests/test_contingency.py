@@ -75,3 +75,19 @@ def test_base_theta_matches_dc_power_flow():
     ca = DCContingency(g)
     np.testing.assert_allclose(ca.base_theta(), dc_power_flow(g),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_run_sharded_matches_run():
+    """Scenario-parallel sweep over the 8-device mesh == single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    g = synthetic_grid(300, seed=4)
+    ca = DCContingency(g)
+    ks = np.arange(50)  # not a mesh-size multiple: exercises padding
+    f1, t1, ok1 = ca.run(ks)
+    mesh = Mesh(np.array(jax.devices()), ("scen",))
+    f2, t2, ok2 = ca.run_sharded(mesh, ks)
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_allclose(f1, f2, rtol=1e-10)
+    np.testing.assert_allclose(t1, t2, rtol=1e-10)
