@@ -71,6 +71,7 @@ class SparseLDLT:
         self.perm = np.asarray(perm)
         self.singular_cols = np.asarray(singular_cols)
         self._plan = None
+        self._csolve = None
 
     @property
     def is_singular(self) -> bool:
@@ -120,7 +121,9 @@ class SparseLDLT:
             bh = np.asarray(b)
             if not np.iscomplexobj(bh):
                 bh = bh.astype(np.result_type(bh.dtype, self.Lx.dtype))
-            return unsplit(jax.jit(splitc(plan))(split(bh)))
+            if self._csolve is None:  # compile once, like SparseLU._csolve
+                self._csolve = jax.jit(splitc(plan))
+            return unsplit(self._csolve(split(bh)))
         return plan(b)
 
     def solve_host(self, b):
@@ -143,7 +146,7 @@ def _ldlt_dense_fallback(n, Ap, Ai, Ax):
     import scipy.sparse as sp
 
     A = sp.csc_matrix((Ax, Ai, Ap), shape=(n, n)).toarray()
-    lu, d, p = sla.ldl(A, lower=True)
+    lu, d, p = sla.ldl(A, lower=True, hermitian=False)
     if not np.array_equal(p, np.arange(n)):
         raise ValueError(
             "dense LDL fallback pivoted (matrix needs 2x2 pivots); "

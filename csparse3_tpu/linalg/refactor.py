@@ -359,9 +359,14 @@ class RefactorPlan:
         new_leaves = [leaves[0], leaves[1], e_vals, leaves[3], r_dinv]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
-    def refactor(self, new_data) -> SolvePlan:
+    def refactor(self, new_data, with_diag: bool = False):
         """SolvePlan with fresh numeric factors (jittable, vmap-able over
-        a leading batch axis of new_data via jax.vmap)."""
+        a leading batch axis of new_data via jax.vmap).
+
+        with_diag=True also returns the U diagonal — min|u|/max|u| is the
+        KLU-style cheap rcond estimate callers use to flag (near-)singular
+        refactorizations (frozen pivots turn structural singularity into a
+        zero-or-noise pivot, NOT necessarily inf/nan output)."""
         Lx, Ux = self.factor_values(new_data)
         X = jnp.concatenate([Lx, Ux])
         l_off = X[self._l_offpos]
@@ -374,4 +379,5 @@ class RefactorPlan:
         uplan = self._retarget(
             self._utpl, self._u_slab, u_off, 1.0 / u_diag, self._u_slab[2]
         )
-        return SolvePlan(lplan, uplan, self.perm_r, self.perm_c)
+        plan = SolvePlan(lplan, uplan, self.perm_r, self.perm_c)
+        return (plan, u_diag) if with_diag else plan

@@ -13,11 +13,14 @@ compiled program:
   ``vmap`` over the per-outage value arrays batches all scenarios onto
   the MXU with zero host round-trips.
 
-* Islanding detection falls out of the arithmetic: an outage that splits
-  the grid makes the reduced B' exactly singular, the frozen-pivot
-  refactorization hits a zero pivot, and inf/nan floods that scenario's
-  solution (the SuperLU-style report-don't-raise policy) — ``ok`` is
-  just ``isfinite``.
+* Islanding detection: an outage that splits the grid makes the reduced
+  B' singular.  With frozen pivots the zero pivot is often exact
+  (inf/nan floods the scenario), but cancellation can leave round-off
+  noise instead, producing finite garbage that is backward-stable — so
+  finiteness and residual checks both miss it.  ``ok`` therefore uses
+  the KLU-style pivot-ratio estimate min|U_kk| / max|U_kk| of each
+  scenario's own refactorization (free: the diagonal is already
+  computed), thresholded at a dtype-scaled tolerance.
 
 Reference counterpart: none (the reference is the sparse engine such
 tools sit on; SURVEY §2.4).  This module is the model-family layer the
@@ -75,8 +78,11 @@ class DCContingency:
             pos = np.zeros(m, dtype=np.int64)
             pos[live] = sample_offsets(Br, rr[live], cc[live])
             delta = np.where(live, sgn * bsus, 0.0)
-            # a structurally-live entry must exist in the assembled B'
-            assert (pos[live] >= 0).all()
+            if (pos[live] < 0).any():
+                # a structurally-live entry must exist in the assembled B'
+                raise RuntimeError(
+                    "branch stamp position missing from the assembled B' "
+                    "(entry eliminated during assembly?)")
             ls.append((pos, delta))
         self._pos = np.stack([p for p, _ in ls], axis=1)      # (m, 4)
         self._delta = np.stack([d for _, d in ls], axis=1)    # (m, 4)
@@ -115,14 +121,20 @@ class DCContingency:
 
         def one(k):
             data = base.at[pos[k]].add(-delta[k])
-            th_r = rp.refactor(data)(P)
+            plan, u_diag = rp.refactor(data, with_diag=True)
+            th_r = plan(P)
+            # KLU-style singularity estimate: frozen pivots turn islanding
+            # into a zero-or-noise pivot whose SOLUTION is backward-stable
+            # garbage — only the pivot ratio exposes it
+            au = jnp.abs(u_diag)
+            rcond = jnp.min(au) / jnp.maximum(jnp.max(au), 1e-30)
             # angles at slack buses are 0; gather with a guard row
             th_pad = jnp.concatenate([th_r, jnp.zeros(1, th_r.dtype)])
             gf = jnp.where(red_f >= 0, red_f, nb)
             gt = jnp.where(red_t >= 0, red_t, nb)
             flows = binv_x * (th_pad[gf] - th_pad[gt])
             flows = flows.at[k].set(0.0)  # the outaged branch carries none
-            return flows, th_r
+            return flows, th_r, rcond
 
         def run(ks):
             return jax.vmap(one)(ks)
@@ -141,6 +153,8 @@ class DCContingency:
         if outages is None:
             outages = np.arange(self.n_branch)
         outages = np.asarray(outages, dtype=np.int64)
+        if len(outages) == 0:
+            return self._empty_result()
         axis = axis or mesh.axis_names[0]
         S = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         K = len(outages)
@@ -149,16 +163,12 @@ class DCContingency:
         shard = NamedSharding(mesh, PartitionSpec(axis))
         if self._run is None:
             self._run = self._build_run()
-        fl, th_r = jax.jit(self._run_raw,
-                           in_shardings=shard,
-                           out_shardings=(shard, shard))(
+        fl, th_r, rs = jax.jit(self._run_raw,
+                               in_shardings=shard,
+                               out_shardings=(shard, shard, shard))(
             jax.device_put(jnp.asarray(ks), shard))
-        flows = np.asarray(fl)[:K]
-        th_r = np.asarray(th_r)[:K]
-        theta = np.zeros((K, self.grid.n_bus))
-        theta[:, self.keep] = th_r
-        ok = np.isfinite(flows).all(axis=1) & np.isfinite(th_r).all(axis=1)
-        return flows, theta, ok
+        return self._assemble(outages, np.asarray(fl)[:K],
+                              np.asarray(th_r)[:K], np.asarray(rs)[:K])
 
     def run(self, outages=None, batch: int | None = None):
         """Screen ``outages`` (default: every branch).  Returns
@@ -166,17 +176,34 @@ class DCContingency:
         if outages is None:
             outages = np.arange(self.n_branch)
         outages = np.asarray(outages, dtype=np.int64)
+        if len(outages) == 0:
+            return self._empty_result()
         if self._run is None:
             self._run = self._build_run()
-        chunks_f, chunks_t = [], []
+        chunks_f, chunks_t, chunks_r = [], [], []
         step = batch or len(outages)
         for s in range(0, len(outages), step):
-            fl, th = self._run(jnp.asarray(outages[s:s + step]))
+            fl, th, rc = self._run(jnp.asarray(outages[s:s + step]))
             chunks_f.append(np.asarray(fl))
             chunks_t.append(np.asarray(th))
+            chunks_r.append(np.asarray(rc))
         flows = np.concatenate(chunks_f)
         th_r = np.concatenate(chunks_t)
+        rcond = np.concatenate(chunks_r)
+        return self._assemble(outages, flows, th_r, rcond)
+
+    def _empty_result(self):
+        return (np.zeros((0, self.n_branch)),
+                np.zeros((0, self.grid.n_bus)),
+                np.zeros(0, dtype=bool))
+
+    def _assemble(self, outages, flows, th_r, rcond):
         theta = np.zeros((len(outages), self.grid.n_bus))
         theta[:, self.keep] = th_r
-        ok = np.isfinite(flows).all(axis=1) & np.isfinite(th_r).all(axis=1)
+        # dtype-scaled pivot-ratio threshold: a noise pivot sits at
+        # O(eps) relative, healthy grid pivots orders of magnitude above
+        tol = 1000.0 * float(np.finfo(th_r.dtype).eps)
+        ok = (np.isfinite(flows).all(axis=1)
+              & np.isfinite(th_r).all(axis=1)
+              & np.isfinite(rcond) & (rcond > tol))
         return flows, theta, ok

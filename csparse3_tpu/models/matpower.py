@@ -47,10 +47,12 @@ def _matrix_blocks(text: str) -> dict:
                 rows.append([float(v) for v in vals])
         if rows:
             width = max(len(r) for r in rows)
-            arr = np.zeros((len(rows), width))
-            for i, r in enumerate(rows):
-                arr[i, : len(r)] = r
-            out[name] = arr
+            if any(len(r) != width for r in rows):
+                raise ValueError(
+                    f"mpc.{name}: ragged rows (found lengths "
+                    f"{sorted({len(r) for r in rows})}) — zero-padding "
+                    "would silently flip status columns")
+            out[name] = np.array(rows)
     for m in re.finditer(r"mpc\.(\w+)\s*=\s*([\d.eE+-]+)\s*;", text):
         out.setdefault(m.group(1), float(m.group(2)))
     return out

@@ -547,7 +547,7 @@ def csc_spgemm(m, Ap, Ai, Ax, nB, Bp, Bi, Bx):
                        sorted_=True, env=env)
 
 
-def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
+def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta, res_dt=None):
     """Native C = alpha*A + beta*B for canonical CSC operands; returns
     canonical (indptr, indices, data)."""
     env = _index_env(Ap, Ai, Bp, Bi)
@@ -559,7 +559,13 @@ def csc_axpby(n, Ap, Ai, Ax, alpha, Bp, Bi, Bx, beta):
                       for a in (Ap, Ai, Bp, Bi))
     cx = (np.iscomplexobj(Ax) or np.iscomplexobj(Bx)
           or np.iscomplexobj(alpha) or np.iscomplexobj(beta))
-    vdt = _host_vdt(cx, Ax, Bx)
+    # accumulate in the CALLER's result dtype: f32 inputs with an f64
+    # result contract (numpy-2 promotion with python scalars) must not
+    # silently round in f32
+    if res_dt is not None and not cx:
+        vdt = np.float32 if np.dtype(res_dt) == np.float32 else np.float64
+    else:
+        vdt = _host_vdt(cx, Ax, Bx)
     Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
     Bx = np.ascontiguousarray(np.asarray(Bx), dtype=vdt)
     cap = max(cap, 1)

@@ -70,7 +70,8 @@ def axpby(alpha, a: CSC, beta, b: CSC) -> CSC:
             from ..native import host_ext
 
             Cp, Ci, Cx = host_ext.csc_axpby(
-                a.n, ipa, rowsa, va, alpha, ipb, rowsb, vb, beta)
+                a.n, ipa, rowsa, va, alpha, ipb, rowsb, vb, beta,
+                res_dt=res_dt)
             idx = np.dtype(get_config().index_dtype)
             return CSC(a.m, a.n, Cp.astype(idx, copy=False), Ci.astype(idx, copy=False),
                        Cx.astype(res_dt, copy=False), canonical=True)

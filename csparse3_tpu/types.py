@@ -402,11 +402,16 @@ class CSR(_SparseBase):
         return self.t()
 
     # operators delegate to the CSC op layer (CSC is the primary format;
-    # reference csc.h delegates to csr.h the same way, with roles swapped)
+    # reference csc.h delegates to csr.h the same way, with roles swapped);
+    # CSR (op) CSR comes back as CSR
     def __matmul__(self, other):
+        if isinstance(other, CSR):
+            return (self.to_csc() @ other.to_csc()).to_csr()
         return self.to_csc() @ other
 
     def __mul__(self, other):
+        if isinstance(other, CSR):
+            return (self.to_csc() * other.to_csc()).to_csr()
         return self.to_csc() * other
 
     def __rmul__(self, other):

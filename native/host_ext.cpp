@@ -1017,8 +1017,13 @@ void spgemm_splits(int64_t nB, const I* Ap, const I* Bp, const I* Bi,
 // warm pages instead of paying the sandbox's fresh-page fault cliff on
 // every call (spawned worker threads get fresh ones, but those only
 // exist on products big enough to amortize them).
-inline std::vector<int64_t>& tls_spa_mask(int64_t m) {
+inline std::vector<int64_t>& tls_spa_mask_store() {
   static thread_local std::vector<int64_t> v;
+  return v;
+}
+
+inline std::vector<int64_t>& tls_spa_mask(int64_t m) {
+  std::vector<int64_t>& v = tls_spa_mask_store();
   if ((int64_t)v.size() < m) v.resize(m);  // value-init 0; epochs start at 1
   return v;
 }
@@ -1031,10 +1036,35 @@ inline int64_t& tls_spa_epoch() {
 }
 
 template <typename T>
-inline std::vector<T>& tls_spa_acc(int64_t m) {
+inline std::vector<T>& tls_spa_acc_store() {
   static thread_local std::vector<T> v;
+  return v;
+}
+
+template <typename T>
+inline std::vector<T>& tls_spa_acc(int64_t m) {
+  std::vector<T>& v = tls_spa_acc_store<T>();
   if ((int64_t)v.size() < m) v.resize(m);
   return v;
+}
+
+// Persistence cap: one call on a huge matrix must not pin its workspaces
+// for the thread's lifetime.  Regrown vectors value-init to 0, which can
+// never equal a future (monotone, >= 1) epoch tag.
+constexpr int64_t kTlsKeep = int64_t(1) << 22;  // 4M entries
+
+template <typename V>
+inline void tls_release_if_large(V& v) {
+  if ((int64_t)v.capacity() > kTlsKeep) {
+    V().swap(v);
+  }
+}
+
+inline void tls_spa_trim() {
+  tls_release_if_large(tls_spa_mask_store());
+  tls_release_if_large(tls_spa_acc_store<double>());
+  tls_release_if_large(tls_spa_acc_store<float>());
+  tls_release_if_large(tls_spa_acc_store<cplx>());
 }
 
 template <typename I>
@@ -1042,11 +1072,7 @@ int64_t spgemm_pass1(int64_t m, const I* Ap, const I* Ai,
                      int64_t nB, const I* Bp, const I* Bi,
                      I* Cp) {
   const int64_t imax = (int64_t)std::numeric_limits<I>::max();
-  // nnzB < 64k can't reach the 2^18-flop threading threshold unless the
-  // average A-column fanout is >= 4; the O(nnzB) flops scan is pure
-  // overhead there, and per-column splits can't help single-column skew
-  const int64_t flops =
-      Bp[nB] < (1 << 16) ? 0 : spgemm_flops<I>(nB, Ap, Bp, Bi);
+  const int64_t flops = spgemm_flops<I>(nB, Ap, Bp, Bi);
   const int nth = spgemm_nthreads(flops);
   std::vector<int64_t> bounds;
   if (nth > 1) spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
@@ -1094,8 +1120,7 @@ void spgemm_pass2(int64_t m, const I* Ap, const I* Ai,
                   const T* Ax, int64_t nB, const I* Bp,
                   const I* Bi, const T* Bx, const I* Cp,
                   I* Ci, T* Cx, bool sorted) {
-  const int64_t flops =
-      Bp[nB] < (1 << 16) ? 0 : spgemm_flops<I>(nB, Ap, Bp, Bi);
+  const int64_t flops = spgemm_flops<I>(nB, Ap, Bp, Bi);
   const int nth = spgemm_nthreads(flops);
   std::vector<int64_t> bounds;
   if (nth > 1) spgemm_splits<I>(nB, Ap, Bp, Bi, nth, bounds);
@@ -1164,7 +1189,9 @@ extern "C" {
 int64_t csc_spgemm_size(int64_t m, const int64_t* Ap, const int64_t* Ai,
                         int64_t nB, const int64_t* Bp, const int64_t* Bi,
                         int64_t* Cp) {
-  return spgemm_pass1<int64_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
+  const int64_t r = spgemm_pass1<int64_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
+  tls_spa_trim();
+  return r;
 }
 
 void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
@@ -1174,6 +1201,7 @@ void csc_spgemm_numeric_d(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           int sorted) {
   spgemm_pass2<int64_t, double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
                                 sorted != 0);
+  tls_spa_trim();
 }
 
 void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
@@ -1184,12 +1212,15 @@ void csc_spgemm_numeric_z(int64_t m, const int64_t* Ap, const int64_t* Ai,
   spgemm_pass2<int64_t, cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
                               (const cplx*)Bx, Cp, Ci, (cplx*)Cx,
                               sorted != 0);
+  tls_spa_trim();
 }
 
 int64_t csc_spgemm_size32(int64_t m, const int32_t* Ap, const int32_t* Ai,
                           int64_t nB, const int32_t* Bp, const int32_t* Bi,
                           int32_t* Cp) {
-  return spgemm_pass1<int32_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
+  const int64_t r = spgemm_pass1<int32_t>(m, Ap, Ai, nB, Bp, Bi, Cp);
+  tls_spa_trim();
+  return r;
 }
 
 void csc_spgemm_numeric_d32(int64_t m, const int32_t* Ap, const int32_t* Ai,
@@ -1199,6 +1230,7 @@ void csc_spgemm_numeric_d32(int64_t m, const int32_t* Ap, const int32_t* Ai,
                             int sorted) {
   spgemm_pass2<int32_t, double>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
                                 sorted != 0);
+  tls_spa_trim();
 }
 
 void csc_spgemm_numeric_z32(int64_t m, const int32_t* Ap, const int32_t* Ai,
@@ -1209,6 +1241,7 @@ void csc_spgemm_numeric_z32(int64_t m, const int32_t* Ap, const int32_t* Ai,
   spgemm_pass2<int32_t, cplx>(m, Ap, Ai, (const cplx*)Ax, nB, Bp, Bi,
                               (const cplx*)Bx, Cp, Ci, (cplx*)Cx,
                               sorted != 0);
+  tls_spa_trim();
 }
 
 // float32 twins: grid workloads store f32 values (SplitBandPoints etc.);
@@ -1220,6 +1253,7 @@ void csc_spgemm_numeric_s(int64_t m, const int64_t* Ap, const int64_t* Ai,
                           int sorted) {
   spgemm_pass2<int64_t, float>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
                                sorted != 0);
+  tls_spa_trim();
 }
 
 void csc_spgemm_numeric_s32(int64_t m, const int32_t* Ap, const int32_t* Ai,
@@ -1229,6 +1263,7 @@ void csc_spgemm_numeric_s32(int64_t m, const int32_t* Ap, const int32_t* Ai,
                             int sorted) {
   spgemm_pass2<int32_t, float>(m, Ap, Ai, Ax, nB, Bp, Bi, Bx, Cp, Ci, Cx,
                                sorted != 0);
+  tls_spa_trim();
 }
 
 }  // extern "C"
@@ -1262,6 +1297,19 @@ struct GramCtx {
 inline GramCtx& tls_gram_ctx() {
   static thread_local GramCtx c;
   return c;
+}
+
+// Release a huge cached context after its numeric pass: one gram call on
+// a 100M-nnz matrix must not pin O(nnz) arrays for the thread's lifetime.
+inline void gram_trim(GramCtx& g) {
+  if (g.nnz > kTlsKeep || (int64_t)g.Tp.size() > kTlsKeep) {
+    g.m = g.k = g.nnz = -1;
+    std::vector<int64_t>().swap(g.Tp);
+    std::vector<int64_t>().swap(g.Ti);
+    std::vector<int64_t>().swap(g.Tpos);
+    std::vector<int64_t>().swap(g.up_cnt);
+    std::vector<int64_t>().swap(g.bounds);
+  }
 }
 
 template <typename I>
@@ -1499,6 +1547,8 @@ int64_t csc_gram_size32(int64_t m, int64_t k, const int32_t* Ap,
     GramCtx& g = tls_gram_ctx();                                           \
     if (g.m != m || g.k != k || g.nnz != (int64_t)Ap[k]) return 0;         \
     gram_pass2<IT, VT>(m, Ap, Ai, (const VT*)Ax, g, Cp, Ci, (VT*)Cx);      \
+    gram_trim(g);                                                          \
+    tls_spa_trim();                                                        \
     return 1;                                                              \
   }
 

@@ -91,3 +91,31 @@ def test_run_sharded_matches_run():
     np.testing.assert_array_equal(ok1, ok2)
     np.testing.assert_allclose(f1, f2, rtol=1e-10)
     np.testing.assert_allclose(t1, t2, rtol=1e-10)
+
+
+def test_islanding_with_noisy_pivot():
+    """Regression: a chain grid where EVERY outage islands buses from the
+    slack, but cancellation leaves round-off pivots instead of exact
+    zeros — the solution is finite backward-stable garbage that only the
+    KLU-style pivot-ratio estimate catches."""
+    from csparse3_tpu.models.grids import PQ, Grid
+
+    n = 5
+    g = Grid(n_bus=n, f=np.array([0, 1, 2, 3]), t=np.array([1, 2, 3, 4]),
+             r=np.zeros(4), x=np.array([0.13, 0.071, 0.093, 0.17]),
+             b=np.zeros(4), tap=np.ones(4),
+             bus_type=np.array([SLACK, PQ, PQ, PQ, PQ]),
+             pd=np.array([0, 0.1, 0.1, 0.1, 0.1]), qd=np.zeros(n),
+             pg=np.zeros(n), vm0=np.ones(n), gs=np.zeros(n), bs=np.zeros(n))
+    ca = DCContingency(g)
+    flows, theta, ok = ca.run()
+    assert not ok.any(), f"islanding missed: {ok}"
+
+
+def test_empty_outage_list():
+    g = ieee14()
+    ca = DCContingency(g)
+    flows, theta, ok = ca.run(np.array([], dtype=int))
+    assert flows.shape == (0, g.n_branch)
+    assert theta.shape == (0, g.n_bus)
+    assert ok.shape == (0,)
