@@ -39,7 +39,99 @@ from ..ops import construct
 from ..ops.slicing import sample_offsets
 from .grids import SLACK, Grid
 
-__all__ = ["DCContingency"]
+__all__ = ["ACContingency", "DCContingency"]
+
+
+class ACContingency:
+    """Full-AC N-1 screening: one vmapped device Newton per outage.
+
+    Same principle as ``DCContingency`` — a branch outage changes only
+    the four Ybus stamp values (yff/yft/ytf/ytt) of that branch, never
+    the pattern — so one base-case symbolic factorization serves every
+    scenario, and each contingency runs the fully-jittable Newton
+    (``NewtonPowerFlow.run`` with per-scenario Ybus value overrides:
+    device Jacobian assembly + device refactorization per iteration)
+    entirely on device.  ``ok`` is the Newton convergence flag: an
+    islanding outage leaves no solution (no slack in the island) and the
+    mismatch — evaluated against the scenario's OWN admittances — stays
+    large.
+    """
+
+    def __init__(self, grid: Grid, tol=None, max_iter=20, **pf_kwargs):
+        from .grids import branch_admittances
+        from .powerflow import NewtonPowerFlow
+
+        if tol is None:
+            # f32 device Newton bottoms out around 1e-6 mismatch; 1e-8 is
+            # an x64-only target
+            tol = 1e-8 if jax.config.jax_enable_x64 else 3e-5
+        self.pf = NewtonPowerFlow(grid, tol=tol, max_iter=max_iter,
+                                  **pf_kwargs)
+        self.grid = grid
+        self.tol = tol
+        Y = self.pf.Y
+        f, t = np.asarray(grid.f), np.asarray(grid.t)
+        yff, yft, ytf, ytt = branch_admittances(grid)
+        pos = np.stack([
+            sample_offsets(Y, f, f), sample_offsets(Y, f, t),
+            sample_offsets(Y, t, f), sample_offsets(Y, t, t),
+        ], axis=1)
+        if (pos < 0).any():
+            raise RuntimeError("branch stamp missing from assembled Ybus")
+        self._pos = pos                                       # (m, 4)
+        self._delta = np.stack([yff, yft, ytf, ytt], axis=1)  # (m, 4)
+        self._run = None
+
+    @property
+    def n_branch(self) -> int:
+        return self.grid.n_branch
+
+    def _build_run(self):
+        pf = self.pf
+        pos = jnp.asarray(self._pos)
+        dre = jnp.asarray(np.ascontiguousarray(self._delta.real))
+        dim = jnp.asarray(np.ascontiguousarray(self._delta.imag))
+        base_r, base_i = pf._ygr, pf._ygi
+        n = self.grid.n_bus
+        vm0 = jnp.asarray(np.asarray(self.grid.vm0, dtype=np.float64))
+        va0 = jnp.zeros(n)
+
+        def one(k):
+            ygr = base_r.at[pos[k]].add(-dre[k])
+            ygi = base_i.at[pos[k]].add(-dim[k])
+            vm, va, it, res = pf.run(vm0, va0, pf._sbr, pf._sbi, ygr, ygi)
+            return vm, va, it, res
+
+        def run(ks):
+            return jax.vmap(one)(ks)
+
+        return jax.jit(run)
+
+    def run(self, outages=None, batch: int | None = None):
+        """Returns (vm (K, n), va (K, n), iters (K,), ok (K,))."""
+        if outages is None:
+            outages = np.arange(self.n_branch)
+        outages = np.asarray(outages, dtype=np.int64)
+        n = self.grid.n_bus
+        if len(outages) == 0:
+            z = np.zeros((0, n))
+            return z, z, np.zeros(0, int), np.zeros(0, bool)
+        if self._run is None:
+            self._run = self._build_run()
+        vms, vas, its, ress = [], [], [], []
+        step = batch or len(outages)
+        for s in range(0, len(outages), step):
+            vm, va, it, res = self._run(jnp.asarray(outages[s:s + step]))
+            vms.append(np.asarray(vm))
+            vas.append(np.asarray(va))
+            its.append(np.asarray(it))
+            ress.append(np.asarray(res))
+        vm = np.concatenate(vms)
+        va = np.concatenate(vas)
+        iters = np.concatenate(its)
+        res = np.concatenate(ress)
+        ok = np.isfinite(res) & (res < 10 * self.tol)
+        return vm, va, iters, ok
 
 
 class DCContingency:

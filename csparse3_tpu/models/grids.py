@@ -182,6 +182,19 @@ def synthetic_grid(n: int, seed: int = 0, chord_frac: float = 0.25) -> Grid:
     )
 
 
+def branch_admittances(grid: Grid):
+    """Per-branch pi-model admittances (yff, yft, ytf, ytt) — the four
+    Ybus stamp values of each branch (MATPOWER-standard formulas)."""
+    ys = 1.0 / (grid.r + 1j * grid.x)
+    bc2 = 1j * grid.b / 2.0
+    tap = np.asarray(grid.tap).astype(np.complex128)
+    ytt = ys + bc2
+    yff = ytt / (tap * np.conj(tap))
+    yft = -ys / np.conj(tap)
+    ytf = -ys / tap
+    return yff, yft, ytf, ytt
+
+
 def ybus(grid: Grid):
     """Complex bus admittance matrix (pi model, MATPOWER-standard formulas).
 
@@ -189,13 +202,7 @@ def ybus(grid: Grid):
     matrices (n_branch x n_bus), all CSC, built with one sort-based
     from_triplets each (the vectorized replacement for the reference's
     per-element LilMat insertion flow)."""
-    ys = 1.0 / (grid.r + 1j * grid.x)
-    bc2 = 1j * grid.b / 2.0
-    tap = grid.tap.astype(np.complex128)
-    ytt = ys + bc2
-    yff = ytt / (tap * np.conj(tap))
-    yft = -ys / np.conj(tap)
-    ytf = -ys / tap
+    yff, yft, ytf, ytt = branch_admittances(grid)
     f, t = grid.f, grid.t
     n, m = grid.n_bus, grid.n_branch
     ysh = grid.gs + 1j * grid.bs

@@ -273,11 +273,12 @@ def _jacobian(Y: CSC, v, ibus, pvpq, pq):
     dS/dVa (i,k) = j V_i (delta_ik conj(I_i) - conj(y_ik) conj(V_k))
     dS/dVm (i,k) = V_i conj(y_ik) conj(V_k)/|V_k| + delta_ik conj(I_i) V_i/|V_i|
     """
-    k = Y.nnz
-    rows = np.asarray(Y.indices[:k])
-    ip = np.asarray(Y.indptr)
+    # host path: np_arrays uses the host cache — the lazy device
+    # properties would round-trip the complex Ybus through the chip
+    # (fatal where complex transfers are unsupported, utils.xfer doc)
+    ip, rows, y = Y.np_arrays()
+    ip = np.asarray(ip)
     cols = np.repeat(np.arange(Y.n), np.diff(ip))
-    y = np.asarray(Y.data[:k])
     v = np.asarray(v)
     ibus = np.asarray(ibus)
     vm = np.abs(v)
@@ -404,7 +405,7 @@ class NewtonPowerFlow:
             self._rp = lu.refactor_plan(J0)
 
     # -- device Jacobian values (fixed pattern, split-complex real math) ----
-    def _jac_data(self, vr, vi, vm, ir, ii):
+    def _jac_data(self, vr, vi, vm, ir, ii, ygr=None, ygi=None):
         """Real/imag parts of dS/dVa and dS/dVm per Ybus entry, expanded to
         real arithmetic (no complex dtypes on device):
 
@@ -412,7 +413,8 @@ class NewtonPowerFlow:
           dVm = v_row t / |v_col|   (+ conj(I) v/|v| on diag)
         """
         rows, cols = self._y_rows, self._y_cols
-        gr, gi = self._ygr, self._ygi
+        gr = self._ygr if ygr is None else ygr
+        gi = self._ygi if ygi is None else ygi
         vrr, vri = vr[rows], vi[rows]
         vcr, vci = vr[cols], vi[cols]
         t_r = gr * vcr - gi * vci
@@ -439,36 +441,50 @@ class NewtonPowerFlow:
         ])
         return stream[self._perm]
 
-    def _mismatch_f(self, vm, va, sbr, sbi):
+    def _mismatch_f(self, vm, va, sbr, sbi, ygr=None, ygi=None):
         vr = vm * jnp.cos(va)
         vi = vm * jnp.sin(va)
-        ir, ii = self._yplan(vr, vi)
+        if ygr is None:
+            ir, ii = self._yplan(vr, vi)
+        else:
+            # per-scenario Ybus values (AC contingency): the SpMV plan has
+            # the base values baked in, so compute I = Y v from the raw
+            # entry streams instead (one fused segment-sum per part)
+            rows, cols = self._y_rows, self._y_cols
+            vcr, vci = vr[cols], vi[cols]
+            n = vm.shape[0]
+            ir = jnp.zeros(n, vr.dtype).at[rows].add(ygr * vcr - ygi * vci)
+            ii = jnp.zeros(n, vr.dtype).at[rows].add(ygr * vci + ygi * vcr)
         mis_r = vr * ir + vi * ii - sbr
         mis_i = vi * ir - vr * ii - sbi
         f = jnp.concatenate([mis_r[self._pvpq], mis_i[self._pq]])
         return f, (vr, vi), (ir, ii)
 
     @partial(jax.jit, static_argnums=0)
-    def run(self, vm0, va0, sbr, sbi):
-        """Solve to tolerance; returns (vm, va, iterations, residual)."""
+    def run(self, vm0, va0, sbr, sbi, ygr=None, ygi=None):
+        """Solve to tolerance; returns (vm, va, iterations, residual).
+        ``ygr/ygi`` override the Ybus entry values (same pattern) — the
+        AC-contingency hook: vmap over per-scenario value arrays."""
 
         def cond(state):
             vm, va, it = state
-            f, _, _ = self._mismatch_f(vm, va, sbr, sbi)
+            f, _, _ = self._mismatch_f(vm, va, sbr, sbi, ygr, ygi)
             nrm = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
             return jnp.logical_and(nrm > self.tol, it < self.max_iter)
 
         def body(state):
             vm, va, it = state
-            f, (vr, vi), (ir, ii) = self._mismatch_f(vm, va, sbr, sbi)
-            plan = self._rp.refactor(self._jac_data(vr, vi, vm, ir, ii))
+            f, (vr, vi), (ir, ii) = self._mismatch_f(vm, va, sbr, sbi,
+                                                     ygr, ygi)
+            plan = self._rp.refactor(
+                self._jac_data(vr, vi, vm, ir, ii, ygr, ygi))
             dx = plan(-f)
             va = va.at[self._pvpq].add(dx[: self._npvpq])
             vm = vm.at[self._pq].add(dx[self._npvpq :])
             return (vm, va, it + 1)
 
         vm, va, it = jax.lax.while_loop(cond, body, (vm0, va0, 0))
-        f, _, _ = self._mismatch_f(vm, va, sbr, sbi)
+        f, _, _ = self._mismatch_f(vm, va, sbr, sbi, ygr, ygi)
         res = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
         return vm, va, it, res
 

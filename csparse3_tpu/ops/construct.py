@@ -396,8 +396,7 @@ def csc_to_dia(a: CSC):
 
 def dia_to_csc(a) -> CSC:
     """DIA -> CSC (host)."""
-    offs = np.asarray(a.offsets)
-    dat = np.asarray(a.data)
+    offs, dat = a.np_arrays()
     rows_l, cols_l, vals_l = [], [], []
     for i, off in enumerate(offs):
         off = int(off)

@@ -314,8 +314,8 @@ class DIAPlan:
 
         d = a if isinstance(a, DIA) else construct.csc_to_dia(a)
         self.m, self.n = d.shape
-        offs = np.asarray(d.offsets).astype(np.int64)
-        data = np.asarray(d.data)
+        offs, data = d.np_arrays()
+        offs = offs.astype(np.int64)
         m, n = self.m, self.n
         omin, omax = int(offs.min()), int(offs.max())
         D = omax - omin + 1
@@ -409,8 +409,8 @@ class SymDIAPlan:
         self.m, self.n = d.shape
         if self.m != self.n:
             raise ValueError("SymDIAPlan requires a square matrix")
-        offs = np.asarray(d.offsets).astype(np.int64)
-        data = np.asarray(d.data)
+        offs, data = d.np_arrays()
+        offs = offs.astype(np.int64)
         m = self.m
         omax = int(offs.max(initial=0))
         omin = int(offs.min(initial=0))

@@ -580,13 +580,24 @@ class DIA(_SparseBase):
     def __init__(self, m, n, offsets, data):
         self.m = int(m)
         self.n = int(n)
-        self.offsets = _asarray(offsets)
-        self.data = _asarray(data)
+        self._np = _host_cache(offsets, data)
+        self._offsets = offsets
+        self._data = data
+
+    offsets = property(lambda self: _lazy(self, "_offsets"))
+    data = property(lambda self: _lazy(self, "_data"))
+
+    def np_arrays(self):
+        """(offsets, data) as host numpy without a device round-trip
+        when the container was built from host data."""
+        if self._np is not None:
+            return self._np
+        return np.asarray(self.offsets), np.asarray(self.data)
 
     @property
     def nnz(self) -> int:  # stored count (incl. explicit zeros in bands)
         total = 0
-        offs = np.asarray(self.offsets)
+        offs = self.np_arrays()[0]
         for off in offs:
             lo = max(0, int(off))
             hi = min(self.n, self.m + int(off))
@@ -600,7 +611,8 @@ class DIA(_SparseBase):
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.m, obj.n = aux
-        obj.offsets, obj.data = children
+        obj._offsets, obj._data = children
+        obj._np = None
         return obj
 
     def __repr__(self):
@@ -612,10 +624,8 @@ class DIA(_SparseBase):
     def to_scipy(self):
         import scipy.sparse as sp
 
-        return sp.dia_matrix(
-            (np.asarray(self.data), np.asarray(self.offsets)),
-            shape=self.shape,
-        )
+        offs, dat = self.np_arrays()
+        return sp.dia_matrix((dat, offs), shape=self.shape)
 
     @classmethod
     def from_scipy(cls, a) -> "DIA":

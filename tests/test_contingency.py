@@ -119,3 +119,42 @@ def test_empty_outage_list():
     assert flows.shape == (0, g.n_branch)
     assert theta.shape == (0, g.n_bus)
     assert ok.shape == (0,)
+
+
+def test_ac_contingency_vs_host_newton():
+    """Full-AC N-1 vs per-outage host Newton on IEEE14 (subset of
+    outages; the vmapped device sweep must match the sequential oracle
+    and flag the islanding branch as not-ok)."""
+    from csparse3_tpu.models.contingency import ACContingency
+    from csparse3_tpu.models.grids import Grid
+    from csparse3_tpu.models.powerflow import newton_raphson
+
+    g = ieee14()
+    ca = ACContingency(g)
+    ks = np.arange(g.n_branch)
+    vm, va, iters, ok = ca.run(ks)
+    import warnings
+
+    mismatches = 0
+    for i, k in enumerate(ks):
+        mask = np.ones(g.n_branch, bool)
+        mask[k] = False
+        g2 = Grid(n_bus=g.n_bus, f=g.f[mask], t=g.t[mask], r=g.r[mask],
+                  x=g.x[mask], b=g.b[mask], tap=np.asarray(g.tap)[mask],
+                  bus_type=g.bus_type, pd=g.pd, qd=g.qd, pg=g.pg,
+                  vm0=g.vm0, gs=g.gs, bs=g.bs)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            try:
+                vmr, var, itr, resr = newton_raphson(g2)
+                conv = resr < 1e-8
+            except Exception:
+                conv = False
+        if conv != bool(ok[i]):
+            mismatches += 1
+        elif conv:
+            err = max(np.abs(vm[i] - vmr).max(), np.abs(va[i] - var).max())
+            if err > 1e-6:
+                mismatches += 1
+    assert mismatches == 0
+    assert (~ok).sum() >= 1  # the radial branch islands bus 8
