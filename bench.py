@@ -620,7 +620,7 @@ def main():
     else:
         extra["contingency_error"] = str(a.get("error", a.get("rel_err", "?")))
 
-    gm = _sub("spgemm", 3)
+    gm = _sub("spgemm", 9)
     if "error" not in gm:
         extra["spgemm_out_nnz"] = gm["out_nnz"]
         extra["spgemm_nnz_per_s"] = gm["out_nnz"] / gm["t"]

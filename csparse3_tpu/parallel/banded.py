@@ -146,6 +146,11 @@ class DistBandedLU:
         Vb = np.zeros((Pn, s, s), dtype=wide)
 
         interior = ch_r == ch_c
+        # chunk-diagonal blocks of a symmetric matrix are symmetric: the
+        # per-chunk Thomas factors can take the sym fast path
+        from ..linalg.banded import is_symmetric_csc
+
+        sym = is_symmetric_csc(n, Ap, Ai, Ax) if ap.canonical else False
         for p in range(Pn):
             sel = interior & (ch_c == p)
             r_l = rows[sel] - p * m * s
@@ -153,7 +158,7 @@ class DistBandedLU:
             n_loc = min(n - p * m * s, m * s)
             n_loc = max(n_loc, 0)
             eh, si, uh = _thomas_factor(
-                n_loc, s, m, r_l, c_l, vals[sel], dtype, wide)
+                n_loc, s, m, r_l, c_l, vals[sel], dtype, wide, sym=sym)
             ehat[p * m:(p + 1) * m] = eh
             sinv[p * m:(p + 1) * m] = si
             uhat[p * m:(p + 1) * m] = uh
