@@ -126,15 +126,12 @@ def _tridiag_blocks(n, Ap, Ai, Ax, s, dtype):
 
 def is_symmetric_csc(n, Ap, Ai, Ax) -> bool:
     """Exact structural+numeric symmetry of a canonical CSC (host)."""
-    try:
-        from ..native import host_ext
+    from ..ops.construct import transpose
+    from ..types import CSC
 
-        Tp, Ti, Tx = host_ext.csc_transpose(n, n, Ap, Ai, Ax)
-    except ImportError:
-        import scipy.sparse as sp
-
-        T = sp.csc_matrix((Ax, Ai, Ap), shape=(n, n)).T.tocsc()
-        Tp, Ti, Tx = T.indptr, T.indices, T.data
+    t = transpose(CSC(n, n, np.asarray(Ap), np.asarray(Ai),
+                      np.asarray(Ax), canonical=True))
+    Tp, Ti, Tx = t.np_arrays()
     return (np.array_equal(np.asarray(Tp, dtype=np.int64),
                            np.asarray(Ap, dtype=np.int64))
             and np.array_equal(np.asarray(Ti, dtype=np.int64),

@@ -1,4 +1,19 @@
 from .contingency import ACContingency, DCContingency  # noqa: F401
-from .grids import Grid, connectivity, ieee14, synthetic_grid, ybus  # noqa: F401
+from .grids import (  # noqa: F401
+    Grid,
+    branch_admittances,
+    connectivity,
+    ieee14,
+    rcm_grid,
+    reorder_grid,
+    synthetic_grid,
+    ybus,
+)
 from .matpower import load_case, parse_case  # noqa: F401
-from .powerflow import FastDecoupled, dc_power_flow, newton_raphson, sbus  # noqa: F401
+from .powerflow import (  # noqa: F401
+    FastDecoupled,
+    NewtonPowerFlow,
+    dc_power_flow,
+    newton_raphson,
+    sbus,
+)

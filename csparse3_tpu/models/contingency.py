@@ -42,6 +42,17 @@ from .grids import SLACK, Grid
 __all__ = ["ACContingency", "DCContingency"]
 
 
+def _check_outages(outages, n_branch):
+    """Validate + normalize an outage index list (XLA gathers would
+    silently CLAMP out-of-range scenario ids to the last branch)."""
+    outages = np.asarray(outages, dtype=np.int64)
+    if outages.size and ((outages < 0) | (outages >= n_branch)).any():
+        bad = outages[(outages < 0) | (outages >= n_branch)]
+        raise IndexError(
+            f"outage ids out of range [0, {n_branch}): {bad[:5]}...")
+    return outages
+
+
 class ACContingency:
     """Full-AC N-1 screening: one vmapped device Newton per outage.
 
@@ -81,6 +92,7 @@ class ACContingency:
         self._pos = pos                                       # (m, 4)
         self._delta = np.stack([yff, yft, ytf, ytt], axis=1)  # (m, 4)
         self._run = None
+        self._run_raw = None
 
     @property
     def n_branch(self) -> int:
@@ -105,13 +117,45 @@ class ACContingency:
         def run(ks):
             return jax.vmap(one)(ks)
 
+        self._run_raw = run
         return jax.jit(run)
+
+    def run_sharded(self, mesh, outages=None, axis: str | None = None):
+        """Distribute the AC sweep over a mesh axis (scenario data
+        parallel, zero communication — same scheme as
+        DCContingency.run_sharded).  Pads to a mesh-size multiple with
+        repeats of the first outage and drops them on return."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if outages is None:
+            outages = np.arange(self.n_branch)
+        outages = _check_outages(outages, self.n_branch)
+        n = self.grid.n_bus
+        if len(outages) == 0:
+            z = np.zeros((0, n))
+            return z, z, np.zeros(0, int), np.zeros(0, bool)
+        axis = axis or mesh.axis_names[0]
+        S = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        K = len(outages)
+        pad = (-K) % S
+        ks = np.concatenate([outages, np.full(pad, outages[0])])
+        shard = NamedSharding(mesh, PartitionSpec(axis))
+        if self._run is None:
+            self._run = self._build_run()
+        vm, va, it, res = jax.jit(
+            self._run_raw, in_shardings=shard,
+            out_shardings=(shard, shard, shard, shard),
+        )(jax.device_put(jnp.asarray(ks), shard))
+        vm, va = np.asarray(vm)[:K], np.asarray(va)[:K]
+        iters, res = np.asarray(it)[:K], np.asarray(res)[:K]
+        ok = np.isfinite(res) & (res < 10 * self.tol)
+        return vm, va, iters, ok
 
     def run(self, outages=None, batch: int | None = None):
         """Returns (vm (K, n), va (K, n), iters (K,), ok (K,))."""
         if outages is None:
             outages = np.arange(self.n_branch)
-        outages = np.asarray(outages, dtype=np.int64)
+        outages = _check_outages(outages, self.n_branch)
         n = self.grid.n_bus
         if len(outages) == 0:
             z = np.zeros((0, n))
@@ -244,7 +288,7 @@ class DCContingency:
 
         if outages is None:
             outages = np.arange(self.n_branch)
-        outages = np.asarray(outages, dtype=np.int64)
+        outages = _check_outages(outages, self.n_branch)
         if len(outages) == 0:
             return self._empty_result()
         axis = axis or mesh.axis_names[0]
@@ -267,7 +311,7 @@ class DCContingency:
         (flows (K, n_branch), theta (K, n_bus), ok (K,))."""
         if outages is None:
             outages = np.arange(self.n_branch)
-        outages = np.asarray(outages, dtype=np.int64)
+        outages = _check_outages(outages, self.n_branch)
         if len(outages) == 0:
             return self._empty_result()
         if self._run is None:

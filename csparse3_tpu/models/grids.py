@@ -27,7 +27,8 @@ import numpy as np
 from ..ops import construct
 from ..types import CSC
 
-__all__ = ["Grid", "ieee14", "synthetic_grid", "ybus", "connectivity", "reorder_grid", "rcm_grid"]
+__all__ = ["Grid", "branch_admittances", "ieee14", "synthetic_grid",
+           "ybus", "connectivity", "reorder_grid", "rcm_grid"]
 
 # bus types
 PQ, PV, SLACK = 0, 1, 2

@@ -229,7 +229,7 @@ def dia_spmv(a, x):
 
     assert isinstance(a, DIA)
     x = jnp.asarray(x)
-    offs = np.asarray(a.offsets)
+    offs = a.np_arrays()[0]
     y = jnp.zeros((a.m,), dtype=jnp.result_type(a.data.dtype, x.dtype))
     for i, off in enumerate(offs):
         off = int(off)

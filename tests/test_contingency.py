@@ -1,6 +1,7 @@
 """N-1 DC contingency screening vs per-outage scipy solves."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
@@ -158,3 +159,31 @@ def test_ac_contingency_vs_host_newton():
                 mismatches += 1
     assert mismatches == 0
     assert (~ok).sum() >= 1  # the radial branch islands bus 8
+
+
+def test_outage_bounds_checked():
+    g = ieee14()
+    ca = DCContingency(g)
+    with pytest.raises(IndexError):
+        ca.run(np.array([g.n_branch]))  # 1-based ids would clamp silently
+    from csparse3_tpu.models.contingency import ACContingency
+
+    with pytest.raises(IndexError):
+        ACContingency(g).run(np.array([-1]))
+
+
+def test_ac_run_sharded_matches_run():
+    import jax
+    from jax.sharding import Mesh
+
+    from csparse3_tpu.models.contingency import ACContingency
+
+    g = ieee14()
+    ca = ACContingency(g)
+    ks = np.arange(10)  # not a mesh multiple: exercises padding
+    v1, a1, i1, ok1 = ca.run(ks)
+    mesh = Mesh(np.array(jax.devices()), ("scen",))
+    v2, a2, i2, ok2 = ca.run_sharded(mesh, ks)
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-12)
+    np.testing.assert_allclose(a1, a2, rtol=1e-12)
