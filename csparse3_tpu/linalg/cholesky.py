@@ -26,7 +26,8 @@ import numpy as np
 
 from ..types import CSC
 from . import ordering as ordering_mod
-from .trisolve import TriSolvePlan, lsolve, ltsolve
+from .trisolve import (DenseTailTriSolvePlan, TriSolvePlan,
+                       choose_dense_tail, lsolve, ltsolve)
 
 __all__ = ["LDLTSolvePlan", "SparseLDLT", "ldlt"]
 
@@ -82,10 +83,19 @@ class SparseLDLT:
         return len(self.Lx)
 
     def solve_plan(self) -> LDLTSolvePlan:
-        """Device solve plan (level-scheduled sweeps; jittable)."""
+        """Device solve plan (level-scheduled sweeps with the same
+        dense-tail hybrid as SparseLU.solve_plan: the trailing separator
+        clique solves as blocked MXU matmuls; jittable)."""
         if self._plan is None:
-            lplan = TriSolvePlan(self.n, self.Lp, self.Li, self.Lx,
-                                 lower=True)
+            def factor_plan(Fp, Fi, Fx, lower):
+                if not self.is_singular:
+                    tail = choose_dense_tail(self.n, Fp, Fi)
+                    if tail:
+                        return DenseTailTriSolvePlan(
+                            self.n, Fp, Fi, Fx, lower=lower, tail=tail)
+                return TriSolvePlan(self.n, Fp, Fi, Fx, lower=lower)
+
+            lplan = factor_plan(self.Lp, self.Li, self.Lx, True)
             # L^T in CSC form = the upper-triangular transpose
             from ..ops import construct
 
@@ -93,7 +103,7 @@ class SparseLDLT:
                 CSC(self.n, self.n, self.Lp, self.Li, self.Lx,
                     canonical=True))
             ip, rows, vals = lt.np_arrays()
-            ltplan = TriSolvePlan(self.n, ip, rows, vals, lower=False)
+            ltplan = factor_plan(ip, rows, vals, False)
             with np.errstate(divide="ignore"):
                 dinv = np.where(self.D != 0, 1.0 / self.D, np.inf)
             # dinv/perm stay HOST numpy: complex state then embeds as HLO
