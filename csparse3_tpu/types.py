@@ -566,6 +566,80 @@ class BSR(_SparseBase):
 
         return construct.bsr_to_dense(self)
 
+    def to_csc(self) -> "CSC":
+        """Expand blocks to entries (explicit zeros inside blocks are
+        dropped) — the bsr_tocsr idiom (reference: bsr.h:722)."""
+        from .ops import construct
+
+        nbk = self.nnz_blocks
+        ip = np.asarray(self.indptr)
+        bcols = np.asarray(self.indices)[:nbk]
+        dat = np.asarray(self.data)[:nbk]
+        brows = np.repeat(np.arange(self.mb, dtype=np.int64), np.diff(ip))
+        R, C = self.R, self.C
+        shape3 = (len(brows), R, C)
+        rr = np.broadcast_to(
+            brows[:, None, None] * R + np.arange(R)[None, :, None],
+            shape3).ravel()
+        cc = np.broadcast_to(
+            bcols[:, None, None].astype(np.int64) * C
+            + np.arange(C)[None, None, :], shape3).ravel()
+        vv = dat.ravel()
+        keep = (vv != 0) & (rr < self.m) & (cc < self.n)
+        return construct.from_triplets(rr[keep], cc[keep], vv[keep],
+                                       (self.m, self.n))
+
+    def t(self) -> "BSR":
+        """Block transpose (reference: bsr_transpose, bsr.h:212)."""
+        return self.to_csc().t().to_bsr(block=(self.C, self.R))
+
+    @property
+    def T(self) -> "BSR":
+        return self.t()
+
+    # binops round-trip through the canonical CSC layer (the reference's
+    # bsr binop kernels, bsr.h:349-694, serve the same semantics)
+    def __add__(self, other):
+        other = other.to_csc() if isinstance(other, BSR) else other
+        return (self.to_csc() + other).to_bsr(block=(self.R, self.C))
+
+    def __sub__(self, other):
+        other = other.to_csc() if isinstance(other, BSR) else other
+        return (self.to_csc() - other).to_bsr(block=(self.R, self.C))
+
+    def __neg__(self):
+        return BSR(self.m, self.n, self.R, self.C, self.indptr,
+                   self.indices, -self.data, self.nnz_blocks)
+
+    def __matmul__(self, other):
+        if isinstance(other, BSR):
+            return (self.to_csc() @ other.to_csc()).to_bsr(
+                block=(self.R, other.C))
+        from .ops import matvec
+
+        return matvec.bsr_spmm(self, jnp.asarray(other))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        nbk = self.nnz_blocks
+        return sp.bsr_matrix(
+            (np.asarray(self.data)[:nbk],
+             np.asarray(self.indices)[:nbk], np.asarray(self.indptr)),
+            shape=(self.mb * self.R, self.nb * self.C),
+        )[: self.m, : self.n].tobsr(blocksize=(self.R, self.C)) \
+            if (self.m % self.R or self.n % self.C) else sp.bsr_matrix(
+            (np.asarray(self.data)[:nbk],
+             np.asarray(self.indices)[:nbk], np.asarray(self.indptr)),
+            shape=(self.m, self.n))
+
+    @classmethod
+    def from_scipy(cls, a) -> "BSR":
+        a = a.tobsr()
+        R, C = a.blocksize
+        return cls(a.shape[0], a.shape[1], R, C, a.indptr, a.indices,
+                   a.data)
+
 
 @jax.tree_util.register_pytree_node_class
 class DIA(_SparseBase):

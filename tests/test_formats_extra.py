@@ -136,3 +136,41 @@ def test_coo_from_scipy():
     a = sp.random(12, 9, density=0.3, random_state=np.random.RandomState(7))
     c = cst.COO.from_scipy(a)
     np.testing.assert_allclose(np.asarray(c.to_csc().todense()), a.toarray())
+
+
+def test_bsr_surface_vs_scipy():
+    """BSR transpose/binops/products round-trip through the CSC layer
+    (reference kernels: bsr.h transpose :212, binops :349-694, tobsr
+    csr.h:204)."""
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(0)
+    a = sp.random(24, 16, density=0.3, random_state=rng).tobsr(
+        blocksize=(4, 4))
+    b = sp.random(24, 16, density=0.3, random_state=rng).tobsr(
+        blocksize=(4, 4))
+    A, B = cst.BSR.from_scipy(a), cst.BSR.from_scipy(b)
+    np.testing.assert_allclose(np.asarray(A.to_csc().todense()),
+                               a.toarray())
+    t = A.t()
+    assert isinstance(t, cst.BSR)
+    np.testing.assert_allclose(np.asarray(t.todense()), a.T.toarray())
+    s = A + B
+    assert isinstance(s, cst.BSR)
+    np.testing.assert_allclose(np.asarray(s.todense()), (a + b).toarray(),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray((A - B).todense()),
+                               (a - b).toarray(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray((-A).todense()), -a.toarray())
+    c = sp.random(16, 20, density=0.3, random_state=rng).tobsr(
+        blocksize=(4, 4))
+    C = cst.BSR.from_scipy(c)
+    p = A @ C
+    assert isinstance(p, cst.BSR)
+    np.testing.assert_allclose(np.asarray(p.todense()), (a @ c).toarray(),
+                               rtol=1e-10)
+    x = np.ones((16, 3))
+    # dense product runs on device (MXU precision at the session dtype)
+    np.testing.assert_allclose(np.asarray(A @ x)[:24], a @ x,
+                               rtol=0, atol=1e-4 * np.abs(a.data).sum())
+    np.testing.assert_allclose(A.to_scipy().toarray(), a.toarray())
