@@ -2,8 +2,13 @@
 
 Runs everything on a virtual 8-device CPU mesh (the TPU-world answer to
 "test multi-node without a cluster", SURVEY §4) with x64 enabled so scipy
-float64 oracles compare exactly.  Set CSPARSE3_TPU_TEST_PLATFORM=tpu to run
-the suite against real hardware.
+float64 oracles compare exactly.
+
+CSPARSE3_TPU_TEST_PLATFORM=tpu runs against real hardware WITHOUT x64
+(f64/c128 lowering is unsupported or buggy on the dev chip: c128 scatter
+fails the x64_rewriter RET_CHECK, and x64 astype recurses inside pallas
+plan building) — only tests with f32-appropriate tolerances pass there;
+exact-f64 oracle tests are CPU-mesh-only by design.
 """
 
 import os
@@ -16,7 +21,7 @@ import jax  # noqa: E402
 
 if os.environ.get("CSPARSE3_TPU_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

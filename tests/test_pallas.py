@@ -10,13 +10,18 @@ from csparse3_tpu.kernels import bsr_spmm_pallas
 
 from conftest import rand_sp
 
+# x64 CPU: exact-f64 oracles; real chip (CSPARSE3_TPU_TEST_PLATFORM=tpu,
+# x64 off): f32 MXU precision
+_RTOL = 1e-12 if jax.config.jax_enable_x64 else 2e-2
+_ATOL = 1e-13 if jax.config.jax_enable_x64 else 1e-2
+
 
 def test_bsr_spmm_pallas_matches_scipy():
     a = rand_sp(300, 260, 0.03, seed=0)
     B = cst.CSC.from_scipy(a).to_bsr(block=(8, 128))
     X = np.random.RandomState(1).rand(260, 200)
     Y = bsr_spmm_pallas(B, jnp.asarray(X), tk=128)
-    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=_RTOL, atol=_ATOL)
 
 
 def test_bsr_spmm_pallas_vector_and_ragged_k():
@@ -24,10 +29,10 @@ def test_bsr_spmm_pallas_vector_and_ragged_k():
     B = cst.CSC.from_scipy(a).to_bsr(block=(8, 128))
     x = np.random.RandomState(3).rand(90)
     y = bsr_spmm_pallas(B, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=_RTOL, atol=_ATOL)
     X = np.random.RandomState(4).rand(90, 37)  # k not a tile multiple
     Y = bsr_spmm_pallas(B, jnp.asarray(X), tk=128)
-    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=_RTOL, atol=_ATOL)
 
 
 def test_bsr_spmm_pallas_empty_block_rows():
@@ -39,7 +44,7 @@ def test_bsr_spmm_pallas_empty_block_rows():
     X = np.random.RandomState(5).rand(300, 8)
     Y = bsr_spmm_pallas(B, jnp.asarray(X))
     ref = A.to_scipy() @ X
-    np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Y), ref, rtol=_RTOL, atol=_ATOL)
 
 
 def test_pallas_backend_dispatch():
@@ -47,7 +52,7 @@ def test_pallas_backend_dispatch():
     A = cst.CSC.from_scipy(a)
     X = np.random.RandomState(7).rand(120, 9)
     Y = cst.spmm(A, jnp.asarray(X), backend="pallas")
-    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Y), a @ X, rtol=_RTOL, atol=_ATOL)
 
 
 # ---------------------------------------------------------------------------
