@@ -10,7 +10,14 @@ from .trisolve import (  # noqa: F401
     usolve,
     utsolve,
 )
-from .iterative import bicgstab, cg, gmres, ilu0_prec, jacobi_prec  # noqa: F401
+from .iterative import (  # noqa: F401
+    bicgstab,
+    cg,
+    gmres,
+    ilu0_prec,
+    jacobi_prec,
+    refine,
+)
 from .refactor import RefactorPlan  # noqa: F401
 from .banded import (  # noqa: F401
     BandedLU,

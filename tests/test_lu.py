@@ -300,3 +300,31 @@ class TestSupernodal:
         lu = cla.splu(a)  # auto: sn declines on the zero pivot -> gp
         assert lu.method == "gp"
         assert lu.is_singular
+
+
+def test_iterative_refinement_f32_factor():
+    """linalg.refine: f32 factor + f64 residual reaches f64 accuracy in
+    one sweep (the LAPACK dsgesv mixed-precision pattern)."""
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.linalg import BandedLU, refine
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    n = 1000
+    g = synthetic_grid(n, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    a = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                cst.diags(np.full(n, 3.0)))
+    plan = BandedLU(a, dtype=np.float32)
+    yplan = cst.SpMVPlan(a)
+    b = np.random.RandomState(0).rand(n)
+    xr = spla.spsolve(a.to_scipy().tocsc(), b)
+    x0 = np.asarray(plan(b.astype(np.float32))).astype(np.float64)
+    x1 = np.asarray(refine(plan, yplan, b, iters=1))
+    e0 = np.abs(x0 - xr).max() / np.abs(xr).max()
+    e1 = np.abs(x1 - xr).max() / np.abs(xr).max()
+    assert e0 > 1e-9          # the f32 factor alone is f32-accurate
+    assert e1 < 1e-12, e1     # one sweep recovers f64
