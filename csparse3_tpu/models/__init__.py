@@ -10,6 +10,7 @@ from .grids import (  # noqa: F401
     ybus,
 )
 from .matpower import load_case, parse_case  # noqa: F401
+from .sensitivity import LinearContingency, lodf, ptdf  # noqa: F401
 from .powerflow import (  # noqa: F401
     FastDecoupled,
     NewtonPowerFlow,
