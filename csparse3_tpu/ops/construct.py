@@ -55,6 +55,8 @@ __all__ = [
     "random_csc",
     "csc_to_dia",
     "dia_to_csc",
+    "csc_to_bcoo",
+    "bcoo_to_csc",
 ]
 
 
@@ -415,3 +417,36 @@ def dia_to_csc(a) -> CSC:
         np.concatenate(rows_l), np.concatenate(cols_l),
         np.concatenate(vals_l), (a.m, a.n),
     )
+
+
+def csc_to_bcoo(a: CSC):
+    """CSC -> ``jax.experimental.sparse.BCOO`` (ecosystem interop).
+
+    The BCOO carries (nnz, 2) [row, col] indices; ours are column-major
+    sorted, so ``indices_sorted`` (a row-major property) stays False.
+    """
+    from jax.experimental import sparse as jsparse
+
+    ip, rows, vals = a.np_arrays()
+    cols = expand_indptr_np(ip)
+    idx = np.stack([rows.astype(np.int32), cols.astype(np.int32)], axis=1)
+    return jsparse.BCOO(
+        (jnp.asarray(vals), jnp.asarray(idx)),
+        shape=a.shape,
+        indices_sorted=False,
+        unique_indices=bool(a.canonical),
+    )
+
+
+def bcoo_to_csc(b) -> CSC:
+    """``jax.experimental.sparse.BCOO`` (2-D, unbatched) -> CSC."""
+    if b.ndim != 2 or b.n_batch or b.n_dense:
+        raise ValueError("only plain 2-D element-sparse BCOO is supported")
+    idx = np.asarray(b.indices)
+    dat = np.asarray(b.data)
+    # BCOO pads with out-of-range or duplicate rows beyond actual nse in
+    # some transforms; from_triplets canonicalizes and sums duplicates,
+    # matching BCOO's duplicate semantics.
+    m, n = b.shape
+    live = (idx[:, 0] < m) & (idx[:, 1] < n)
+    return from_triplets(idx[live, 0], idx[live, 1], dat[live], (m, n))

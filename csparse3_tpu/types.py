@@ -176,6 +176,19 @@ class CSC(_SparseBase):
         ip, ix, dt = self.np_arrays()
         return sp.csc_matrix((dt, ix, ip), shape=self.shape)
 
+    def to_bcoo(self):
+        """Convert to ``jax.experimental.sparse.BCOO`` (ecosystem interop)."""
+        from .ops import construct
+
+        return construct.csc_to_bcoo(self)
+
+    @classmethod
+    def from_bcoo(cls, b) -> "CSC":
+        """Adopt a 2-D ``jax.experimental.sparse.BCOO``."""
+        from .ops import construct
+
+        return construct.bcoo_to_csc(b)
+
     @classmethod
     def from_scipy(cls, a) -> "CSC":
         """Zero-copy adoption of a scipy CSC (reference: csc.py:541-553)."""

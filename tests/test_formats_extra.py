@@ -174,3 +174,44 @@ def test_bsr_surface_vs_scipy():
     np.testing.assert_allclose(np.asarray(A @ x)[:24], a @ x,
                                rtol=0, atol=1e-4 * np.abs(a.data).sum())
     np.testing.assert_allclose(A.to_scipy().toarray(), a.toarray())
+
+
+# ---------------------------------------------------------------------------
+# jax.experimental.sparse BCOO interop
+# ---------------------------------------------------------------------------
+
+def test_bcoo_roundtrip():
+    import scipy.sparse as sp
+    from csparse3_tpu import CSC
+
+    rng = np.random.RandomState(3)
+    s = sp.random(40, 23, density=0.1, random_state=rng, format="csc")
+    a = CSC.from_scipy(s)
+    b = a.to_bcoo()
+    assert b.shape == (40, 23)
+    np.testing.assert_allclose(np.asarray(b.todense()), s.toarray())
+    back = CSC.from_bcoo(b)
+    assert (back.to_scipy() != s).nnz == 0
+
+
+def test_bcoo_matvec_agrees():
+    import scipy.sparse as sp
+    from csparse3_tpu import CSC
+
+    rng = np.random.RandomState(4)
+    s = sp.random(30, 30, density=0.15, random_state=rng, format="csc")
+    a = CSC.from_scipy(s)
+    x = rng.randn(30)
+    y = a.to_bcoo() @ jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(y), s @ x, atol=1e-10)
+
+
+def test_bcoo_rejects_batched():
+    import jax.experimental.sparse as jsparse
+    import pytest
+    from csparse3_tpu import CSC
+
+    dense = jnp.zeros((2, 3, 3)).at[:, 0, 0].set(1.0)
+    b = jsparse.BCOO.fromdense(dense, n_batch=1)
+    with pytest.raises(ValueError):
+        CSC.from_bcoo(b)
