@@ -9,8 +9,15 @@ from .grids import (  # noqa: F401
     synthetic_grid,
     ybus,
 )
+from .estimation import (  # noqa: F401
+    DCMeasurements,
+    SEResult,
+    dc_state_estimation,
+    largest_normalized_residual,
+)
 from .matpower import load_case, parse_case  # noqa: F401
 from .sensitivity import LinearContingency, lodf, ptdf  # noqa: F401
+from .shortcircuit import SCResult, short_circuit, zbus_columns  # noqa: F401
 from .powerflow import (  # noqa: F401
     FastDecoupled,
     NewtonPowerFlow,
