@@ -483,6 +483,50 @@ def run_contingency(reps: int):
             "correct": rel < 5e-4}
 
 
+def run_lodf(reps: int):
+    """LODF-based linear N-1 screening (models/sensitivity.py): one-time
+    PTDF build (chunked multi-RHS device solves) then screening as a
+    broadcasted axpy.  Verified against a host-differential rebuild of
+    outage 0 (the same oracle as run_contingency)."""
+    import time as _time
+
+    import numpy as np
+
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.models.sensitivity import LinearContingency
+
+    g = synthetic_grid(2000, seed=4)
+    t0 = _time.perf_counter()
+    lin = LinearContingency(g)
+    build_s = _time.perf_counter() - t0
+    K = lin.n_branch
+    ks = np.arange(K)
+    flows, ok = lin.run(ks)  # compile + warm
+    t0 = _time.perf_counter()
+    flows, ok = lin.run(ks)
+    t = _time.perf_counter() - t0
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.models.grids import SLACK
+
+    n = g.n_bus
+    keep = np.flatnonzero(np.asarray(g.bus_type) != SLACK)
+    P = (np.asarray(g.pg) - np.asarray(g.pd))[keep]
+    mask = np.ones(g.n_branch, bool); mask[0] = False
+    f, t_, x = g.f[mask], g.t[mask], g.x[mask]
+    bv = 1.0 / x
+    rows = np.concatenate([f, t_, f, t_]); cols = np.concatenate([t_, f, f, t_])
+    vals = np.concatenate([-bv, -bv, bv, bv])
+    B = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()[keep][:, keep]
+    th = np.zeros(n); th[keep] = spla.spsolve(B.tocsc(), P)
+    ref = (th[g.f] - th[g.t]) / g.x; ref[0] = 0.0
+    rel = float(np.abs(flows[0] - ref).max() / max(np.abs(ref).max(), 1e-12))
+    return {"t": t, "K": int(K), "build_s": build_s, "ok": int(ok.sum()),
+            "rel_err": rel, "correct": rel < 5e-4}
+
+
 _KINDS = {
     "spmv": run_spmv,
     "solve10k": run_solve10k,
@@ -497,6 +541,7 @@ _KINDS = {
     "refactor": run_refactor,
     "spgemm": run_spgemm,
     "contingency": run_contingency,
+    "lodf": run_lodf,
     "scipy_spmv": run_scipy_spmv,
 }
 
@@ -619,6 +664,13 @@ def main():
         extra["contingency_per_s"] = a["K"] / a["t"]
     else:
         extra["contingency_error"] = str(a.get("error", a.get("rel_err", "?")))
+
+    a = _sub("lodf", 1, timeout=600)
+    if a.get("correct") and a.get("t"):
+        extra["lodf_per_s"] = a["K"] / a["t"]
+        extra["lodf_build_s"] = a["build_s"]
+    else:
+        extra["lodf_error"] = str(a.get("error", a.get("rel_err", "?")))
 
     gm = _sub("spgemm", 9)
     if "error" not in gm:
