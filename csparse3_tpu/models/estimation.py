@@ -115,7 +115,7 @@ def _jacobian(grid: Grid, meas: DCMeasurements, keep, red):
         if bi.min() < 0 or bi.max() >= grid.n_bus:
             raise IndexError("injection measurement bus index out of range")
         # row for bus i: B'(i, :) = sum_l b_l (e_f - e_t)(e_f - e_t)^T row i
-        for bus_end, oth_end, in_f in ((f, t, True), (t, f, False)):
+        for bus_end, oth_end in ((f, t), (t, f)):
             # branches whose `bus_end` is a measured bus contribute
             sel = np.flatnonzero(np.isin(bus_end, bi))
             if not len(sel):
@@ -205,6 +205,8 @@ def largest_normalized_residual(res: SEResult, chunk: int = 1024):
     ``r_j / sqrt(Omega_jj)`` with ``Omega = R - H G^{-1} H^T`` (the
     residual covariance).  Returns ``(j_max, rN)`` — the suspect
     measurement index and the full normalized-residual vector.
+    ``j_max`` is -1 when every measurement is critical (all rN zero):
+    there is no validated suspect in that case.
 
     ``diag(H G^{-1} H^T)`` is one chunked multi-RHS solve against the
     already-computed LDL^T factor (device), never a dense inverse.
@@ -232,4 +234,8 @@ def largest_normalized_residual(res: SEResult, chunk: int = 1024):
     ok = omega > 1e-10 / w
     rN = np.zeros(M)
     rN[ok] = np.abs(res.residuals[ok]) / np.sqrt(omega[ok])
+    # all measurements critical (every rN == 0): no suspect — argmax would
+    # silently present measurement 0 with no signal behind it
+    if not rN.size or rN.max() == 0.0:
+        return -1, rN
     return int(np.argmax(rN)), rN

@@ -194,6 +194,9 @@ class LinearContingency:
         if outages is None:
             outages = np.arange(self.n_branch)
         outages = np.asarray(outages, dtype=np.int64)
+        if outages.size and (outages.min() < 0
+                             or outages.max() >= self.n_branch):
+            raise IndexError("outage branch index out of range")
         if len(outages) == 0:
             return np.zeros((0, self.n_branch)), np.zeros(0, dtype=bool)
         axis = axis or mesh.axis_names[0]

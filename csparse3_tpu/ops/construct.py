@@ -448,5 +448,5 @@ def bcoo_to_csc(b) -> CSC:
     # some transforms; from_triplets canonicalizes and sums duplicates,
     # matching BCOO's duplicate semantics.
     m, n = b.shape
-    live = (idx[:, 0] < m) & (idx[:, 1] < n)
+    live = ((idx >= 0).all(axis=1) & (idx[:, 0] < m) & (idx[:, 1] < n))
     return from_triplets(idx[live, 0], idx[live, 1], dat[live], (m, n))
