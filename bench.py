@@ -239,9 +239,25 @@ def run_solve100k(reps: int, n: int = 100_000):
     vals = np.concatenate([bp, bp, -bp, -bp])
     A = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
                 cst.diags(np.full(n, 3.0)))
+    # factor ON DEVICE (symbolic-only host work); oracle below is an
+    # independent host-side f64 block-Thomas factorization
+    from csparse3_tpu.linalg.banded import BandedRefactor
+
     t0 = time.perf_counter()
-    plan = BandedLU(A)
-    t_factor = time.perf_counter() - t0
+    rf = BandedRefactor.from_matrix(A)
+    t_sym = time.perf_counter() - t0
+    data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    fac = jax.jit(rf.__call__).lower(data).compile()
+    t_factor = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        plan = fac(data)
+        # slice download: forces the scan far enough for a wall bound
+        np.asarray(plan._sinv[-1, :1])
+        dt = time.perf_counter() - t0
+        t_factor = dt if t_factor is None else min(t_factor, dt)
+    t_factor += t_sym
+    host_plan = BandedLU(A)  # untimed: the verification oracle
     RHS = jnp.asarray(
         np.random.RandomState(1).rand(n, B).astype(np.float32))
 
@@ -273,10 +289,11 @@ def run_solve100k(reps: int, n: int = 100_000):
         d = (t2 - t1) / (reps - R1)
         if d > 0 and (per is None or d < per):
             per = d
-    # host twin on the verified columns (same f32 factor stacks)
+    # host twin on the verified columns (independent f64-recurrence
+    # host factorization of the same matrix)
     xh = np.asarray(RHS[:, :VER], dtype=np.float64)
     for _ in range(reps):
-        xh = plan.solve_host(xh)
+        xh = host_plan.solve_host(xh)
         xh = xh / np.abs(xh).max(axis=0, keepdims=True)
     err = float(np.max(np.abs(got - xh)) / max(1e-30, np.abs(xh).max()))
     return {
@@ -291,6 +308,83 @@ def run_solve100k(reps: int, n: int = 100_000):
         # f32 device sweeps vs f64-math-on-f32-factors host twin drift
         "correct": bool(err < 5e-2),
     }
+
+
+def run_factor_device(reps: int, n: int = 10_000):
+    """On-chip numeric LU factorization (VERDICT r2 item 1): block-Thomas
+    recurrence as a jitted lax.scan of batched (s,s) inverses + MXU
+    matmuls — host does symbolic only (ordering + block index map).
+    Measured as a delta between two chained-factorization lengths; the
+    final factorization solves one RHS whose downloaded value gates
+    correctness (residual; fwd error vs scipy.splu at 10k)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.linalg.banded import BandedRefactor
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    g = synthetic_grid(n, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    A = cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                cst.diags(np.full(n, 3.0)))
+    t0 = time.perf_counter()
+    rf = BandedRefactor.from_matrix(A)
+    t_sym = time.perf_counter() - t0
+    data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    b = jnp.asarray(np.random.RandomState(2).rand(n).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chain(p, d0, b, R):
+        def body(d, _):
+            lu = p(d)
+            s = 1.0 + 1e-9 * jnp.max(jnp.abs(lu._sinv))
+            return d0 * s, None
+
+        o, _ = jax.lax.scan(body, d0, None, length=R)
+        return p(o)(b)  # final factor + solve comes back for verification
+
+    R1 = max(reps // 6, 1)
+    t0 = time.perf_counter()
+    c1 = chain.lower(rf, data, b, R1).compile()
+    c2 = chain.lower(rf, data, b, reps).compile()
+    t_compile = time.perf_counter() - t0
+    per = None
+    got = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(rf, data, b))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = np.asarray(c2(rf, data, b))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    As = A.to_scipy().tocsc()
+    bh = np.asarray(b, np.float64)
+    x = np.asarray(got, np.float64)
+    res = float(np.linalg.norm(As @ x - bh) / np.linalg.norm(bh))
+    out = {"t": (per or -1.0) * reps, "per": per, "reps": reps, "n": n,
+           "bw": int(rf._aux[3]), "s": int(rf._aux[1]),
+           "sym_s": t_sym, "compile_s": t_compile,
+           "rel_err": res, "correct": bool(res < 1e-3)}
+    if n <= 20_000:
+        import scipy.sparse.linalg as spla
+
+        xr = spla.spsolve(As, bh)
+        out["fwd_err"] = float(np.abs(x - xr).max() / np.abs(xr).max())
+        out["correct"] = bool(out["correct"] and out["fwd_err"] < 1e-2)
+    return out
+
+
+def run_factor100k(reps: int):
+    return run_factor_device(reps, n=100_000)
 
 
 def run_refactor(reps: int):
@@ -368,12 +462,22 @@ def run_spgemm(reps: int):
     reps = max(reps, 1)
     # min-of-trials on BOTH sides: the sandboxed host's page-fault noise
     # dwarfs the op itself, and min is the honest statistic for it
-    G = cst.gram(C)  # warm (fused A@A.T kernel — the framework's API for this flow)
+    G = cst.gram(C)  # caches the symbolic phase on the container
+    # warm = numeric revalue over the cached pattern (values-only pass;
+    # the production shape: topology fixed, values change per iteration)
     t = min(_timed(lambda: cst.gram(C)) for _ in range(reps))
+    # cold = fresh container, full symbolic + numeric every call
+    ip_, ix_, dt_ = C.np_arrays()
+    t_cold = min(
+        _timed(lambda: cst.gram(cst.CSC(C.m, C.n, ip_, ix_, dt_)))
+        for _ in range(reps))
     cs = C.to_scipy()
     (cs @ cs.T).tocsc()  # warm
     t_sp = min(_timed(lambda: (cs @ cs.T).tocsc()) for _ in range(reps))
-    out = {"t": t, "out_nnz": int(G.nnz), "scipy_t": t_sp, "reps": reps}
+    # exactness gate vs scipy
+    err = abs(G.to_scipy().copy() - (cs @ cs.T).tocsc()).max()
+    out = {"t": t, "t_cold": t_cold, "out_nnz": int(G.nnz), "scipy_t": t_sp,
+           "reps": reps, "correct": bool(err < 1e-9)}
 
     # BASELINE config-2 second case: random 10k x 10k CSC, 0.1% density,
     # C = A @ A.T (plus the add/transpose the config bundles with it)
@@ -385,12 +489,80 @@ def run_spgemm(reps: int):
     G10 = cst.gram(A10)  # warm
     t10 = min(_timed(lambda: cst.add(cst.gram(A10), A10).t())
               for _ in range(reps))
+    ip_, ix_, dt_ = A10.np_arrays()
+    t10_cold = min(
+        _timed(lambda: cst.add(
+            cst.gram(cst.CSC(A10.m, A10.n, ip_, ix_, dt_)), A10).t())
+        for _ in range(reps))
     a10csc = a10.tocsc()
     t10_sp = min(_timed(lambda: ((a10csc @ a10csc.T) + a10csc).T.tocsc())
                  for _ in range(reps))
-    out.update({"t_10k": t10, "out_nnz_10k": int(G10.nnz),
-                "scipy_t_10k": t10_sp})
+    err10 = abs(cst.gram(A10).to_scipy().copy()
+                - (a10csc @ a10csc.T).tocsc()).max()
+    out.update({"t_10k": t10, "t_10k_cold": t10_cold,
+                "out_nnz_10k": int(G10.nnz), "scipy_t_10k": t10_sp,
+                "correct": bool(out["correct"] and err10 < 1e-9)})
     return out
+
+
+def run_spgemm_tpu(reps: int):
+    """On-chip SpGEMM measured by the chained-delta method: the two-phase
+    plan numeric (gather+segment-sum, csr_matmat_pass2 analogue) and the
+    full ESC (expand+sort+compress all on device).  Recorded honestly:
+    arbitrary-index gathers and sorts on this chip run near-scalar, so
+    these trail the host kernels at config-2 sizes — the device path
+    exists for jit-resident pipelines, not for eager host products."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.models.grids import connectivity, synthetic_grid
+    from csparse3_tpu.ops import construct
+    from csparse3_tpu.ops.spgemm import spgemm_symbolic
+
+    g2 = synthetic_grid(3000, seed=1)
+    Cf, Ct = connectivity(g2)
+    A = Cf - Ct
+    B = construct.transpose(A)
+    plan = spgemm_symbolic(A, B)
+    a0 = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    b0 = jnp.asarray(np.asarray(B.np_arrays()[2], np.float32))
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(a, b, R):
+        def body(c, _):
+            Cc = plan.numeric(c, b)
+            s = 1.0 + 1e-12 * jnp.max(jnp.abs(Cc.data))
+            return a * s, None
+
+        o, _ = jax.lax.scan(body, a, None, length=R)
+        return plan.numeric(o, b).data
+
+    R1 = max(reps // 8, 1)
+    c1 = chain.lower(a0, b0, R1).compile()
+    c2 = chain.lower(a0, b0, reps).compile()
+    per = None
+    out = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(a0, b0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = np.asarray(c2(a0, b0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    tpl = plan.template
+    got = cst.CSC(A.m, A.m, tpl.np_arrays()[0], tpl.np_arrays()[1],
+                  out).to_scipy().copy()
+    As = A.to_scipy()
+    ref = (As @ As.T).tocsc()
+    rel = float(abs(got - ref).max() / max(abs(ref).max(), 1e-30))
+    return {"per": per, "reps": reps, "out_nnz": int(plan.out_nnz),
+            "rel_err": rel, "correct": bool(rel < 1e-3)}
 
 
 def run_scipy_spmv(reps: int, n: int = 200_000):
@@ -538,8 +710,11 @@ _KINDS = {
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "solve100k": run_solve100k,
+    "factor10k": run_factor_device,
+    "factor100k": run_factor100k,
     "refactor": run_refactor,
     "spgemm": run_spgemm,
+    "spgemm_tpu": run_spgemm_tpu,
     "contingency": run_contingency,
     "lodf": run_lodf,
     "scipy_spmv": run_scipy_spmv,
@@ -649,6 +824,22 @@ def main():
     else:
         extra["solve100k_error"] = str(a.get("error", "no delta"))
 
+    for kind, tag in (("factor10k", "factor10k"), ("factor100k",
+                                                   "factor100k")):
+        a = _sub(kind, 12, timeout=900, attempts=2)
+        per_f = a.get("per")
+        if a.get("correct") is False:
+            per_f = None
+            a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')},"
+                                  f" fwd={a.get('fwd_err')})")
+        if per_f:
+            extra[f"{tag}_device_s"] = per_f
+            extra[f"{tag}_sym_s"] = a["sym_s"]
+            if "fwd_err" in a:
+                extra[f"{tag}_fwd_err"] = a["fwd_err"]
+        else:
+            extra[f"{tag}_error"] = str(a.get("error", "no delta"))
+
     a = _sub("refactor", 60)
     per_rf = a.get("per")
     if a.get("correct") is False:
@@ -673,14 +864,26 @@ def main():
         extra["lodf_error"] = str(a.get("error", a.get("rel_err", "?")))
 
     gm = _sub("spgemm", 9)
-    if "error" not in gm:
+    if "error" not in gm and gm.get("correct", True):
         extra["spgemm_out_nnz"] = gm["out_nnz"]
         extra["spgemm_nnz_per_s"] = gm["out_nnz"] / gm["t"]
+        extra["spgemm_cold_nnz_per_s"] = gm["out_nnz"] / gm["t_cold"]
         extra["spgemm_scipy_nnz_per_s"] = gm["out_nnz"] / gm["scipy_t"]
         if "t_10k" in gm:  # BASELINE config-2: random 10k, 0.1% density
             extra["spgemm10k_nnz_per_s"] = gm["out_nnz_10k"] / gm["t_10k"]
+            extra["spgemm10k_cold_nnz_per_s"] = (
+                gm["out_nnz_10k"] / gm["t_10k_cold"])
             extra["spgemm10k_scipy_nnz_per_s"] = (
                 gm["out_nnz_10k"] / gm["scipy_t_10k"])
+    elif "error" in gm:
+        extra["spgemm_error"] = str(gm["error"])
+
+    gm = _sub("spgemm_tpu", 64, timeout=600)
+    if gm.get("correct") and gm.get("per"):
+        extra["spgemm_tpu_nnz_per_s"] = gm["out_nnz"] / gm["per"]
+    else:
+        extra["spgemm_tpu_error"] = str(gm.get("error",
+                                               gm.get("rel_err", "?")))
 
     nnz = extra.get("spmv_nnz", 0)
     spmv_nnz_s = nnz / extra["spmv_t_s"] if "spmv_t_s" in extra else 0.0

@@ -70,6 +70,8 @@ from .kernels.dia_pallas import PallasDIA, SplitPallasDIA  # noqa: F401
 from .ops.norms import norm  # noqa: F401
 from .ops.reductions import diagonal, sum_duplicates  # noqa: F401
 from .ops.spgemm import SpGEMMPlan, gram, spgemm, spgemm_symbolic  # noqa: F401
+from .ops.spgemm_device import ESCSpGEMM, gram_device, spgemm_device  # noqa: F401
+from .ops.bsr_ops import BSRMatMatPlan, bsr_add, bsr_matmat, bsr_transpose  # noqa: F401
 from .ops.stacking import block, hstack, pack_4_by_4, vstack  # noqa: F401
 from .types import BSR, COO, CSC, CSR, DIA  # noqa: F401
 from .utils.misc import dense_to_str, slice_to_range  # noqa: F401

@@ -627,6 +627,82 @@ def csc_gram(m, k, Ap, Ai, Ax):
     return Cp, Ci[:nnz], Cx[:nnz]
 
 
+_lib.csc_gram_symbolic_take.restype = ctypes.c_int64
+_lib.csc_gram_symbolic_take.argtypes = [_i64p, _i64p, _i64p, _i64p]
+
+
+def csc_gram_cached(m, k, Ap, Ai, Ax):
+    """Like ``csc_gram`` but also returns the symbolic state (A^T pattern,
+    output pattern, upper counts) for later ``csc_gram_revalue`` calls —
+    the SpGEMM analogue of KLU refactorization: pattern fixed, values new.
+    Returns (Cp, Ci, Cx, sym)."""
+    env = _index_env(Ap, Ai)
+    idt, sfx, ptr = env
+    Ap = np.ascontiguousarray(Ap, dtype=idt)
+    Ai = np.ascontiguousarray(Ai, dtype=idt)
+    cx = np.iscomplexobj(Ax)
+    vdt = _host_vdt(cx, Ax)
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    Cp = np.empty(m + 1, dtype=idt)
+    nnz = getattr(_lib, "csc_gram_size" + sfx)(m, k, ptr(Ap), ptr(Ai), ptr(Cp))
+    if nnz < 0:
+        raise OverflowError(
+            "gram output nnz exceeds index dtype (reference guard: "
+            "sparsetools csr.h:591-596); use int64 indices")
+    annz = int(Ap[k])
+    Tp = np.empty(m + 1, dtype=np.int64)
+    Ti = np.empty(max(annz, 1), dtype=np.int64)
+    Tpos = np.empty(max(annz, 1), dtype=np.int64)
+    up_cnt = np.empty(max(m, 1), dtype=np.int64)
+    got = _lib.csc_gram_symbolic_take(
+        Tp.ctypes.data_as(_i64p), Ti.ctypes.data_as(_i64p),
+        Tpos.ctypes.data_as(_i64p), up_cnt.ctypes.data_as(_i64p))
+    if got != annz:
+        raise RuntimeError("gram symbolic context unavailable")
+    Ci = np.empty(max(nnz, 1), dtype=idt)
+    Cx = np.empty(max(nnz, 1), dtype=vdt)
+    fn = getattr(_lib, ("csc_gram_numeric_z" if cx else
+                        "csc_gram_numeric_s" if vdt == np.float32 else
+                        "csc_gram_numeric_d") + sfx)
+    ok = fn(m, k, ptr(Ap), ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+            ptr(Cp), ptr(Ci), Cx.ctypes.data_as(ctypes.c_void_p))
+    if not ok:
+        raise RuntimeError("gram numeric pass lost its symbolic context")
+    sym = {"Tp": Tp, "Ti": Ti, "Tpos": Tpos, "up_cnt": up_cnt,
+           "Cp": Cp, "Ci": Ci, "nnz": int(nnz), "m": int(m), "k": int(k),
+           "annz": annz, "env": (idt, sfx), "vdt": vdt}
+    return Cp, Ci[:nnz], Cx[:nnz], sym
+
+
+def csc_gram_revalue(Ap, Ai, Ax, sym):
+    """Numeric-only gram over a cached symbolic (``csc_gram_cached``):
+    no pattern discovery, no sorting — accumulate + gather + mirror.
+    Returns the new Cx (pattern arrays live in ``sym``)."""
+    idt, sfx = sym["env"]
+    m = sym["m"]
+    Ap = np.ascontiguousarray(Ap, dtype=idt)
+    Ai = np.ascontiguousarray(Ai, dtype=idt)
+    cx = np.iscomplexobj(Ax)
+    vdt = _host_vdt(cx, Ax)
+    if vdt != sym["vdt"]:
+        raise ValueError("value dtype changed since the symbolic pass")
+    Ax = np.ascontiguousarray(np.asarray(Ax), dtype=vdt)
+    if int(Ap[sym["k"]]) != sym["annz"]:
+        raise ValueError("pattern changed since the symbolic pass")
+    Cx = np.empty(max(sym["nnz"], 1), dtype=vdt)
+    ptr = _index_env(Ap, Ai)[2]
+    fn = getattr(_lib, ("csc_gram_revalue_z" if cx else
+                        "csc_gram_revalue_s" if vdt == np.float32 else
+                        "csc_gram_revalue_d") + sfx)
+    fn(m, ptr(Ap), ptr(Ai), Ax.ctypes.data_as(ctypes.c_void_p),
+       sym["Tp"].ctypes.data_as(_i64p), sym["Ti"].ctypes.data_as(_i64p),
+       sym["Tpos"].ctypes.data_as(_i64p),
+       sym["up_cnt"].ctypes.data_as(_i64p),
+       ptr(sym["Cp"]), ptr(sym["Ci"]),
+       Cx.ctypes.data_as(ctypes.c_void_p))
+    return Cx
+
+
 def csc_transpose(m, n, Ap, Ai, Ax):
     """Native A^T for CSC (count-scatter, O(nnz)); returns canonical CSC
     arrays of the (n, m) transpose."""

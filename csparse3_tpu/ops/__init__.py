@@ -1,1 +1,1 @@
-from . import arithmetic, construct, graph, matvec, norms, reductions, slicing, spgemm, stacking  # noqa: F401
+from . import arithmetic, bsr_ops, construct, graph, matvec, norms, reductions, slicing, spgemm, spgemm_device, stacking  # noqa: F401

@@ -176,16 +176,14 @@ _CMP = {
 
 
 def compare(a: CSC, b: CSC, op: str) -> CSC:
-    """Sparse comparison with nonzero-result pattern
-    (reference: csr_ne_csr .. csr_ge_csr, csr.h:912-956).  Note le/ge/eq over
-    the implicit-zero region is dense by definition; like scipy we only
-    materialize results on the union pattern."""
+    """Sparse comparison with nonzero-result pattern and BOOL data
+    (reference: csr_ne_csr .. csr_ge_csr, csr.h:912-956, instantiated
+    with bool output via INSTANTIATE_BOOL_OUT, sparsetools.i:214).  Note
+    le/ge/eq over the implicit-zero region is dense by definition; like
+    scipy we only materialize results on the union pattern."""
     if op not in _CMP:
         raise ValueError(f"unknown comparison {op!r}")
-    f = _CMP[op]
-    return _union_binop(
-        a, b, lambda x, y: f(x, y).astype(get_config().value_dtype), drop_zeros=True
-    )
+    return _union_binop(a, b, _CMP[op], drop_zeros=True)
 
 
 def equal(a: CSC, b: CSC) -> bool:

@@ -286,13 +286,24 @@ def canonicalize(a: CSC, *, sum_duplicates=True) -> CSC:
 def csc_to_dense(a: CSC):
     k = a.nnz
     cols = expand_indptr(a.indptr, k)
-    out = jnp.zeros((a.m, a.n), dtype=a.data.dtype)
+    dt = a.data.dtype
+    if dt == jnp.bool_:
+        # XLA scatter-add rejects bool; accumulate in uint8 ("or")
+        out = jnp.zeros((a.m, a.n), dtype=jnp.uint8)
+        return out.at[a.indices[:k], cols].add(
+            a.data[:k].astype(jnp.uint8)).astype(jnp.bool_)
+    out = jnp.zeros((a.m, a.n), dtype=dt)
     return out.at[a.indices[:k], cols].add(a.data[:k])
 
 
 def coo_to_dense(a: COO):
     k = a.nnz
-    out = jnp.zeros((a.m, a.n), dtype=a.data.dtype)
+    dt = a.data.dtype
+    if dt == jnp.bool_:
+        out = jnp.zeros((a.m, a.n), dtype=jnp.uint8)
+        return out.at[a.rows[:k], a.cols[:k]].add(
+            a.data[:k].astype(jnp.uint8)).astype(jnp.bool_)
+    out = jnp.zeros((a.m, a.n), dtype=dt)
     return out.at[a.rows[:k], a.cols[:k]].add(a.data[:k])
 
 

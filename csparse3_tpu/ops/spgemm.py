@@ -101,7 +101,12 @@ def gram(a: CSC) -> CSC:
 
     Native path: one fused C++ kernel (lower-half Gustavson + sorted
     mirror) — no explicit transpose, half the accumulate/sort work of
-    the general SpGEMM.  Falls back to spgemm(a, a.T)."""
+    the general SpGEMM.  The symbolic phase (A^T pattern, output
+    pattern) caches ON the container: repeated grams of the same
+    immutable matrix re-run only the numeric pass (``csc_gram_revalue``
+    — the SpGEMM analogue of KLU refactorization; containers are
+    immutable, reference csc.py:288-292, so the cache cannot go stale).
+    Falls back to spgemm(a, a.T)."""
     a = a if a.canonical else construct.canonicalize(a)
     try:
         from ..native import host_ext
@@ -109,8 +114,19 @@ def gram(a: CSC) -> CSC:
         ip, rows, vals = a.np_arrays()
         if np.issubdtype(vals.dtype, np.floating) or \
                 np.issubdtype(vals.dtype, np.complexfloating):
-            Cp, Ci, Cx = host_ext.csc_gram(a.m, a.n, ip, rows, vals)
             idx = np.dtype(get_config().index_dtype)
+            sym = getattr(a, "_gram_sym", None)
+            if sym is not None and sym["vdt"] == host_ext._host_vdt(
+                    np.iscomplexobj(vals), vals):
+                Cx = host_ext.csc_gram_revalue(ip, rows, vals, sym)
+                return CSC(a.m, a.m,
+                           sym["Cp"].astype(idx, copy=False),
+                           sym["Ci"][:sym["nnz"]].astype(idx, copy=False),
+                           Cx[:sym["nnz"]].astype(vals.dtype, copy=False),
+                           canonical=True)
+            Cp, Ci, Cx, sym = host_ext.csc_gram_cached(
+                a.m, a.n, ip, rows, vals)
+            a._gram_sym = sym
             return CSC(a.m, a.m, Cp.astype(idx, copy=False),
                        Ci.astype(idx, copy=False),
                        Cx.astype(vals.dtype, copy=False), canonical=True)

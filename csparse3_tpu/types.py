@@ -603,20 +603,32 @@ class BSR(_SparseBase):
                                        (self.m, self.n))
 
     def t(self) -> "BSR":
-        """Block transpose (reference: bsr_transpose, bsr.h:212)."""
-        return self.to_csc().t().to_bsr(block=(self.C, self.R))
+        """Block transpose (reference: bsr_transpose, bsr.h:212) — block
+        permutation + one batched swapaxes, no CSC round-trip."""
+        from .ops import bsr_ops
+
+        return bsr_ops.bsr_transpose(self)
 
     @property
     def T(self) -> "BSR":
         return self.t()
 
-    # binops round-trip through the canonical CSC layer (the reference's
-    # bsr binop kernels, bsr.h:349-694, serve the same semantics)
+    # native block binops (reference kernels: bsr.h:349-694) — union
+    # block pattern on host, blockwise device arithmetic; CSC fallback
+    # only for mixed-format operands
     def __add__(self, other):
+        from .ops import bsr_ops
+
+        if isinstance(other, BSR) and (self.R, self.C) == (other.R, other.C):
+            return bsr_ops.bsr_add(self, other)
         other = other.to_csc() if isinstance(other, BSR) else other
         return (self.to_csc() + other).to_bsr(block=(self.R, self.C))
 
     def __sub__(self, other):
+        from .ops import bsr_ops
+
+        if isinstance(other, BSR) and (self.R, self.C) == (other.R, other.C):
+            return bsr_ops.bsr_add(self, other, beta=-1.0)
         other = other.to_csc() if isinstance(other, BSR) else other
         return (self.to_csc() - other).to_bsr(block=(self.R, self.C))
 
@@ -624,8 +636,19 @@ class BSR(_SparseBase):
         return BSR(self.m, self.n, self.R, self.C, self.indptr,
                    self.indices, -self.data, self.nnz_blocks)
 
+    def multiply(self, other) -> "BSR":
+        """Elementwise product (reference: bsr_elmul_bsr, bsr.h:593+)."""
+        from .ops import bsr_ops
+
+        return bsr_ops.bsr_binop(self, other, jnp.multiply)
+
     def __matmul__(self, other):
         if isinstance(other, BSR):
+            if self.C == other.R:
+                # block-Gustavson on the MXU (bsr.h:249-316 blueprint)
+                from .ops import bsr_ops
+
+                return bsr_ops.bsr_matmat(self, other)
             return (self.to_csc() @ other.to_csc()).to_bsr(
                 block=(self.R, other.C))
         from .ops import matvec

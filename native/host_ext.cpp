@@ -1560,6 +1560,130 @@ GRAM_NUMERIC(csc_gram_numeric_s32, int32_t, float, )
 GRAM_NUMERIC(csc_gram_numeric_z32, int32_t, cplx, )
 #undef GRAM_NUMERIC
 
+// Export the symbolic context so callers can hold it and re-evaluate
+// values later (gram_revalue below): copies T pattern + up_cnt out of
+// the thread-local ctx right after a size pass.
+int64_t csc_gram_symbolic_take(int64_t* Tp, int64_t* Ti, int64_t* Tpos,
+                               int64_t* up_cnt) {
+  GramCtx& g = tls_gram_ctx();
+  if (g.m < 0) return -1;
+  std::memcpy(Tp, g.Tp.data(), g.Tp.size() * sizeof(int64_t));
+  std::memcpy(Ti, g.Ti.data(), g.Ti.size() * sizeof(int64_t));
+  std::memcpy(Tpos, g.Tpos.data(), g.Tpos.size() * sizeof(int64_t));
+  std::memcpy(up_cnt, g.up_cnt.data(), g.up_cnt.size() * sizeof(int64_t));
+  return g.nnz;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// gram re-evaluation: numeric-only pass over a CACHED symbolic pattern
+// (the SpGEMM analogue of KLU refactorization — same pattern, new values).
+// No mask-driven pattern discovery, no per-column sort, no Ci writes:
+// accumulate into the SPA, gather by the known sorted Ci, mirror values.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename I, typename T>
+void gram_revalue_impl(int64_t m, const I* Ap, const I* Ai, const T* Ax,
+                       const int64_t* Tp, const int64_t* Ti,
+                       const int64_t* Tpos, const int64_t* up_cnt,
+                       const I* Cp, const I* Ci, T* Cx) {
+  int64_t flops = 0;
+  const int64_t nnzT = Tp[m];
+  for (int64_t p = 0; p < nnzT; ++p) {
+    const int64_t kk = Ti[p];
+    flops += Ap[kk + 1] - Ap[kk];
+  }
+  const int nth = spgemm_nthreads(flops);
+
+  auto value_range = [&](int64_t j0, int64_t j1) {
+    std::vector<int64_t>& mask = tls_spa_mask(m);
+    int64_t& epoch = tls_spa_epoch();
+    std::vector<T>& acc = tls_spa_acc<T>(m);
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t tag = ++epoch;
+      for (int64_t pb = Tp[j]; pb < Tp[j + 1]; ++pb) {
+        const int64_t kk = Ti[pb];
+        const T bv = Ax[Tpos[pb]];
+        for (int64_t pa = Ap[kk]; pa < Ap[kk + 1]; ++pa) {
+          const int64_t r = Ai[pa];
+          if (r < j) continue;
+          if (mask[r] != tag) {
+            mask[r] = tag;
+            acc[r] = Ax[pa] * bv;
+          } else {
+            acc[r] += Ax[pa] * bv;
+          }
+        }
+      }
+      const int64_t lo = Cp[j] + up_cnt[j];
+      for (int64_t p = lo; p < Cp[j + 1]; ++p) Cx[p] = acc[Ci[p]];
+    }
+  };
+
+  if (nth == 1) {
+    value_range(0, m);
+  } else {
+    // flop-balanced column split (same scheme as gram_splits)
+    std::vector<int64_t> cum(m + 1, 0);
+    for (int64_t j = 0; j < m; ++j) {
+      int64_t f = 0;
+      for (int64_t p = Tp[j]; p < Tp[j + 1]; ++p) {
+        const int64_t kk = Ti[p];
+        f += Ap[kk + 1] - Ap[kk];
+      }
+      cum[j + 1] = cum[j] + f;
+    }
+    std::vector<int64_t> bounds(nth + 1, 0);
+    bounds[nth] = m;
+    for (int t = 1; t < nth; ++t) {
+      const int64_t want = flops * t / nth;
+      bounds[t] = std::lower_bound(cum.begin(), cum.end(), want) -
+                  cum.begin() - 1;
+      if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+      if (bounds[t] > m) bounds[t] = m;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nth; ++t)
+      ts.emplace_back(value_range, bounds[t], bounds[t + 1]);
+    for (auto& th : ts) th.join();
+  }
+
+  // values-only mirror (ordering identical to gram_pass2's mirror)
+  std::vector<int64_t> fill(m);
+  for (int64_t r = 0; r < m; ++r) fill[r] = Cp[r];
+  for (int64_t j = 0; j < m; ++j) {
+    for (int64_t p = Cp[j] + up_cnt[j]; p < Cp[j + 1]; ++p) {
+      const int64_t r = Ci[p];
+      if (r == j) continue;
+      Cx[fill[r]++] = Cx[p];
+    }
+  }
+  tls_spa_trim();
+}
+
+}  // namespace
+
+extern "C" {
+
+#define GRAM_REVALUE(name, IT, VT)                                         \
+  void name(int64_t m, const IT* Ap, const IT* Ai, const void* Ax,         \
+            const int64_t* Tp, const int64_t* Ti, const int64_t* Tpos,     \
+            const int64_t* up_cnt, const IT* Cp, const IT* Ci, void* Cx) { \
+    gram_revalue_impl<IT, VT>(m, Ap, Ai, (const VT*)Ax, Tp, Ti, Tpos,      \
+                              up_cnt, Cp, Ci, (VT*)Cx);                    \
+  }
+
+GRAM_REVALUE(csc_gram_revalue_d, int64_t, double)
+GRAM_REVALUE(csc_gram_revalue_s, int64_t, float)
+GRAM_REVALUE(csc_gram_revalue_z, int64_t, cplx)
+GRAM_REVALUE(csc_gram_revalue_d32, int32_t, double)
+GRAM_REVALUE(csc_gram_revalue_s32, int32_t, float)
+GRAM_REVALUE(csc_gram_revalue_z32, int32_t, cplx)
+#undef GRAM_REVALUE
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

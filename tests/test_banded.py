@@ -211,3 +211,66 @@ class TestBandedLUComplex:
         solve = jax.jit(splitc(plan))
         xd = unsplit(np.asarray(solve(split(b.astype(np.complex64)))))
         np.testing.assert_allclose(xd, xs, rtol=2e-4, atol=1e-6)
+
+
+class TestFactorDevice:
+    """BandedLU.factor_device: numeric factorization entirely on device
+    (symbolic-only host work) — the on-chip LU path (VERDICT r2 item 1)."""
+
+    def test_matches_scipy(self):
+        A = _grid_system(800, seed=7)
+        lu, rf = BandedLU.factor_device(A)
+        b = np.random.RandomState(3).rand(800).astype(np.float32)
+        x = np.asarray(lu(jnp.asarray(b)), dtype=np.float64)
+        As = A.to_scipy().tocsc()
+        xref = spla.spsolve(As, b.astype(np.float64))
+        assert np.abs(x - xref).max() / np.abs(xref).max() < 1e-4
+        res = np.linalg.norm(As @ x - b) / np.linalg.norm(b)
+        assert res < 1e-5
+
+    def test_matches_host_constructor(self):
+        A = _grid_system(500, seed=8)
+        lu_d, _ = BandedLU.factor_device(A)
+        lu_h = BandedLU(A)
+        assert lu_d.s == lu_h.s and lu_d.bw == lu_h.bw
+        b = np.random.RandomState(4).rand(500, 5).astype(np.float32)
+        xd = np.asarray(lu_d(jnp.asarray(b)))
+        xh = np.asarray(lu_h(jnp.asarray(b)))
+        np.testing.assert_allclose(xd, xh, rtol=2e-4, atol=2e-5)
+
+    def test_refactor_handle_reuse(self):
+        A = _grid_system(400, seed=9)
+        lu, rf = BandedLU.factor_device(A)
+        # same pattern, scaled values: x solves (2A) x = b  =>  2x solves
+        data2 = jnp.asarray(np.asarray(A.np_arrays()[2]) * 2.0)
+        lu2 = jax.jit(rf)(data2)
+        b = np.random.RandomState(5).rand(400).astype(np.float32)
+        x2 = np.asarray(lu2(jnp.asarray(b)), dtype=np.float64)
+        As = A.to_scipy().tocsc()
+        res = np.linalg.norm(2.0 * (As @ x2) - b) / np.linalg.norm(b)
+        assert res < 1e-5
+
+    def test_from_matrix_inside_jit_chain(self):
+        from csparse3_tpu.linalg.banded import BandedRefactor
+
+        A = _grid_system(300, seed=10)
+        rf = BandedRefactor.from_matrix(A)
+        data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+        b = jnp.asarray(np.random.RandomState(6).rand(300).astype(np.float32))
+
+        @jax.jit
+        def fs(d, b):
+            return rf(d)(b)
+
+        x = np.asarray(fs(data, b), dtype=np.float64)
+        As = A.to_scipy().tocsc()
+        res = np.linalg.norm(As @ x - np.asarray(b, np.float64))
+        assert res / np.linalg.norm(np.asarray(b)) < 1e-5
+
+    def test_complex_raises(self):
+        from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+        g = synthetic_grid(100, seed=11)
+        Y, _, _ = ybus(g)
+        with pytest.raises(NotImplementedError):
+            BandedLU.factor_device(Y)
