@@ -19,6 +19,7 @@ from .iterative import (  # noqa: F401
     refine,
 )
 from .refactor import RefactorPlan  # noqa: F401
+from .supernodal import SupernodalRefactor  # noqa: F401
 from .banded import (  # noqa: F401
     BandedLU,
     BandedRefactor,

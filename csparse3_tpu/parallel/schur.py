@@ -88,6 +88,7 @@ class SchurLU:
         mi = self.mi
         self._lus = []
         self._W = []
+        self._Wcols = []
         self._F = []
         Sc = np.asarray(A[np.ix_(self.gamma, self.gamma)].todense())
         for s in range(S):
@@ -98,14 +99,24 @@ class SchurLU:
                 Ass = sp.block_diag(
                     [Ass, sp.eye(mi - li, dtype=dt.dtype, format="csc")]
                 ).tocsc()
-            E = np.zeros((mi, ng), dtype=dt.dtype)
-            E[:li] = np.asarray(A[np.ix_(I, self.gamma)].todense())
+            # each interior couples only to ITS boundary's interface
+            # columns — restrict E/W to those (the full (mi, ng) dense
+            # coupling block made the build quadratic in n)
+            Eg = A[np.ix_(I, self.gamma)].tocsc()
+            lcols = np.flatnonzero(np.diff(Eg.indptr))
+            nl = max(len(lcols), 1)
+            E = np.zeros((mi, nl), dtype=dt.dtype)
+            if len(lcols):
+                E[:li] = np.asarray(Eg[:, lcols].todense())
             F = A[np.ix_(self.gamma, I)].tocsc()  # cols are local [0, li)
             lu = splu(CSC.from_scipy(Ass), ordering=ordering, tol=tol)
             W = np.asarray(lu.solve_host(E))
-            Sc -= F @ W[:li]
+            if len(lcols):
+                Sc[:, lcols] -= F @ W[:li]
             self._lus.append(lu)
             self._W.append(W)
+            self._Wcols.append(lcols if len(lcols)
+                               else np.zeros(1, dtype=np.int64))
             self._F.append(F)
         from ..ops.construct import dense_to_csc
 
@@ -144,7 +155,7 @@ class SchurLU:
         x[self.gamma] = xg
         for s in range(self.S):
             I = self.interiors[s]
-            x[I] = (ys[s] - self._W[s] @ xg)[: len(I)]
+            x[I] = (ys[s] - self._W[s] @ xg[self._Wcols[s]])[: len(I)]
         return x[:, 0] if squeeze else x
 
     def device_plan(self) -> "SchurSolvePlan":
@@ -196,7 +207,11 @@ class SchurSolvePlan:
         f_vals = np.zeros((S, Ef), dtype=host._W[0].dtype)
         gather = np.full((S, mi), host.n, dtype=np.int64)  # pad: dropped
         gmask = np.zeros((S, mi), dtype=bool)
-        Ws = np.stack(host._W)
+        # W is interface-LOCAL per shard (columns = that shard's coupled
+        # interface ids); pad to a common width with zero columns
+        nl_max = max(w.shape[1] for w in host._W)
+        Ws = np.zeros((S, mi, nl_max), dtype=host._W[0].dtype)
+        wcols = np.zeros((S, nl_max), dtype=np.int64)
         for s in range(S):
             I = host.interiors[s]
             gather[s, : len(I)] = I
@@ -204,8 +219,11 @@ class SchurSolvePlan:
             f_rows[s, : fe[s].nnz] = fe[s].row
             f_cols[s, : fe[s].nnz] = fe[s].col
             f_vals[s, : fe[s].nnz] = fe[s].data
+            Ws[s, :, : host._W[s].shape[1]] = host._W[s]
+            wcols[s, : len(host._Wcols[s])] = host._Wcols[s]
         self.n, self.S, self.mi, self.ng = host.n, S, mi, ng
         self.W = jnp.asarray(Ws)
+        self.wcols = jnp.asarray(wcols)
         self.f_rows = jnp.asarray(f_rows)
         self.f_cols = jnp.asarray(f_cols)
         self.f_vals = jnp.asarray(f_vals)
@@ -223,8 +241,9 @@ class SchurSolvePlan:
     # pytree
     def tree_flatten(self):
         return (
-            (self._plan_leaves, self.W, self.f_rows, self.f_cols,
-             self.f_vals, self.gather, self.gmask, self.gamma, self.gplan),
+            (self._plan_leaves, self.W, self.wcols, self.f_rows,
+             self.f_cols, self.f_vals, self.gather, self.gmask,
+             self.gamma, self.gplan),
             (self.n, self.S, self.mi, self.ng, self._treedef),
         )
 
@@ -232,8 +251,8 @@ class SchurSolvePlan:
     def tree_unflatten(cls, aux, ch):
         obj = object.__new__(cls)
         obj.n, obj.S, obj.mi, obj.ng, obj._treedef = aux
-        (obj._plan_leaves, obj.W, obj.f_rows, obj.f_cols, obj.f_vals,
-         obj.gather, obj.gmask, obj.gamma, obj.gplan) = ch
+        (obj._plan_leaves, obj.W, obj.wcols, obj.f_rows, obj.f_cols,
+         obj.f_vals, obj.gather, obj.gmask, obj.gamma, obj.gplan) = ch
         return obj
 
     def _interior_solve(self, s_leaves, rhs):
@@ -263,7 +282,7 @@ class SchurSolvePlan:
         x = jnp.zeros((self.n, B), dtype=dt).at[self.gamma].set(xg)
         for s in range(self.S):
             with jax.default_matmul_precision("highest"):  # bf16 MXU default
-                xi = ys[s] - self.W[s] @ xg
+                xi = ys[s] - self.W[s] @ xg[self.wcols[s]]
             x = x.at[self.gather[s]].set(xi, mode="drop")
         return x[:, 0] if squeeze else x
 
@@ -289,7 +308,7 @@ class SchurSolvePlan:
         sharded2 = P(axis, None)
         gplan_specs = jax.tree_util.tree_map(lambda _: P(), self.gplan)
 
-        def body(leaves, W, fr, fc, fv, gat, gm, gamma, gplan, bfull):
+        def body(leaves, W, wc, fr, fc, fv, gat, gm, gamma, gplan, bfull):
             dt = jnp.result_type(bfull.dtype, W.dtype)
             rhs = jnp.where(gm[0][:, None], bfull[gat[0]], 0).astype(dt)
             y = self._interior_solve([lf[0] for lf in leaves], rhs)
@@ -301,20 +320,21 @@ class SchurSolvePlan:
             g = jax.lax.psum(g_part, axis) + bfull[gamma].astype(dt)
             xg = gplan(g)  # replicated interface solve
             with jax.default_matmul_precision("highest"):  # bf16 MXU default
-                xi = y - W[0] @ xg
+                xi = y - W[0] @ xg[wc[0]]
             return xi[None], xg
 
         f = jax.shard_map(
             body, mesh=mesh,
             in_specs=(
                 leaf_specs, P(axis, None, None), sharded2, sharded2,
-                sharded2, sharded2, sharded2, P(None), gplan_specs, P(None, None),
+                sharded2, sharded2, sharded2, sharded2, P(None),
+                gplan_specs, P(None, None),
             ),
             out_specs=(P(axis, None, None), P(None, None)),
         )
-        xi, xg = f(self._plan_leaves, self.W, self.f_rows, self.f_cols,
-                   self.f_vals, self.gather, self.gmask, self.gamma,
-                   self.gplan, bb)
+        xi, xg = f(self._plan_leaves, self.W, self.wcols, self.f_rows,
+                   self.f_cols, self.f_vals, self.gather, self.gmask,
+                   self.gamma, self.gplan, bb)
         x = jnp.zeros((self.n, bb.shape[1]), dtype=xi.dtype).at[
             self.gamma].set(xg)
         for s in range(self.S):
