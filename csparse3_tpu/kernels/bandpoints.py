@@ -367,6 +367,142 @@ def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     return y[:, :m]
 
 
+def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret):
+    """Supertile-of-8 fused kernel with a VMEM-RESIDENT x.
+
+    The per-grid-step floor of ``_fused_call`` is its KW strided window
+    DMAs (ablation: ~0.3 ms of the 0.5 ms 200k matvec).  Here x lives in
+    VMEM once (constant-index blocks are fetched a single time), each
+    grid step covers EIGHT row tiles, and the step's window slice start
+    ``8*g + C0a`` is divisible by 8 BY CONSTRUCTION (C0a is the window
+    base rounded down to 8 blocks) — the provable alignment Mosaic
+    demands for dynamic sublane starts.  Inside the step everything is
+    static: subtile u's gather rows are ``u+extra .. u+extra+KW`` of the
+    slice, and the heavy-diagonal windows are two static rows + a
+    static positive roll.
+    """
+    # slice rows covering all 8 subtiles' windows (+1 spare so the
+    # two-row diagonal window never slices past the end)
+    LW = extra + 8 + KW
+
+    def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, s2_ref, xre_ref,
+               xim_ref, o_ref):
+        g = pl.program_id(0)
+        start = pl.multiple_of(8 * g + C0a, 8)
+        xsr = xre_ref[pl.ds(start, LW), :]   # (LW, T)
+        xsi = xim_ref[pl.ds(start, LW), :]
+        rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
+        ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
+        outs = []
+        for u in range(8):
+            widx = widx_ref[pl.ds(8 * g + u, 1), :]  # (1, E)
+            wrow = wrow_ref[pl.ds(8 * g + u, 1), :]
+            vr = vr_ref[pl.ds(8 * g + u, 1), :]
+            vi = vi_ref[pl.ds(8 * g + u, 1), :]
+            q = widx // T
+            r = widx - q * T
+            M1 = (rsub == r).astype(jnp.float32)          # (T, E)
+            R = jnp.concatenate(
+                [xsr[u + extra: u + extra + KW, :],
+                 xsi[u + extra: u + extra + KW, :]], axis=0)  # (2KW, T)
+            Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (2KW, E)
+            mask = (ksub == q).astype(jnp.float32)
+            Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
+            Gi = jnp.sum(mask * Pg[KW:, :], axis=0, keepdims=True)
+            p_yr = vr * Gr - vi * Gi
+            p_yi = vr * Gi + vi * Gr
+            P2 = jnp.concatenate([p_yr, p_yi], axis=0)    # (2, E)
+            rowohT = (rsub == wrow).astype(jnp.float32)
+            y = jax.lax.dot_general(
+                P2, rowohT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (2, T)
+            # heavy diagonals: subtile u, diagonal o reads the flat
+            # positions u*T + P + o - C0a*T .. +T of the slice — two
+            # STATIC rows with a STATIC lane shift
+            s2 = s2_ref[0, u]  # (2*D, T)
+            yr, yi = y[0:1, :], y[1:2, :]
+            for kd, o in enumerate(offs):
+                so = u * T + int(o) - C0a * T  # + P added by caller
+                jA, rr = so // T, so % T
+                ar = s2[kd:kd + 1, :]
+                ai = s2[D + kd:D + kd + 1, :]
+                if rr == 0:
+                    xwr = xsr[jA:jA + 1, :]
+                    xwi = xsi[jA:jA + 1, :]
+                else:
+                    # window = rowA[rr:] | rowB[:rr]: both rolled by the
+                    # same amount, stitched with a lane select (Mosaic
+                    # rejects lane-concat of rows at different sublane
+                    # offsets)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                    sel = lane < (T - rr)
+                    ra_ = pltpu.roll(xsr[jA:jA + 1, :], T - rr, axis=1)
+                    rb_ = pltpu.roll(xsr[jA + 1:jA + 2, :], T - rr, axis=1)
+                    xwr = jnp.where(sel, ra_, rb_)
+                    ia_ = pltpu.roll(xsi[jA:jA + 1, :], T - rr, axis=1)
+                    ib_ = pltpu.roll(xsi[jA + 1:jA + 2, :], T - rr, axis=1)
+                    xwi = jnp.where(sel, ia_, ib_)
+                yr = yr + ar * xwr - ai * xwi
+                yi = yi + ar * xwi + ai * xwr
+            outs.append(jnp.concatenate([yr, yi], axis=0))  # (2, T)
+        o_ref[:] = jnp.concatenate(outs, axis=1)  # (2, 8*T)
+
+    NT = NG * 8
+    full = lambda g: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((NT, E), full),
+        pl.BlockSpec((NT, E), full),
+        pl.BlockSpec((NT, E), full),
+        pl.BlockSpec((NT, E), full),
+        pl.BlockSpec((1, 8, 2 * D, T), lambda g: (g, 0, 0, 0)),
+        None,  # placeholder, replaced below with resident x specs
+        None,
+    ]
+    return kernel, in_specs, LW
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "T", "KW", "omin_p", "P", "m", "offs", "interpret"))
+def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
+                                 omin_p, P, m, offs, interpret=False):
+    """Supertile-of-8, resident-x variant of ``band_points_spmv_pallas``.
+
+    Same inputs/contract; ``s2`` here is (NG, 8, 2*D, T) slab blocks and
+    the entry tables are padded to NG*8 tiles.
+    """
+    NT, E = widx.shape
+    NG = NT // 8
+    m_pad = NT * T
+    C0 = (omin_p + P) // T          # window base block of tile 0
+    C0a = (C0 // 8) * 8             # rounded down -> slice starts align
+    extra = C0 - C0a
+    D = s2.shape[2] // 2
+    kernel, in_specs, LW = _supertile_call(
+        E, T, KW, NG, extra, C0a, tuple(int(o) + P for o in offs), D,
+        interpret)
+    # resident x blocks: (NBX, T) re and im, big enough for every slice
+    NBX = max(8 * (NG - 1) + C0a + LW, -(-(P + x2.shape[1]) // T))
+    NBX = -(-NBX // 8) * 8
+    xp = jnp.zeros((2, NBX * T), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x2.astype(jnp.float32), (0, P))
+    xre = xp[0].reshape(NBX, T)
+    xim = xp[1].reshape(NBX, T)
+    full = lambda g: (0, 0)  # noqa: E731
+    in_specs[-2] = pl.BlockSpec((NBX, T), full)
+    in_specs[-1] = pl.BlockSpec((NBX, T), full)
+    y = pl.pallas_call(
+        kernel,
+        grid=(NG,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, 8 * T), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((2, m_pad), jnp.float32),
+        interpret=interpret,
+    )(widx, wrow, vr, vi, s2, xre, xim)
+    return y[:, :m]
+
+
 def split_offsets(rows, cols, n, frac: float = 0.02):
     """Heavy offsets: those carrying at least ``frac * n`` entries."""
     d = cols - rows
@@ -394,7 +530,8 @@ class SplitBandPoints:
     """
 
     def __init__(self, a, frac: float = 0.02, tile: int = 256,
-                 group_span: int | None = None):
+                 group_span: int | None = None,
+                 supertile: bool | None = None):
         if a.m != a.n:
             raise ValueError(f"SplitBandPoints needs a square matrix, "
                              f"got {a.shape}")
@@ -455,6 +592,36 @@ class SplitBandPoints:
                 (jnp.asarray(widx), jnp.asarray(wrow),
                  jnp.asarray(gvr), jnp.asarray(gvi)))
             self.point_meta.append((tile, KW, omin_p, P))
+        # supertile mode (resident-x, 8 tiles per grid step): measured
+        # 2.35x faster at 200k (199 us vs 468 us per split-complex
+        # matvec) by eliminating the per-step window DMAs.  Auto-on when
+        # the resident footprint (x blocks + entry tables) fits in VMEM.
+        if supertile is None:
+            nt0, E0 = (np.asarray(self.point_data[0][0])).shape
+            resident = (2 * (m + 4 * tile) + 4 * nt0 * E0) * 4
+            supertile = resident <= 10 * (1 << 20) and group_span is None
+        self.supertile = bool(supertile)
+        if self.supertile:
+            widx, wrow, gvr, gvi = [np.asarray(x)
+                                    for x in self.point_data[0]]
+            nt0, E0 = widx.shape
+            NG = -(-nt0 // 8)
+            pad = NG * 8 - nt0
+            if pad:
+                widx = np.concatenate(
+                    [widx, np.zeros((pad, E0), widx.dtype)])
+                wrow = np.concatenate(
+                    [wrow, np.full((pad, E0), tile, wrow.dtype)])
+                gvr = np.concatenate([gvr, np.zeros((pad, E0), gvr.dtype)])
+                gvi = np.concatenate([gvi, np.zeros((pad, E0), gvi.dtype)])
+            self.point_data[0] = (jnp.asarray(widx), jnp.asarray(wrow),
+                                  jnp.asarray(gvr), jnp.asarray(gvi))
+            sl = np.asarray(self.slabs)
+            if pad:
+                sl = np.concatenate(
+                    [sl, np.zeros((pad,) + sl.shape[1:], sl.dtype)])
+            self.slabs = jnp.asarray(
+                sl.reshape(NG, 8, *sl.shape[1:]))
 
     @property
     def core_ndiag(self):
@@ -473,7 +640,9 @@ class SplitBandPoints:
         # group 0: fused slabs + points kernel (always present)
         widx, wrow, gvr, gvi = self.point_data[0]
         T, KW, omin_p, P = self.point_meta[0]
-        y = band_points_spmv_pallas(
+        fn = (band_points_supertile_pallas if self.supertile
+              else band_points_spmv_pallas)
+        y = fn(
             widx, wrow, gvr, gvi, self.slabs, x2,
             T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
             interpret=interp)
@@ -493,7 +662,7 @@ jax.tree_util.register_pytree_node(
     SplitBandPoints,
     lambda p: ((p.slabs, p.point_data),
                (p.m, p.n, p.iscomplex, p.tile, p.group_span, p.offs,
-                tuple(p.point_meta))),
+                tuple(p.point_meta), p.supertile)),
     lambda aux, ch: _sbp_unflatten(aux, ch),
 )
 
@@ -501,7 +670,7 @@ jax.tree_util.register_pytree_node(
 def _sbp_unflatten(aux, ch):
     obj = object.__new__(SplitBandPoints)
     (obj.m, obj.n, obj.iscomplex, obj.tile, obj.group_span, obj.offs,
-     meta) = aux
+     meta, obj.supertile) = aux
     obj.point_meta = list(meta)
     (obj.slabs, obj.point_data) = ch
     return obj
