@@ -367,7 +367,8 @@ def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     return y[:, :m]
 
 
-def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret):
+def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
+                    windows=False):
     """Supertile-of-8 fused kernel with a VMEM-RESIDENT x.
 
     The per-grid-step floor of ``_fused_call`` is its KW strided window
@@ -388,9 +389,15 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret):
     def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, s2_ref, xre_ref,
                xim_ref, o_ref):
         g = pl.program_id(0)
-        start = pl.multiple_of(8 * g + C0a, 8)
-        xsr = xre_ref[pl.ds(start, LW), :]   # (LW, T)
-        xsi = xim_ref[pl.ds(start, LW), :]
+        if windows:
+            # per-step pre-gathered overlapping window block (1, LW, T):
+            # works at any n (no VMEM residency), one DMA per step
+            xsr = xre_ref[0]
+            xsi = xim_ref[0]
+        else:
+            start = pl.multiple_of(8 * g + C0a, 8)
+            xsr = xre_ref[pl.ds(start, LW), :]   # (LW, T)
+            xsi = xim_ref[pl.ds(start, LW), :]
         rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         outs = []
@@ -464,13 +471,18 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "T", "KW", "omin_p", "P", "m", "offs", "interpret"))
+    "T", "KW", "omin_p", "P", "m", "offs", "windows", "interpret"))
 def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
-                                 omin_p, P, m, offs, interpret=False):
+                                 omin_p, P, m, offs, windows=False,
+                                 interpret=False):
     """Supertile-of-8, resident-x variant of ``band_points_spmv_pallas``.
 
     Same inputs/contract; ``s2`` here is (NG, 8, 2*D, T) slab blocks and
-    the entry tables are padded to NG*8 tiles.
+    the entry tables are padded to NG*8 tiles.  ``windows=True`` swaps
+    the VMEM-resident x for per-step pre-gathered overlapping window
+    blocks (one efficient block-row gather in XLA + one contiguous DMA
+    per grid step) — same kernel body, no VMEM size limit, for n past
+    the residency budget.
     """
     NT, E = widx.shape
     NG = NT // 8
@@ -481,8 +493,8 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     D = s2.shape[2] // 2
     kernel, in_specs, LW = _supertile_call(
         E, T, KW, NG, extra, C0a, tuple(int(o) + P for o in offs), D,
-        interpret)
-    # resident x blocks: (NBX, T) re and im, big enough for every slice
+        interpret, windows=windows)
+    # padded x blocks: (NBX, T) re and im, big enough for every slice
     NBX = max(8 * (NG - 1) + C0a + LW, -(-(P + x2.shape[1]) // T))
     NBX = -(-NBX // 8) * 8
     xp = jnp.zeros((2, NBX * T), jnp.float32)
@@ -490,8 +502,16 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     xre = xp[0].reshape(NBX, T)
     xim = xp[1].reshape(NBX, T)
     full = lambda g: (0, 0)  # noqa: E731
-    in_specs[-2] = pl.BlockSpec((NBX, T), full)
-    in_specs[-1] = pl.BlockSpec((NBX, T), full)
+    if windows:
+        widx_b = (C0a + 8 * jnp.arange(NG)[:, None]
+                  + jnp.arange(LW)[None, :])          # (NG, LW)
+        xre = xre[widx_b]                             # (NG, LW, T)
+        xim = xim[widx_b]
+        in_specs[-2] = pl.BlockSpec((1, LW, T), lambda g: (g, 0, 0))
+        in_specs[-1] = pl.BlockSpec((1, LW, T), lambda g: (g, 0, 0))
+    else:
+        in_specs[-2] = pl.BlockSpec((NBX, T), full)
+        in_specs[-1] = pl.BlockSpec((NBX, T), full)
     y = pl.pallas_call(
         kernel,
         grid=(NG,),
@@ -592,15 +612,22 @@ class SplitBandPoints:
                 (jnp.asarray(widx), jnp.asarray(wrow),
                  jnp.asarray(gvr), jnp.asarray(gvi)))
             self.point_meta.append((tile, KW, omin_p, P))
-        # supertile mode (resident-x, 8 tiles per grid step): measured
-        # 2.35x faster at 200k (199 us vs 468 us per split-complex
-        # matvec) by eliminating the per-step window DMAs.  Auto-on when
-        # the resident footprint (x blocks + entry tables) fits in VMEM.
+        # supertile mode (8 tiles per grid step): measured 78 us vs
+        # 468 us at 200k by eliminating the per-step window DMAs.
+        # 'resident' keeps x in VMEM (fastest); past the VMEM budget,
+        # 'windows' pre-gathers overlapping window blocks in XLA (one
+        # contiguous DMA per step — no size limit).
         if supertile is None:
-            nt0, E0 = (np.asarray(self.point_data[0][0])).shape
-            resident = (2 * (m + 4 * tile) + 4 * nt0 * E0) * 4
-            supertile = resident <= 10 * (1 << 20) and group_span is None
-        self.supertile = bool(supertile)
+            if group_span is not None:
+                supertile = False
+            else:
+                nt0, E0 = (np.asarray(self.point_data[0][0])).shape
+                resident = (2 * (m + 4 * tile) + 4 * nt0 * E0) * 4
+                supertile = ("resident" if resident <= 10 * (1 << 20)
+                             else "windows")
+        elif supertile is True:
+            supertile = "resident"
+        self.supertile = supertile
         if self.supertile:
             widx, wrow, gvr, gvi = [np.asarray(x)
                                     for x in self.point_data[0]]
@@ -640,12 +667,16 @@ class SplitBandPoints:
         # group 0: fused slabs + points kernel (always present)
         widx, wrow, gvr, gvi = self.point_data[0]
         T, KW, omin_p, P = self.point_meta[0]
-        fn = (band_points_supertile_pallas if self.supertile
-              else band_points_spmv_pallas)
-        y = fn(
-            widx, wrow, gvr, gvi, self.slabs, x2,
-            T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
-            interpret=interp)
+        if self.supertile:
+            y = band_points_supertile_pallas(
+                widx, wrow, gvr, gvi, self.slabs, x2,
+                T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
+                windows=(self.supertile == "windows"), interpret=interp)
+        else:
+            y = band_points_spmv_pallas(
+                widx, wrow, gvr, gvi, self.slabs, x2,
+                T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
+                interpret=interp)
         yr, yi = y[0], y[1]
         for (widx, wrow, gvr, gvi), (T, KW, omin_p, P) in zip(
                 self.point_data[1:], self.point_meta[1:]):

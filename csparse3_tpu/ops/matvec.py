@@ -152,6 +152,11 @@ class SpMVPlan:
         return self.cols.shape[1] if self.layout == "ell" else 0
 
     def __call__(self, x):
+        if getattr(x, "shape", None) is not None and x.ndim >= 1 \
+                and x.shape[0] != self.n:
+            raise ValueError(
+                f"dimension mismatch: plan is for shape ({self.m}, "
+                f"{self.n}), x has leading dimension {x.shape[0]}")
         if self.layout == "stream":
             if x.ndim == 1:
                 return _spmv_xla(self.rows, self.cols, self.vals, self.m, x)

@@ -42,6 +42,7 @@ from ..linalg.banded import (
     _sweeps_host,
     _thomas_factor,
     bandwidth,
+    thomas_factor_device,
     thomas_sweeps,
 )
 
@@ -284,6 +285,147 @@ class DistBandedLU:
     def solve(self, b):
         """x = A^{-1} b — alias of ``__call__`` (SparseLU-compatible)."""
         return self(b)
+
+    # -- device factorization -------------------------------------------------
+    @classmethod
+    def factor_device(cls, a, mesh: Mesh | None = None, ordering="rcm",
+                      s: int | None = None, dtype=None):
+        """SPIKE factorization with the numeric work ON DEVICE, sharded.
+
+        Host does only symbolic work (ordering + the block-tridiagonal
+        index map); each shard then runs the block-Thomas recurrence and
+        its two spike solves locally under ``shard_map``
+        (``thomas_factor_device`` / ``thomas_sweeps``), exchanges ONE
+        all_gather of four (s, s) interface blocks, and the reduced
+        2s-block interface system factors on device too.  This is the
+        config-5 "pod-grade BLAS" path: the per-chunk factors that the
+        host constructor builds in streamed numpy BLAS come out of the
+        MXU instead.  Real-valued matrices only (complex transfers are
+        unreliable on some attachments)."""
+        from jax.sharding import NamedSharding
+
+        from ..linalg import ordering as ordering_mod
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("rows",))
+        if len(mesh.axis_names) != 1:
+            raise ValueError("DistBandedLU needs a 1-axis mesh")
+        axis = mesh.axis_names[0]
+        Pn = int(np.prod(mesh.devices.shape))
+        n, mm = a.shape
+        if n != mm:
+            raise ValueError(f"requires a square matrix, got {a.shape}")
+        if ordering is None:
+            ordering = "natural"
+        perm = np.asarray(ordering_mod.get_ordering(ordering, a))
+        pinv = np.empty(n, dtype=np.int64)
+        pinv[perm] = np.arange(n, dtype=np.int64)
+        Ap, Ai, Ax = a.np_arrays()
+        if np.iscomplexobj(np.asarray(Ax)):
+            raise NotImplementedError(
+                "factor_device is real-only; use the host constructor")
+        cols = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(np.asarray(Ap)))
+        r = pinv[np.asarray(Ai, dtype=np.int64)]
+        c = pinv[cols]
+        bw = int(np.abs(r - c).max()) if len(c) else 0
+        if s is None:
+            q = 128 if bw >= 96 else 8
+            s = max(8, -(-max(bw, 1) // q) * q)
+        if s < bw:
+            raise ValueError(f"block size {s} < matrix bandwidth {bw}")
+        if dtype is None:
+            dtype = np.float32
+        m = -(-(-(-n // s)) // Pn)
+        nb = m * Pn
+        if m < 2:
+            raise ValueError(
+                f"chunks need >= 2 blocks (n={n}, s={s}, P={Pn})")
+        kb_r, kb_c = r // s, c // s
+        if (np.abs(kb_r - kb_c) > 1).any():
+            raise ValueError(f"bandwidth exceeds block size {s}")
+        # flat [D | E | F] scatter map (BandedRefactor layout)
+        d = kb_r - kb_c
+        which = np.where(d == 0, 0, np.where(d == 1, 1, 2))
+        idx = which * (nb * s * s) + kb_r * (s * s) + (r % s) * s + (c % s)
+        pad = np.arange(n, nb * s, dtype=np.int64)
+        pad_idx = (pad // s) * (s * s) + (pad % s) * s + (pad % s)
+
+        data = jnp.asarray(np.asarray(Ax, dtype=dtype))
+        idx_d = jnp.asarray(idx)
+        pad_d = jnp.asarray(pad_idx)
+
+        @jax.jit
+        def assemble(vals):
+            buf = jnp.zeros((3 * nb * s * s,), dtype=dtype)
+            buf = buf.at[idx_d].add(vals)
+            buf = buf.at[pad_d].add(jnp.ones((), dtype))
+            D, E, F = buf.reshape(3, Pn, m, s, s)
+            B = E[:, 0]                    # chunk coupling to the left
+            C = F[:, -1]                   # chunk coupling to the right
+            E = E.at[:, 0].set(0.0)
+            F = F.at[:, -1].set(0.0)
+            return D, E, F, B, C
+
+        D, E, F, B, C = assemble(data)
+        spec = P(axis)
+
+        def local(Dp, Ep, Fp, Bp, Cp):
+            # per-shard (1, m, s, s) blocks
+            eh, si, uh = thomas_factor_device(Dp[0], Ep[0], Fp[0])
+            z = jnp.zeros((m, s, s), dtype)
+            W = thomas_sweeps(eh, si, uh, z.at[0].set(Bp[0]))
+            V = thomas_sweeps(eh, si, uh, z.at[-1].set(Cp[0]))
+            iface = jnp.stack([W[0], W[-1], V[0], V[-1]])  # (4, s, s)
+            return eh[None], si[None], uh[None], W[None], V[None], \
+                iface[None]
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, spec, spec, spec, spec, spec),
+        )
+        eh, si, uh, W, V, iface = f(D, E, F, B, C)
+
+        @jax.jit
+        def reduced(iface):
+            Wt, Wb, Vt, Vb = (iface[:, 0], iface[:, 1], iface[:, 2],
+                              iface[:, 3])
+            nR = Pn - 1
+            eye = jnp.eye(s, dtype=dtype)
+            Dr = jnp.zeros((nR, 2 * s, 2 * s), dtype)
+            Dr = Dr.at[:, :s, :s].set(eye)
+            Dr = Dr.at[:, s:, s:].set(eye)
+            Dr = Dr.at[:, :s, s:].set(Vb[:-1])
+            Dr = Dr.at[:, s:, :s].set(Wt[1:])
+            Er = jnp.zeros((nR, 2 * s, 2 * s), dtype)
+            Er = Er.at[1:, :s, :s].set(Wb[1:-1])
+            Fr = jnp.zeros((nR, 2 * s, 2 * s), dtype)
+            Fr = Fr.at[:-1, s:, s:].set(Vt[1:-1])
+            return thomas_factor_device(Dr, Er, Fr)
+
+        obj = object.__new__(cls)
+        obj.mesh, obj.axis = mesh, axis
+        obj.n, obj.s, obj.bw, obj.m, obj.P = n, s, bw, m, Pn
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        obj._ehat = jax.device_put(eh.reshape(nb, s, s), shard)
+        obj._sinv = jax.device_put(si.reshape(nb, s, s), shard)
+        obj._uhat = jax.device_put(uh.reshape(nb, s, s), shard)
+        obj._w = jax.device_put(W.reshape(Pn, m * s, s), shard)
+        obj._v = jax.device_put(V.reshape(Pn, m * s, s), shard)
+        if Pn > 1:
+            r_eh, r_si, r_uh = reduced(iface)
+        else:
+            z1 = jnp.zeros((0, 2 * s, 2 * s), dtype)
+            r_eh = r_si = r_uh = z1
+        obj._r_eh = jax.device_put(r_eh, rep)
+        obj._r_si = jax.device_put(r_si, rep)
+        obj._r_uh = jax.device_put(r_uh, rep)
+        obj.perm = perm
+        obj._hperm = perm
+        obj._h = None
+        return obj
 
     # -- host twin ------------------------------------------------------------
     def solve_host(self, b):

@@ -69,3 +69,27 @@ class TestDistBandedLU:
         A = _grid_system(400, seed=3)
         with pytest.raises(ValueError, match="chunks"):
             DistBandedLU(A, mesh=_mesh(8), s=256)
+
+
+def test_factor_device_matches_host():
+    """Device-sharded SPIKE factorization (shard_map block-Thomas +
+    spike solves + device-reduced interface) vs the host-factored one
+    and scipy."""
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.parallel import DistBandedLU
+
+    n = 4000
+    A = _grid_system(n, seed=3)
+    mesh8 = _mesh(8)
+    dk = DistBandedLU.factor_device(A, mesh=mesh8)
+    b = np.random.RandomState(1).rand(n).astype(np.float32)
+    x = np.asarray(dk(b), np.float64)
+    As = A.to_scipy().tocsc()
+    res = np.linalg.norm(As @ x - b) / np.linalg.norm(b)
+    assert res < 1e-4
+    xr = spla.spsolve(As, b.astype(np.float64))
+    assert np.abs(x - xr).max() / np.abs(xr).max() < 1e-3
+    # same answer as the host-factored SPIKE
+    x2 = np.asarray(DistBandedLU(A, mesh=mesh8)(b), np.float64)
+    assert np.abs(x - x2).max() / max(np.abs(x2).max(), 1e-30) < 1e-4

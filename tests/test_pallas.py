@@ -220,3 +220,25 @@ def test_split_bandpoints_offset_groups():
     z = Y.to_scipy() @ (xr + 1j * xi)
     np.testing.assert_allclose(np.asarray(yr), z.real, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(yi), z.imag, rtol=2e-4, atol=2e-4)
+
+
+def test_split_bandpoints_supertile_modes():
+    """Both supertile variants (VMEM-resident x and pre-gathered window
+    blocks) match the default path and scipy."""
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 2100
+    g = synthetic_grid(n, seed=11)
+    Y, _, _ = ybus(g)
+    rng = np.random.RandomState(12)
+    xr = rng.rand(n).astype(np.float32)
+    xi = rng.rand(n).astype(np.float32)
+    z = Y.to_scipy() @ (xr + 1j * xi)
+    for mode in ("resident", "windows"):
+        plan = SplitBandPoints(Y, tile=128, supertile=mode)
+        assert plan.supertile == mode
+        yr, yi = plan(xr, xi)
+        np.testing.assert_allclose(np.asarray(yr), z.real,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(yi), z.imag,
+                                   rtol=2e-4, atol=2e-4)
