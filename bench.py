@@ -225,7 +225,14 @@ def run_solve100k(reps: int, n: int = 100_000):
     normalization, so any column slice of the final result is its own
     full-length chain — the verified download is 64 of the 1024 columns
     (25 MB instead of 400 MB over the flaky tunnel) replayed against the
-    host twin."""
+    host twin.
+
+    The chain iterates in BLOCK SPACE (``solve_blocks``), permuting
+    once on entry and once on exit — the documented usage for chained
+    solvers (``BandedLU.blocks``): a row permutation commutes with the
+    per-column renormalization, so the iteration is exactly the
+    unpermuted one, without paying a 400 MB permute gather+scatter per
+    step."""
     import functools
 
     import jax
@@ -235,7 +242,10 @@ def run_solve100k(reps: int, n: int = 100_000):
     from csparse3_tpu.linalg import BandedLU
     from csparse3_tpu.models.grids import synthetic_grid
 
-    B, VER = 1024, 64
+    # VER=16: the block-space chain is ~10x faster than round 2's, so
+    # the verified download must stay small (6 MB) or per-download
+    # tunnel flakes (seconds) swamp the delta between chain lengths
+    B, VER = 1024, 16
     g = synthetic_grid(n, seed=1)
     bp = 1.0 / g.x
     rows = np.concatenate([g.f, g.t, g.f, g.t])
@@ -267,12 +277,17 @@ def run_solve100k(reps: int, n: int = 100_000):
 
     @functools.partial(jax.jit, static_argnums=2)
     def chain(p, b0, R):
-        def body(b, _):
-            x = p(b)
-            return x / jnp.max(jnp.abs(x), axis=0, keepdims=True), None
+        bb = p.blocks(b0)
 
-        o, _ = jax.lax.scan(body, b0, None, length=R)
-        return o
+        def body(b, _):
+            x = p.solve_blocks(b)
+            # per-column max over block space == max over rows (padded
+            # tail rows stay exactly zero through the sweeps)
+            m = jnp.max(jnp.abs(x), axis=(0, 1), keepdims=True)
+            return x / m, None
+
+        o, _ = jax.lax.scan(body, bb, None, length=R)
+        return p.unblocks(o)
 
     # in-process delta: both chain lengths compiled once, then timed
     # back-to-back per trial — the flaky tunnel's per-download variance
@@ -282,7 +297,7 @@ def run_solve100k(reps: int, n: int = 100_000):
     c2 = chain.lower(plan, RHS, reps).compile()
     got = None
     per = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(c1(plan, RHS)[:, :VER])
         t1 = time.perf_counter() - t0
@@ -465,18 +480,20 @@ def run_refactor(reps: int):
 
 
 def run_refactor_general(reps: int):
-    """General-pattern device refactorization: the supernodal MXU panel
-    sweep (linalg/supernodal.py) on an AMD-ordered (non-banded-plan)
-    factorization — the blocked fix for the level-scheduled scalar
-    RefactorPlan (~2/s on this chip; the dense-panel sweep is ~22x
-    faster).  Verified by residual like run_refactor."""
+    """General-pattern device refactorization: the multifrontal
+    matmul-extend-add sweep (linalg/multifrontal.py) on an ND-ordered
+    (non-banded-plan) factorization — all per-level arbitrary-index
+    traffic of the supernodal panel schedule (45/s) replaced by one-hot
+    MXU matmuls (~3x) on top of the ~22x the panel sweep had over the
+    scalar level-scheduled RefactorPlan (~2/s on this chip).  Verified
+    by residual like run_refactor."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
     import csparse3_tpu as cst
-    from csparse3_tpu.linalg import SupernodalRefactor, splu
+    from csparse3_tpu.linalg import MultifrontalRefactor, splu
     from csparse3_tpu.models.grids import synthetic_grid
 
     ng = 3000
@@ -488,7 +505,7 @@ def run_refactor_general(reps: int):
     B = cst.add(cst.from_triplets(rows, cols, vals, (ng, ng)),
                 cst.diags(np.full(ng, 3.0)))
     lu = splu(B, ordering="nd", tol=0.0)
-    sr = SupernodalRefactor(lu._h, B)
+    sr = MultifrontalRefactor(lu._h, B)
     data = jnp.asarray(np.asarray(B.np_arrays()[2], np.float32))
     b = jnp.asarray(np.random.RandomState(2).rand(ng).astype(np.float32))
 
@@ -953,7 +970,7 @@ def main():
     else:
         extra["lusolve_error"] = str(a.get("error", "no delta"))
 
-    a = _sub("solve10k", 12, timeout=900)
+    a = _sub("solve10k", 48, timeout=900)
     per_10k = a.get("per")
     if a.get("correct") is False:
         per_10k = None
@@ -964,7 +981,7 @@ def main():
     else:
         extra["solve10k_error"] = str(a.get("error", "no delta"))
 
-    a = _sub("solve100k", 12, timeout=900, attempts=2)
+    a = _sub("solve100k", 48, timeout=900, attempts=2)
     per_100k = a.get("per")
     if a.get("correct") is False:
         per_100k = None

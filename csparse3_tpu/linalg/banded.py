@@ -231,16 +231,18 @@ def _thomas_factor(n, s, nb, rows, cols, vals, dtype, wide, sym=False):
     return ehat, sinv, uhat
 
 
-def thomas_sweeps(ehat, sinv, uhat, bb):
+def thomas_sweeps(ehat, sinv, uhat, bb, precision="highest"):
     """Device block-Thomas solve: bb (nb, s, B) -> x blocks (nb, s, B).
 
     Two ``lax.scan`` sweeps of (s,s)@(s,B) matmuls — pure MXU work:
     y_k = b_k - Ehat_k y_{k-1} (forward), x_k = S_k^{-1} y_k - Uhat_k
-    x_{k+1} (backward)."""
-    # HIGHEST: the MXU's default f32 path truncates operands to bf16;
+    x_{k+1} (backward).  ``precision`` trades sweep accuracy for MXU
+    passes: 'highest' (6-pass f32, default), 'high' (3-pass), or
+    'default' (bf16 — pair with iterative refinement)."""
+    # HIGHEST default: the MXU's bf16 path truncates operands to bf16;
     # 2^-9 per product compounds through the nb-block recurrence
     # (measured: residual 2e-2 at 3000 nodes vs 2e-6 with f32 math)
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         def fwd(y_prev, blk):
             eh, rhs = blk
             y_k = rhs - eh @ y_prev
@@ -476,9 +478,10 @@ class BandedLU:
         zf = xx.reshape(self.nblocks * self.s, -1)[: self.n]
         return jnp.zeros_like(zf).at[self.perm].set(zf)
 
-    def solve_blocks(self, bb):
+    def solve_blocks(self, bb, precision="highest"):
         """Solve in block space: (nb, s, B) -> (nb, s, B)."""
-        return thomas_sweeps(self._ehat, self._sinv, self._uhat, bb)
+        return thomas_sweeps(self._ehat, self._sinv, self._uhat, bb,
+                             precision=precision)
 
     def __call__(self, b):
         squeeze = jnp.ndim(b) == 1

@@ -88,7 +88,13 @@ class SupernodalRefactor:
     ``RefactorPlan.refactor`` (the solve plumbing is shared).
     """
 
-    def __init__(self, host: HostLU, a_csc, relax: int = 4):
+    def __init__(self, host: HostLU, a_csc, relax: int = 1):
+        """``relax`` caps the amalgamated supernode width (1, the
+        default, keeps fundamental supernodes only — measured fastest
+        for THIS schedule, whose cost is the per-level padded
+        gather/scatter volume that amalgamation inflates; the
+        matmul-extend-add ``MultifrontalRefactor`` is where relaxation
+        pays off)."""
         n = host.n
         Lp = np.asarray(host.Lp, dtype=np.int64)
         Li = np.asarray(host.Li, dtype=np.int64)
@@ -124,42 +130,91 @@ class SupernodalRefactor:
                     "(pattern not symmetric-fill-closed)")
             return lnz + p
 
-        # ---- supernode partition (fundamental + relaxed amalgamation) --
+        # Tolerant twins for relaxed (amalgamated) panels: an absent
+        # position gathers from D0 (reads 0) / scatters to TRASH.  Safe
+        # because fill-closure makes every contribution to an absent
+        # position EXACTLY zero: L(r,k)!=0 and U(k,c)!=0 would force
+        # (r,c) into the pattern, so at absent (r,c) every product term
+        # has an exactly-zero factor (floats preserve 0*x, 0-0, 0/u).
+        def posL_opt(r, c):
+            k = np.asarray(c) * key + r
+            p = np.minimum(np.searchsorted(keysL, k), lnz - 1)
+            return p, keysL[p] == k
+
+        def posU_opt(r, c):
+            k = np.asarray(c) * key + r
+            p = np.minimum(np.searchsorted(keysU, k), unz - 1)
+            return lnz + p, keysU[p] == k
+
+        # ---- supernode partition: fundamental pass ---------------------
         cnt = np.diff(Lp)
         parent = np.full(n, n, dtype=np.int64)
         for j in range(n):
             if cnt[j] > 1:
                 parent[j] = Li[Lp[j] + 1]  # first off-diagonal row
-        starts = [0]
+        fstarts = [0]
         for j in range(1, n):
-            # fundamental rule only: struct(col j) == struct(col j-1)
-            # minus the pivot row, so the first column's rows contain
-            # every later column's rows (the packing relies on this)
+            # fundamental rule: struct(col j) == struct(col j-1) minus
+            # the pivot row, so the first column's rows contain every
+            # later column's rows (the packing relies on this)
             fundamental = (parent[j - 1] == j and cnt[j] == cnt[j - 1] - 1)
             if not fundamental:
-                starts.append(j)
+                fstarts.append(j)
+        fstarts.append(n)
+
+        # ---- relaxed amalgamation (VERDICT r2 item 4b) -----------------
+        # Greedily merge CONTIGUOUS fundamental snodes while the merged
+        # dense panel stays mostly nonzero (graded CHOLMOD-style
+        # schedule).  Wider panels turn the near-scalar per-column
+        # schedule into real MXU panels and cut the sequential level
+        # count; the padded zeros cost dense flops the MXU has to spare.
+        # Correctness does not need the merged fill to exist in the host
+        # pattern: absent entries ride the D0/TRASH sentinels (see
+        # posL_opt above).
+        def _graded_ok(w, z):
+            return ((w <= 4 and z <= 0.85) or (w <= 8 and z <= 0.6)
+                    or (w <= 16 and z <= 0.4) or z <= 0.25)
+
+        starts = [0]
+        srows = []
+        if relax and relax > 1 and len(fstarts) > 2:
+            cur_a, cur_b = fstarts[0], fstarts[1]
+            cur_R = Li[Lp[cur_a]:Lp[cur_a + 1]]
+            cur_ent = int(Lp[cur_b] - Lp[cur_a])
+            for k in range(1, len(fstarts) - 1):
+                a2, b2 = fstarts[k], fstarts[k + 1]
+                R2 = Li[Lp[a2]:Lp[a2 + 1]]
+                w_new = int(b2 - cur_a)
+                R_new = np.union1d(cur_R, R2)
+                ent_new = cur_ent + int(Lp[b2] - Lp[a2])
+                z = 1.0 - ent_new / max(len(R_new) * w_new, 1)
+                if w_new <= relax and _graded_ok(w_new, z):
+                    cur_b, cur_R, cur_ent = b2, R_new, ent_new
+                else:
+                    starts.append(int(a2))
+                    srows.append(cur_R)
+                    cur_a, cur_b, cur_R = a2, b2, R2
+                    cur_ent = int(Lp[b2] - Lp[a2])
+            srows.append(cur_R)
+        else:
+            starts = fstarts[:-1]
+            srows = [Li[Lp[s]:Lp[s + 1]] for s in starts]
         starts.append(n)
         ns_total = len(starts) - 1
         snode_of = np.empty(n, dtype=np.int64)
         for s in range(ns_total):
             snode_of[starts[s]:starts[s + 1]] = s
 
-        # rows of each snode = union of its columns' L structures (equal
-        # to the FIRST column's structure for fundamental snodes; the
-        # relaxed ones just re-read it — still a superset of later cols)
-        srows = [Li[Lp[starts[s]]:Lp[starts[s] + 1]]
-                 for s in range(ns_total)]
-
-        # snode etree + levels (children update ancestors; level =
-        # longest path from a leaf, so every level only reads results of
-        # strictly lower levels)
+        # Level schedule over UPDATE TARGETS (a superset of the etree-
+        # parent rule, and correct for any contiguous partition): snode s
+        # scatters into every column/row index in its off-block rows, so
+        # each of those snodes must sit at a strictly higher level.
         lev = np.zeros(ns_total, dtype=np.int64)
         for s in range(ns_total):
-            last = starts[s + 1] - 1
-            p = parent[last]
-            if p < n:
-                ps = snode_of[p]
-                lev[ps] = max(lev[ps], lev[s] + 1)
+            w = starts[s + 1] - starts[s]
+            off = srows[s][w:]
+            if len(off):
+                np.maximum.at(lev, snode_of[off], lev[s] + 1)
         # ---- A assembly map (same storage convention as RefactorPlan) --
         pinv = np.empty(n, dtype=np.int64)
         pinv[np.asarray(host.perm_r)] = np.arange(n)
@@ -219,19 +274,24 @@ class SupernodalRefactor:
                     pL[b, loc, jj] = pos
                     pLw[b, loc, jj] = pos
                     # U panel row jj: U(c, R[i]) for R[i] >= c (U is
-                    # stored by column; look up row c in each column)
+                    # stored by column; look up row c in each column);
+                    # in a relaxed snode some targets are absent -> D0
                     tgt = R[R >= c]
                     loci = _row_slot(np.searchsorted(R, tgt))
-                    pu = posU(np.full(len(tgt), c), tgt)
-                    pU[b, jj, loci] = pu
-                    pUw[b, jj, loci] = pu
+                    pu, oku = posU_opt(np.full(len(tgt), c), tgt)
+                    pU[b, jj, loci[oku]] = pu[oku]
+                    pUw[b, jj, loci[oku]] = pu[oku]
                 if r > w:
                     rr = R[w:]
                     RI, CK = np.broadcast_arrays(rr[:, None], rr[None, :])
                     below = RI > CK
-                    tpos = np.empty(RI.shape, dtype=np.int64)
-                    tpos[below] = posL(RI[below], CK[below])
-                    tpos[~below] = posU(RI[~below], CK[~below])
+                    # absent targets -> TRASH: those positions receive
+                    # exactly-zero contributions (fill-closure argument
+                    # at posL_opt)
+                    pLt, okL = posL_opt(RI, CK)
+                    pUt, okU = posU_opt(RI, CK)
+                    tpos = np.where(below, np.where(okL, pLt, TRASH),
+                                    np.where(okU, pUt, TRASH))
                     pT[b, :r - w, :r - w] = tpos
             levels.append((
                 jnp.asarray(pL), jnp.asarray(pLw), jnp.asarray(pU),
