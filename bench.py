@@ -656,6 +656,78 @@ def run_spgemm_tpu(reps: int):
             "rel_err": rel, "correct": bool(rel < 1e-3)}
 
 
+def run_spgemm_bsr(reps: int):
+    """On-chip BSR block-Gustavson SpGEMM (ops/bsr_ops.py::BSRMatMatPlan
+    — bsr.h:249-316 register-blocking blueprint mapped to MXU batched
+    einsum + segment-sum over block products).  This is the SpGEMM
+    workload class the MXU is built for: 16384x16384, 32x32 blocks,
+    ~6 block-nnz per block row.  Verified against scipy.sparse.bsr."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from csparse3_tpu.ops.bsr_ops import BSRMatMatPlan
+    from csparse3_tpu.types import BSR
+
+    Rb, nb_rows, bpr = 32, 512, 6
+    n = nb_rows * Rb
+    rng = np.random.RandomState(0)
+    rowsb = np.repeat(np.arange(nb_rows), bpr)
+    colsb = rng.randint(0, nb_rows, nb_rows * bpr)
+    key = np.unique(rowsb * nb_rows + colsb)
+    rowsb, colsb = key // nb_rows, key % nb_rows
+    nblk = len(rowsb)
+    data = rng.rand(nblk, Rb, Rb).astype(np.float32)
+    indptr = np.searchsorted(rowsb, np.arange(nb_rows + 1))
+    A = sp.bsr_matrix((data, colsb, indptr), shape=(n, n))
+    t_sp = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        Cs = A @ A
+        dt = time.perf_counter() - t0
+        t_sp = dt if t_sp is None else min(t_sp, dt)
+    Ab = BSR(n, n, Rb, Rb, jnp.asarray(indptr.astype(np.int64)),
+             jnp.asarray(colsb), jnp.asarray(data), nnz_blocks=nblk)
+    plan = BSRMatMatPlan(Ab, Ab)
+    d0 = jnp.asarray(data)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(p, d, R):
+        def body(dd, _):
+            out = p.numeric(dd, dd)
+            s = (1.0 + 1e-12 * jnp.max(jnp.abs(out.data))).astype(dd.dtype)
+            return dd * s, None
+
+        o, _ = jax.lax.scan(body, d, None, length=R)
+        return p.numeric(o, o).data
+
+    R1 = max(reps // 6, 1)
+    c1 = chain.lower(plan, d0, R1).compile()
+    c2 = chain.lower(plan, d0, reps).compile()
+    per = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(plan, d0)[:8])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(plan, d0)[:8])
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    # full-output download for verification, untimed (72 MB)
+    got = np.asarray(c2(plan, d0))
+    Cb = sp.bsr_matrix((got, np.asarray(plan.indices),
+                        np.asarray(plan.indptr)), shape=(n, n)).tocsr()
+    ref = Cs.tocsr()
+    rel = float(abs(Cb - ref).max() / max(abs(ref).max(), 1e-30))
+    return {"per": per, "reps": reps, "out_nnz": int(Cs.nnz),
+            "scipy_t": t_sp, "rel_err": rel,
+            "correct": bool(rel < 1e-3)}
+
+
 def run_hbm_bw(reps: int):
     """Achievable HBM bandwidth of the attached chip (utils/roofline.py)
     — the denominator for every %-of-roofline metric below."""
@@ -870,6 +942,7 @@ _KINDS = {
     "refactor_general": run_refactor_general,
     "spgemm": run_spgemm,
     "spgemm_tpu": run_spgemm_tpu,
+    "spgemm_bsr": run_spgemm_bsr,
     "contingency": run_contingency,
     "ac_contingency": run_ac_contingency,
     "lodf": run_lodf,
@@ -1083,6 +1156,14 @@ def main():
         extra["spgemm_tpu_nnz_per_s"] = gm["out_nnz"] / gm["per"]
     else:
         extra["spgemm_tpu_error"] = str(gm.get("error",
+                                               gm.get("rel_err", "?")))
+
+    gm = _sub("spgemm_bsr", 12, timeout=600)
+    if gm.get("correct") and gm.get("per"):
+        extra["spgemm_bsr_nnz_per_s"] = gm["out_nnz"] / gm["per"]
+        extra["spgemm_bsr_scipy_nnz_per_s"] = gm["out_nnz"] / gm["scipy_t"]
+    else:
+        extra["spgemm_bsr_error"] = str(gm.get("error",
                                                gm.get("rel_err", "?")))
 
     nnz = extra.get("spmv_nnz", 0)
