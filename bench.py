@@ -429,7 +429,6 @@ def run_refactor(reps: int):
     from csparse3_tpu.linalg import BandedLU, BandedRefactor
     from csparse3_tpu.models.grids import synthetic_grid
 
-    ng = 3000
     g2 = synthetic_grid(ng, seed=1)
     bp = 1.0 / g2.x
     rows = np.concatenate([g2.f, g2.t, g2.f, g2.t])
@@ -479,7 +478,7 @@ def run_refactor(reps: int):
             "correct": bool(res < 1e-3)}
 
 
-def run_refactor_general(reps: int):
+def run_refactor_general(reps: int, ng: int = 3000):
     """General-pattern device refactorization: the multifrontal
     matmul-extend-add sweep (linalg/multifrontal.py) on an ND-ordered
     (non-banded-plan) factorization — all per-level arbitrary-index
@@ -496,7 +495,6 @@ def run_refactor_general(reps: int):
     from csparse3_tpu.linalg import MultifrontalRefactor, splu
     from csparse3_tpu.models.grids import synthetic_grid
 
-    ng = 3000
     g2 = synthetic_grid(ng, seed=1)
     bp = 1.0 / g2.x
     rows = np.concatenate([g2.f, g2.t, g2.f, g2.t])
@@ -728,6 +726,13 @@ def run_spgemm_bsr(reps: int):
             "correct": bool(rel < 1e-3)}
 
 
+def run_refactor_general10k(reps: int):
+    """Scale point for the multifrontal refactorization (10k nodes,
+    ND): bucketed fronts keep the padded volume linear-ish (28.8M
+    floats vs 314M unbucketed)."""
+    return run_refactor_general(reps, ng=10_000)
+
+
 def run_hbm_bw(reps: int):
     """Achievable HBM bandwidth of the attached chip (utils/roofline.py)
     — the denominator for every %-of-roofline metric below."""
@@ -940,6 +945,7 @@ _KINDS = {
     "factor100k": run_factor100k,
     "refactor": run_refactor,
     "refactor_general": run_refactor_general,
+    "refactor_general10k": run_refactor_general10k,
     "spgemm": run_spgemm,
     "spgemm_tpu": run_spgemm_tpu,
     "spgemm_bsr": run_spgemm_bsr,
@@ -1134,6 +1140,13 @@ def main():
         extra["refactor_general_per_s"] = 1.0 / a["per"]
     else:
         extra["refactor_general_error"] = str(
+            a.get("error", a.get("rel_err", "?")))
+
+    a = _sub("refactor_general10k", 15, timeout=600)
+    if a.get("correct") and a.get("per"):
+        extra["refactor_general10k_per_s"] = 1.0 / a["per"]
+    else:
+        extra["refactor_general10k_error"] = str(
             a.get("error", a.get("rel_err", "?")))
 
     gm = _sub("spgemm", 9)

@@ -28,6 +28,14 @@ Everything between is MXU work:
     solve    L21 = B U11^{-1},  U12 = L11^{-1} C          [triangular]
     update   W = F22 - L21 @ U12                            [MXU gemm]
 
+Fronts within a level are additionally split into SIZE BUCKETS
+(boundaries at r <= 32 / 128 / inf): with top-down leveling a hoisted
+leaf shares its level with big separators, and one 300-wide front
+would otherwise pad a thousand 8-wide fronts to 300^2 (measured 314M
+padded front floats at 10k nodes without bucketing).  Each bucket is
+its own batched pipeline; extend-add runs per (parent-bucket,
+child-bucket) pair.
+
 Pivot order is FROZEN from the host factorization (KLU-style
 refactorization semantics, same contract as ``RefactorPlan`` /
 ``SupernodalRefactor``): requires a no-row-exchange host factor of a
@@ -52,6 +60,16 @@ from .supernodal import _dense_lu_nopiv, _pattern_symmetric
 from .trisolve import TriSolvePlan
 
 __all__ = ["MultifrontalRefactor"]
+
+_BUCKETS = (32, 128)     # rmax boundaries: <=32, <=128, unbounded
+
+
+def _groupby(keys, nkeys):
+    """order, bounds such that order[bounds[k]:bounds[k+1]] are the
+    positions with key k (replaces per-key flatnonzero scans)."""
+    order = np.argsort(keys, kind="stable")
+    bounds = np.searchsorted(keys[order], np.arange(nkeys + 1))
+    return order, bounds
 
 
 @jax.tree_util.register_pytree_node_class
@@ -115,17 +133,19 @@ class MultifrontalRefactor:
                 R2 = Li[Lp[a2]:Lp[a2 + 1]]
                 w_new = int(b2 - cur_a)
                 chain = parent[cur_b - 1] == a2
-                R_new = np.union1d(cur_R, R2)
-                ent_new = cur_ent + int(Lp[b2] - Lp[a2])
-                z = 1.0 - ent_new / max(len(R_new) * w_new, 1)
-                if chain and w_new <= relax and _graded_ok(w_new, z):
-                    cur_b, cur_R, cur_ent = b2, R_new, ent_new
-                else:
-                    starts.append(int(a2))
-                    srows.append(cur_R)
-                    cur_a, cur_b, cur_R = a2, b2, R2
-                    cur_ent = int(Lp[b2] - Lp[a2])
+                if chain and w_new <= relax:
+                    R_new = np.union1d(cur_R, R2)
+                    ent_new = cur_ent + int(Lp[b2] - Lp[a2])
+                    z = 1.0 - ent_new / max(len(R_new) * w_new, 1)
+                    if _graded_ok(w_new, z):
+                        cur_b, cur_R, cur_ent = b2, R_new, ent_new
+                        continue
+                starts.append(int(a2))
+                srows.append(cur_R)
+                cur_a, cur_b, cur_R = a2, b2, R2
+                cur_ent = int(Lp[b2] - Lp[a2])
             srows.append(cur_R)
+
             # keep the merged partition only when it actually cuts the
             # sequential level depth (chain-heavy patterns); on
             # dissection-style orderings merging buys nothing and the
@@ -150,50 +170,65 @@ class MultifrontalRefactor:
             # save), while chain-like patterns merge at ratios ~0.25
             if _depth(starts, srows) > 0.6 * _depth(fstarts[:-1],
                                                     f_srows):
-                starts, srows = fstarts[:-1] + [], f_srows
-                starts = list(starts)
+                starts, srows = list(fstarts[:-1]), f_srows
         else:
             starts = fstarts[:-1]
             srows = [Li[Lp[s]:Lp[s + 1]] for s in starts]
         if starts[-1] != n:
             starts.append(n)
         ns = len(starts) - 1
-        snode_of = np.empty(n, dtype=np.int64)
-        widths = np.empty(ns, dtype=np.int64)
-        for s in range(ns):
-            snode_of[starts[s]:starts[s + 1]] = s
-            widths[s] = starts[s + 1] - starts[s]
+        starts_np = np.asarray(starts, dtype=np.int64)
+        widths = np.diff(starts_np)
+        snode_of = np.repeat(np.arange(ns, dtype=np.int64), widths)
 
         # snode etree: parent = snode of the first off-block row
-        parent_s = np.full(ns, -1, dtype=np.int64)
+        parent_s = np.full(ns, ns, dtype=np.int64)   # ns = "no parent"
         for s in range(ns):
-            w = widths[s]
-            if len(srows[s]) > w:
-                parent_s[s] = snode_of[srows[s][w]]
+            if len(srows[s]) > widths[s]:
+                parent_s[s] = snode_of[srows[s][widths[s]]]
 
         # ---- top-down leveling: child level == parent level - 1 --------
-        # so every front's children were ALL produced at the previous
-        # level and their W blocks come out of one tensor.  A front at
-        # level 0 is necessarily childless (a child would need level -1).
+        # (so every front's children were ALL produced at the previous
+        # level).  A front at level 0 is necessarily childless.
         height = np.ones(ns, dtype=np.int64)
         for s in range(ns):                       # children first (s < p)
             p = parent_s[s]
-            if p >= 0:
+            if p < ns:
                 height[p] = max(height[p], height[s] + 1)
         nlev = int(height.max()) if ns else 0
         lev = np.empty(ns, dtype=np.int64)
         for s in range(ns - 1, -1, -1):           # parents first
             p = parent_s[s]
-            lev[s] = (height[s] - 1) if p < 0 else lev[p] - 1
-        by_level = [np.flatnonzero(lev == L) for L in range(nlev)]
+            lev[s] = (height[s] - 1) if p >= ns else lev[p] - 1
+
+        # ---- bucketed groups: (level, size class) -----------------------
+        rsz = np.asarray([len(R) for R in srows], dtype=np.int64)
+        u_sz = rsz - widths
+        kind = np.zeros(ns, dtype=np.int64)
+        for t in _BUCKETS:
+            kind += rsz > t
+        # group id per snode; groups ordered by (level, kind)
+        gkey = lev * (len(_BUCKETS) + 1) + kind
+        order_g, gb = _groupby(gkey, nlev * (len(_BUCKETS) + 1))
+        group_sids = []           # snode ids per group
+        group_of = np.empty(ns, dtype=np.int64)
         slot_of = np.empty(ns, dtype=np.int64)
-        for L in range(nlev):
-            slot_of[by_level[L]] = np.arange(len(by_level[L]))
+        group_level = []
+        for gk in range(nlev * (len(_BUCKETS) + 1)):
+            sids = order_g[gb[gk]:gb[gk + 1]]
+            if not len(sids):
+                continue
+            gid = len(group_sids)
+            group_sids.append(sids)
+            group_of[sids] = gid
+            slot_of[sids] = np.arange(len(sids))
+            group_level.append(gk // (len(_BUCKETS) + 1))
+        ngroups = len(group_sids)
+        groups_at = [[] for _ in range(nlev)]
+        for gid, L in enumerate(group_level):
+            groups_at[L].append(gid)
 
         # ---- A-value assembly map (one scatter per refactorization) ----
-        # A entry (pr, pc) is assembled into the front of the snode that
-        # owns min(pr, pc); the other index is inside that front's rows
-        # (struct containment).
         pinv = np.empty(n, dtype=np.int64)
         pinv[np.asarray(host.perm_r)] = np.arange(n)
         qinv = np.empty(n, dtype=np.int64)
@@ -203,36 +238,31 @@ class MultifrontalRefactor:
         pr = pinv[np.asarray(rows_a, dtype=np.int64)]
         pc = qinv[acols]
         owner = snode_of[np.minimum(pr, pc)]
+        a_order, a_bounds = _groupby(owner, ns)
+        u_owner = snode_of[Ui]                     # U(r, c): row's snode
+        u_order, u_bounds = _groupby(u_owner, ns)
+        c_order, c_bounds = _groupby(parent_s, ns + 1)  # children lists
 
-        # ---- per-level static structures --------------------------------
-        # front layout at level L: axes 0..w-1 = snode columns, slots
-        # w_max..w_max+u-1 = off-block rows (both axes of the square
-        # front use the same slot rule)
-        levels_static = []
-        colmasks, child_idxs, Es, a_maps = [], [], [], []
-        a_dst = np.empty(len(pr), dtype=np.int64)      # level-local flat
-        exL_lvl = np.empty(lnz, dtype=np.int64)
+        # ---- per-group static structures --------------------------------
+        # front layout: axes 0..w-1 = snode columns, slots
+        # w_max..w_max+u-1 = off-block rows (both axes)
+        exL_gid = np.empty(lnz, dtype=np.int64)
         exL_off = np.empty(lnz, dtype=np.int64)
-        exU_lvl = np.empty(unz, dtype=np.int64)
+        exU_gid = np.empty(unz, dtype=np.int64)
         exU_off = np.empty(unz, dtype=np.int64)
-        # U entries grouped by the snode owning their ROW index (the
-        # front that finalizes them)
-        u_owner = snode_of[Ui]
-
-        prev_umax = 1
-        for L in range(nlev):
-            sids = by_level[L]
+        group_static = []      # (nb, w_max, u_max, rmax)
+        colmasks, a_maps = [], []
+        child_tabs = []        # per group: list of (src_gid, idx, E)
+        for gid, sids in enumerate(group_sids):
+            L = group_level[gid]
             nb = len(sids)
             w_max = int(widths[sids].max())
-            u_max = int(max(max(len(srows[s]) - widths[s]
-                                for s in sids), 1))
+            u_max = int(max(u_sz[sids].max(), 1))
             rmax = w_max + u_max
-            childs = [np.flatnonzero(parent_s == s) for s in sids]
-            maxc = int(max((len(c) for c in childs), default=0))
             colmask = np.zeros((nb, w_max), dtype=bool)
-            child_idx = np.zeros((nb, max(maxc, 1)), dtype=np.int64)
-            E = np.zeros((nb, max(maxc, 1), rmax, prev_umax),
-                         dtype=np.float32)
+            a_sel_parts, a_dst_parts = [], []
+            # children grouped by THEIR group (all at level L-1)
+            kids_by_src = {}
             for b, s in enumerate(sids):
                 w = int(widths[s])
                 R = srows[s]
@@ -241,55 +271,76 @@ class MultifrontalRefactor:
                 def _slot(i):
                     return np.where(i < w, i, w_max + (i - w))
 
-                for ci, c in enumerate(childs[b]):
-                    wc = int(widths[c])
-                    offc = srows[c][wc:]          # child W rows/cols
-                    child_idx[b, ci] = slot_of[c]
-                    loc = np.searchsorted(R, offc)
-                    if not np.array_equal(
-                            R[np.minimum(loc, len(R) - 1)], offc):
-                        raise AssertionError(
-                            "multifrontal containment violated: child "
-                            "off-block row missing from parent front")
-                    E[b, ci, _slot(loc), np.arange(len(offc))] = 1.0
+                for c in c_order[c_bounds[s]:c_bounds[s + 1]]:
+                    src = int(group_of[c])
+                    kids_by_src.setdefault(src, []).append((b, c))
                 # A assembly destinations owned by this front
-                sel = np.flatnonzero(owner == s)
+                sel = a_order[a_bounds[s]:a_bounds[s + 1]]
                 if len(sel):
                     ri = _slot(np.searchsorted(R, pr[sel]))
                     ci2 = _slot(np.searchsorted(R, pc[sel]))
-                    a_dst[sel] = b * rmax * rmax + ri * rmax + ci2
-                # L extraction: column j1+jj lives in front column jj,
-                # rows at the slots of struct(j1+jj)
-                j1 = starts[s]
+                    a_sel_parts.append(sel)
+                    a_dst_parts.append(b * rmax * rmax + ri * rmax + ci2)
+                # L extraction: column j1+jj -> front column jj
+                j1 = int(starts_np[s])
                 for jj in range(w):
-                    c = j1 + jj
-                    rs = _slot(np.searchsorted(R, Li[Lp[c]:Lp[c + 1]]))
-                    posl = np.arange(Lp[c], Lp[c + 1])
-                    exL_lvl[posl] = L
+                    c2 = j1 + jj
+                    rs = _slot(np.searchsorted(R, Li[Lp[c2]:Lp[c2 + 1]]))
+                    posl = np.arange(Lp[c2], Lp[c2 + 1])
+                    exL_gid[posl] = gid
                     exL_off[posl] = b * rmax * rmax + rs * rmax + jj
-                # U extraction: U(r, c) with r in this snode's columns
-                # sits at front (row slot of r < w, col slot of c)
-                selu = np.flatnonzero(u_owner == s)
+                # U extraction: U(r, c) at (row slot of r < w, slot of c)
+                selu = u_order[u_bounds[s]:u_bounds[s + 1]]
                 if len(selu):
-                    rs = Ui[selu] - j1            # row slot (< w)
+                    rs = Ui[selu] - j1
                     cs = _slot(np.searchsorted(R, colsU[selu]))
-                    exU_lvl[selu] = L
+                    exU_gid[selu] = gid
                     exU_off[selu] = b * rmax * rmax + rs * rmax + cs
-            sel_L = np.flatnonzero(lev[owner] == L)
-            a_maps.append((jnp.asarray(sel_L), jnp.asarray(a_dst[sel_L])))
-            levels_static.append((nb, w_max, u_max, rmax, maxc))
+            # child tables per source group
+            tabs = []
+            for src, pairs in sorted(kids_by_src.items()):
+                # per parent front b: its children from group src
+                per_b = {}
+                for b, c in pairs:
+                    per_b.setdefault(b, []).append(c)
+                maxc = max(len(v) for v in per_b.values())
+                idx = np.zeros((nb, maxc), dtype=np.int64)
+                src_umax = int(max(u_sz[group_sids[src]].max(), 1))
+                E = np.zeros((nb, maxc, rmax, src_umax), dtype=np.float32)
+                for b, cs_ in per_b.items():
+                    s = sids[b]
+                    w = int(widths[s])
+                    R = srows[s]
+                    for ci, c in enumerate(cs_):
+                        wc = int(widths[c])
+                        offc = srows[c][wc:]
+                        idx[b, ci] = slot_of[c]
+                        loc = np.searchsorted(R, offc)
+                        if not np.array_equal(
+                                R[np.minimum(loc, len(R) - 1)], offc):
+                            raise AssertionError(
+                                "multifrontal containment violated: "
+                                "child off row missing from parent")
+                        rslot = np.where(loc < w, loc,
+                                         w_max + (loc - w))
+                        E[b, ci, rslot, np.arange(len(offc))] = 1.0
+                tabs.append((src, jnp.asarray(idx), jnp.asarray(E)))
+            group_static.append((nb, w_max, u_max, rmax))
             colmasks.append(jnp.asarray(colmask))
-            child_idxs.append(jnp.asarray(child_idx))
-            Es.append(jnp.asarray(E))
-            prev_umax = u_max
+            a_sel = (np.concatenate(a_sel_parts) if a_sel_parts
+                     else np.zeros(0, dtype=np.int64))
+            a_dst = (np.concatenate(a_dst_parts) if a_dst_parts
+                     else np.zeros(0, dtype=np.int64))
+            a_maps.append((jnp.asarray(a_sel), jnp.asarray(a_dst)))
+            child_tabs.append(tabs)
 
         # flatten extraction into ONE gather over concatenated fronts
-        base = np.zeros(nlev + 1, dtype=np.int64)
-        for L in range(nlev):
-            nb, _, _, rmax, _ = levels_static[L]
-            base[L + 1] = base[L] + nb * rmax * rmax
-        self._exL = jnp.asarray(base[exL_lvl] + exL_off)
-        self._exU = jnp.asarray(base[exU_lvl] + exU_off)
+        base = np.zeros(ngroups + 1, dtype=np.int64)
+        for gid in range(ngroups):
+            nb, _, _, rmax = group_static[gid]
+            base[gid + 1] = base[gid] + nb * rmax * rmax
+        self._exL = jnp.asarray(base[exL_gid] + exL_off)
+        self._exU = jnp.asarray(base[exU_gid] + exU_off)
         # L's stored diagonal is unit; the front diagonal holds U11's
         # pivots, so mask those positions to 1 after the gather
         self._l_diag = jnp.asarray(Li == colsL)
@@ -299,11 +350,15 @@ class MultifrontalRefactor:
         self.dtype = host.Lx.dtype
         self.nsnodes = ns
         self.nlevels = nlev
-        self.levels_static = tuple(levels_static)
+        self.ngroups = ngroups
+        self.group_static = tuple(group_static)
+        self.groups_at = tuple(tuple(g) for g in groups_at)
+        self.child_srcs = tuple(
+            tuple(src for (src, _, _) in tabs) for tabs in child_tabs)
         self._colmask = colmasks
-        self._child_idx = child_idxs
-        self._E = Es
         self._a_maps = a_maps
+        self._child_tabs = [[(i_, E_) for (_, i_, E_) in tabs]
+                            for tabs in child_tabs]
         self.perm_r = jnp.asarray(np.asarray(host.perm_r))
         self.perm_c = jnp.asarray(np.asarray(host.perm_c))
         # solve plumbing shared with RefactorPlan (slab retargeting)
@@ -320,14 +375,15 @@ class MultifrontalRefactor:
 
     # ---- pytree ----------------------------------------------------------
     def tree_flatten(self):
-        leaves = (self._colmask, self._child_idx, self._E, self._a_maps,
+        leaves = (self._colmask, self._a_maps, self._child_tabs,
                   self._exL, self._exU, self._l_diag,
                   self.perm_r, self.perm_c, self._ltpl, self._utpl,
                   self._l_slab[0], self._l_slab[1],
                   self._u_slab[0], self._u_slab[1],
                   self._l_offpos, self._u_offpos, self._u_diagpos)
         aux = (self.n, self.lnz, self.unz, self.dtype, self.nsnodes,
-               self.nlevels, self.levels_static,
+               self.nlevels, self.ngroups, self.group_static,
+               self.groups_at, self.child_srcs,
                self._l_slab[2], self._u_slab[2])
         return leaves, aux
 
@@ -335,8 +391,9 @@ class MultifrontalRefactor:
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.n, obj.lnz, obj.unz, obj.dtype, obj.nsnodes, obj.nlevels,
-         obj.levels_static, lmeta, umeta) = aux
-        (obj._colmask, obj._child_idx, obj._E, obj._a_maps,
+         obj.ngroups, obj.group_static, obj.groups_at, obj.child_srcs,
+         lmeta, umeta) = aux
+        (obj._colmask, obj._a_maps, obj._child_tabs,
          obj._exL, obj._exU, obj._l_diag, obj.perm_r, obj.perm_c,
          obj._ltpl, obj._utpl, l0, l1, u0, u1,
          obj._l_offpos, obj._u_offpos, obj._u_diagpos) = leaves
@@ -349,47 +406,50 @@ class MultifrontalRefactor:
         """(Lx, Ux) for the original pattern with ``new_data`` values."""
         new_data = jnp.asarray(new_data)
         dtype = jnp.result_type(new_data.dtype, self.dtype)
-        front_flats = []
-        W_prev = None
+        front_flats = [None] * self.ngroups
+        W_out = [None] * self.ngroups
         with jax.default_matmul_precision("highest"):
             for L in range(self.nlevels):
-                nb, w_max, u_max, rmax, maxc = self.levels_static[L]
-                colmask = self._colmask[L]
-                sel, dst = self._a_maps[L]
-                F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
-                F = F.at[dst].add(new_data[sel])
-                F = F.reshape(nb, rmax, rmax)
-                if maxc and W_prev is not None:
-                    E = self._E[L].astype(dtype)
-                    CW = W_prev[self._child_idx[L]]  # (nb, maxc, up, up)
-                    # extend-add as two batched MXU matmuls
-                    T = jnp.einsum("bcij,bcjk->bcik", E, CW)
-                    F = F + jnp.einsum("bcik,bclk->bil", T, E)
-                # factor the pivot block (padded cols get unit diagonal)
-                eye = jnp.eye(w_max, dtype=dtype)[None]
-                D = F[:, :w_max, :w_max] + eye * (
-                    ~colmask[:, None, :]
-                    & (jnp.arange(w_max)[:, None]
-                       == jnp.arange(w_max)[None, :])[None])
-                M = _dense_lu_nopiv(D)
-                U11 = jnp.triu(M)
-                L11 = jnp.tril(M, -1) + eye
-                B = F[:, w_max:, :w_max]
-                C = F[:, :w_max, w_max:]
-                L21 = jnp.swapaxes(
-                    jax.scipy.linalg.solve_triangular(
-                        U11, jnp.swapaxes(B, 1, 2), trans="T",
-                        lower=False),
-                    1, 2)
-                U12 = jax.scipy.linalg.solve_triangular(
-                    L11, C, lower=True, unit_diagonal=True)
-                W_prev = F[:, w_max:, w_max:] - L21 @ U12
-                # final front values: M in the pivot block, U12 right,
-                # L21 below; the off/off region is never extracted
-                top = jnp.concatenate([M, U12], axis=2)
-                bot = jnp.concatenate([L21, W_prev], axis=2)
-                front_flats.append(
-                    jnp.concatenate([top, bot], axis=1).reshape(-1))
+                for gid in self.groups_at[L]:
+                    nb, w_max, u_max, rmax = self.group_static[gid]
+                    colmask = self._colmask[gid]
+                    sel, dst = self._a_maps[gid]
+                    F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
+                    F = F.at[dst].add(new_data[sel])
+                    F = F.reshape(nb, rmax, rmax)
+                    for src, (idx, E) in zip(self.child_srcs[gid],
+                                             self._child_tabs[gid]):
+                        Ec = E.astype(dtype)
+                        CW = W_out[src][idx]   # (nb, maxc, us, us)
+                        # extend-add as two batched MXU matmuls
+                        T = jnp.einsum("bcij,bcjk->bcik", Ec, CW)
+                        F = F + jnp.einsum("bcik,bclk->bil", T, Ec)
+                    # factor pivot block (padded cols get unit diagonal)
+                    eye = jnp.eye(w_max, dtype=dtype)[None]
+                    D = F[:, :w_max, :w_max] + eye * (
+                        ~colmask[:, None, :]
+                        & (jnp.arange(w_max)[:, None]
+                           == jnp.arange(w_max)[None, :])[None])
+                    M = _dense_lu_nopiv(D)
+                    U11 = jnp.triu(M)
+                    L11 = jnp.tril(M, -1) + eye
+                    B = F[:, w_max:, :w_max]
+                    C = F[:, :w_max, w_max:]
+                    L21 = jnp.swapaxes(
+                        jax.scipy.linalg.solve_triangular(
+                            U11, jnp.swapaxes(B, 1, 2), trans="T",
+                            lower=False),
+                        1, 2)
+                    U12 = jax.scipy.linalg.solve_triangular(
+                        L11, C, lower=True, unit_diagonal=True)
+                    W = F[:, w_max:, w_max:] - L21 @ U12
+                    W_out[gid] = W
+                    # final front values: M pivot block, U12 right,
+                    # L21 below; the off/off region is never extracted
+                    top = jnp.concatenate([M, U12], axis=2)
+                    bot = jnp.concatenate([L21, W], axis=2)
+                    front_flats[gid] = jnp.concatenate(
+                        [top, bot], axis=1).reshape(-1)
         flat = (jnp.concatenate(front_flats) if front_flats
                 else jnp.zeros((0,), dtype))
         Lx = jnp.where(self._l_diag, jnp.ones((), dtype), flat[self._exL])

@@ -117,3 +117,27 @@ def test_dense_tail_and_deep_tree():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(Ux), lu._h.Ux, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_grad_flows_through_refactor_solve():
+    """factor_values is pure jnp ops, so AD works end-to-end: gradient
+    of a solve wrt the matrix values (same contract as the trisolve
+    differentiability tests)."""
+    A = _grid_system(120, seed=7)
+    lu = splu(A, ordering="amd", tol=0.0)
+    mf = MultifrontalRefactor(lu._h, A)
+    d0 = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    b = jnp.asarray(np.random.RandomState(1).rand(120).astype(np.float32))
+
+    def loss(d):
+        return jnp.sum(mf.refactor(d)(b) ** 2)
+
+    g = jax.grad(loss)(d0)
+    assert np.isfinite(np.asarray(g)).all()
+    # finite-difference check on one entry
+    e = 1e-2
+    k = 3
+    lp = loss(d0.at[k].add(e))
+    lm = loss(d0.at[k].add(-e))
+    fd = (lp - lm) / (2 * e)
+    assert abs(float(g[k]) - float(fd)) <= 2e-2 * max(abs(float(fd)), 1.0)
