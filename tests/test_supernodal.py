@@ -25,10 +25,11 @@ def _grid_system(n, seed, shift=3.0):
 
 
 @pytest.mark.parametrize("ordering", ["amd", "nd", "rcm"])
-def test_factor_matches_host(ordering):
+@pytest.mark.parametrize("relax", [1, 16])
+def test_factor_matches_host(ordering, relax):
     A = _grid_system(500, seed=1)
     lu = splu(A, ordering=ordering, tol=0.0)
-    sr = SupernodalRefactor(lu._h, A)
+    sr = SupernodalRefactor(lu._h, A, relax=relax)
     Lx, Ux = jax.jit(sr.factor_values)(np.asarray(A.np_arrays()[2]))
     np.testing.assert_allclose(np.asarray(Lx), lu._h.Lx, rtol=2e-5,
                                atol=2e-5 * np.abs(lu._h.Lx).max())
