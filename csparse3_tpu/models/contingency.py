@@ -199,8 +199,25 @@ class DCContingency:
         red[keep] = np.arange(len(keep))
         Br = B[keep, keep]
 
-        lu = splu(Br, ordering=ordering)
-        self._rp = lu.refactor_plan(Br)
+        # B' is a diagonally dominant reduced Laplacian: a no-pivot ND
+        # factorization is stable and lets the vmapped per-scenario
+        # refactorization ride the multifrontal matmul-extend-add path
+        # (linalg/multifrontal.py) instead of the scalar level-scheduled
+        # plan; fall back to RefactorPlan for anything it refuses.
+        self._rp = None
+        if ordering in ("auto", "nd", "amd", "rcm"):
+            try:
+                from ..linalg.multifrontal import MultifrontalRefactor
+
+                lu0 = splu(
+                    Br, ordering="nd" if ordering == "auto" else ordering,
+                    tol=0.0)
+                self._rp = MultifrontalRefactor(lu0._h, Br)
+            except (ValueError, AssertionError):
+                self._rp = None
+        if self._rp is None:
+            lu = splu(Br, ordering=ordering)
+            self._rp = lu.refactor_plan(Br)
         _, _, base = Br.np_arrays()
 
         # per-branch outage stamp: up to 4 (position, delta) pairs in the
