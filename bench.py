@@ -330,6 +330,8 @@ def run_solve100k(reps: int, n: int = 100_000):
         "factor_s": t_factor,
         # factor stacks + RHS in + X out per solve
         "bytes_per_op": plan_bytes(plan) + 2 * n * B * 4,
+        # sweep matmul flops per solve: fwd 1 + bwd 2 (s,s)@(s,B) per block
+        "flops_per_op": plan.nblocks * 3 * 2.0 * plan.s ** 2 * B,
         "rel_err": err,
         # f32 device sweeps vs f64-math-on-f32-factors host twin drift
         "correct": bool(err < 5e-2),
@@ -737,6 +739,15 @@ def run_refactor_general10k(reps: int):
     return run_refactor_general(reps, ng=10_000)
 
 
+def run_mxu_f32(reps: int):
+    """Achievable f32-('highest')-precision matmul FLOP/s — the compute
+    roofline denominator for the MXU-bound solve sweeps."""
+    import csparse3_tpu  # noqa: F401  (platform/env setup)
+    from csparse3_tpu.utils.roofline import measure_mxu_f32
+
+    return {"tflops": measure_mxu_f32(reps=reps) / 1e12}
+
+
 def run_hbm_bw(reps: int):
     """Achievable HBM bandwidth of the attached chip (utils/roofline.py)
     — the denominator for every %-of-roofline metric below."""
@@ -942,6 +953,7 @@ _KINDS = {
     "spmv_bp": run_spmv_bp,
     "spmv_bp_small": run_spmv_bp_small,
     "hbm_bw": run_hbm_bw,
+    "mxu_f32": run_mxu_f32,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "solve100k": run_solve100k,
@@ -1036,6 +1048,13 @@ def main():
     else:
         extra["hbm_bw_error"] = str(bwp.get("error", "?"))
 
+    mx = _sub("mxu_f32", 32)
+    mxu_fs = (mx.get("tflops") or 0.0) * 1e12
+    if mxu_fs:
+        extra["mxu_f32_tflops"] = round(mxu_fs / 1e12, 2)
+    else:
+        extra["mxu_f32_error"] = str(mx.get("error", "?"))
+
     sc = _sub(scipy_kind, 5)
     if "error" not in sc:
         extra["spmv_scipy_t_s"] = sc["t"]
@@ -1076,6 +1095,11 @@ def main():
         if hbm_bw and a.get("bytes_per_op"):
             extra["solve100k_pct_roofline"] = round(
                 100.0 * (a["bytes_per_op"] / per_100k) / hbm_bw, 1)
+        if mxu_fs and a.get("flops_per_op"):
+            # the sweeps are compute-bound at 'highest' precision: the
+            # honest roofline is the measured f32-matmul peak
+            extra["solve100k_pct_mxu"] = round(
+                100.0 * (a["flops_per_op"] / per_100k) / mxu_fs, 1)
     else:
         extra["solve100k_error"] = str(a.get("error", "no delta"))
 

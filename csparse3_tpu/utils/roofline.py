@@ -26,8 +26,49 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["measure_hbm_bw", "plan_bytes", "pct_roofline", "tflops",
-           "thomas_factor_flops"]
+__all__ = ["measure_hbm_bw", "measure_mxu_f32", "plan_bytes",
+           "pct_roofline", "tflops", "thomas_factor_flops"]
+
+
+def measure_mxu_f32(n: int = 4096, reps: int = 32, trials: int = 3):
+    """Achievable f32 ('highest' precision) matmul FLOP/s of the chip.
+
+    The compute-roofline denominator for MXU-bound kernels (the banded
+    solve sweeps are (s,s)@(s,B) chains at 'highest', i.e. multi-pass
+    bf16 — the relevant peak is the MEASURED f32-matmul rate, not the
+    datasheet bf16 number).  Chained-delta over dependent matmuls.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    x0 = jnp.eye(n, dtype=jnp.float32) * 1.0000001
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(x, R):
+        with jax.default_matmul_precision("highest"):
+            def body(c, _):
+                y = c @ c
+                return y / jnp.max(jnp.abs(y)), None
+
+            o, _ = jax.lax.scan(body, x, None, length=R)
+        return o[:2, :2]
+
+    r1 = max(reps // 8, 1)
+    c1 = chain.lower(x0, r1).compile()
+    c2 = chain.lower(x0, reps).compile()
+    per = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(c1(x0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(x0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - r1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    return 2.0 * n ** 3 / per if per else 0.0
 
 
 def measure_hbm_bw(mb: int = 256, reps: int = 64, trials: int = 3):
