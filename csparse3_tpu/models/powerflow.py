@@ -335,10 +335,14 @@ class NewtonPowerFlow:
         """spmv: 'ell', 'dia' (gather-free banded slabs; pair with
         models.grids.rcm_grid so Ybus is banded), or 'symdia' (see
         FastDecoupled).
-        solver: 'level' (KLU-style RefactorPlan + level-scheduled solve)
-        or 'blocklu' (block-Thomas BandedRefactor: the Jacobian, RCM-
+        solver: 'level' (KLU-style RefactorPlan + level-scheduled solve),
+        'blocklu' (block-Thomas BandedRefactor: the Jacobian, RCM-
         reordered, refactors as dense MXU block recurrences — the
-        scalable per-iteration path on banded grids)."""
+        scalable per-iteration path on banded grids), or 'multifrontal'
+        (no-pivot ND factorization + MultifrontalRefactor: per-iteration
+        refactorization as matmul extend-add fronts — static pivoting,
+        the standard power-flow practice, so the Jacobian must factor
+        stably without row exchanges)."""
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
@@ -400,6 +404,16 @@ class NewtonPowerFlow:
             from ..linalg import BandedLU
 
             self._rp = BandedLU(J0).refactor_plan(J0)
+        elif solver == "multifrontal":
+            from ..linalg.multifrontal import MultifrontalRefactor
+
+            lu = splu(J0, ordering="nd" if ordering == "auto"
+                      else ordering, tol=0.0)
+            if lu.is_singular:
+                raise ValueError(
+                    "no-pivot factorization of the base Jacobian hit a "
+                    "zero pivot; use solver='level'")
+            self._rp = MultifrontalRefactor(lu._h, J0)
         else:
             lu = splu(J0, ordering=ordering)
             self._rp = lu.refactor_plan(J0)

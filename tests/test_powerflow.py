@@ -250,3 +250,19 @@ def test_device_newton_blocklu_matches_host():
     assert res < 1e-7
     np.testing.assert_allclose(vm, vmh, atol=1e-7)
     np.testing.assert_allclose(va, vah, atol=1e-7)
+
+
+def test_device_newton_multifrontal_matches_host():
+    """NewtonPowerFlow(solver='multifrontal'): per-iteration Jacobian
+    refactorization as matmul extend-add fronts (static pivoting); must
+    reach the host solution."""
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow, newton_raphson
+
+    g = synthetic_grid(120, seed=14)
+    vmh, vah, ith, resh = newton_raphson(g, tol=1e-10)
+    npf = NewtonPowerFlow(g, tol=1e-10, solver="multifrontal")
+    vm, va, it, res = npf.solve()
+    assert res < 1e-8
+    np.testing.assert_allclose(np.asarray(vm), vmh, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(va), vah, atol=1e-7)
