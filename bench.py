@@ -81,6 +81,9 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     xr0 = rng.rand(n).astype(np.float32)
     xi0 = rng.rand(n).astype(np.float32)
 
+    VROWS = 4096   # verified rows (the global renorm makes every row
+    #                depend on the whole chain; 32 KB download)
+
     @functools.partial(jax.jit, static_argnums=3)
     def many(p, a, b, R):
         def body(c, _):
@@ -89,16 +92,17 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
             return (yr * s, yi * s), None
 
         o, _ = jax.lax.scan(body, (a, b), None, length=R)
-        return o
+        return o[0][:VROWS], o[1][:VROWS]
 
     # in-process delta (see run_solve100k): two chain lengths compiled
-    # once, timed back-to-back per trial — per-download tunnel variance
-    # hits both sides of a pairing equally and cancels.
-    # full-result download: the only barrier this runtime honors is a data
-    # dependency, and a correct value PROVES execution completed in-window
-    R1 = max(reps // 16, 1)
+    # once, timed back-to-back per trial, TINY verified downloads and
+    # chains long enough (reps ~2560) that the compute delta stands far
+    # above per-download tunnel variance — short chains with MB-sized
+    # downloads recorded flattered deltas (down to 28 us/op for a
+    # kernel whose sustained wall-clock slope is ~400 us/op).
+    R1 = max(reps // 4, 1)
     xr_d, xi_d = jnp.asarray(xr0), jnp.asarray(xi0)
-    c1 = many.lower(plan, xr_d, xi_d, R1).compile()  # no transfers
+    c1 = many.lower(plan, xr_d, xi_d, R1).compile()
     c2 = many.lower(plan, xr_d, xi_d, reps).compile()
     per = None
     got_r = got_i = None
@@ -120,6 +124,7 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     for _ in range(reps):
         z = A @ z
         z = z / max(np.abs(z.real).max(), np.abs(z.imag).max())
+    z = z[:VROWS]
     scale = max(1e-30, np.abs(z).max())
     err = max(np.abs(got_r - z.real).max(), np.abs(got_i - z.imag).max())
     from csparse3_tpu.utils.roofline import plan_bytes
@@ -1006,9 +1011,9 @@ def main():
     # ~3 GB there (200x redundancy) and the upload alone can outlast the
     # subprocess budget on a degraded tunnel
     candidates = [  # (kind, scipy twin, fallback tag, reps)
-        ("spmv_bp", "scipy_spmv", None, 320),
-        ("spmv_bp_small", "scipy_spmv_small", "50k", 320),
-        ("spmv_small", "scipy_spmv_small", "50k", 160),
+        ("spmv_bp", "scipy_spmv", None, 2560),
+        ("spmv_bp_small", "scipy_spmv_small", "50k", 2560),
+        ("spmv_small", "scipy_spmv_small", "50k", 1280),
     ]
     per_spmv, a, scipy_kind = None, {}, "scipy_spmv"
     fail_log = {}
