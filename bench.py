@@ -120,6 +120,14 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
             per = d
 
     A = Yp.to_scipy().tocsr()
+    # strong value check: ONE full matvec vs scipy (the long chain
+    # converges to the dominant eigenvector, so its slice check mostly
+    # proves the chain executed; this one proves the values)
+    y1r, y1i = plan(jnp.asarray(xr0), jnp.asarray(xi0))
+    z1 = A @ (xr0.astype(np.complex64) + 1j * xi0.astype(np.complex64))
+    err1 = max(np.abs(np.asarray(y1r) - z1.real).max(),
+               np.abs(np.asarray(y1i) - z1.imag).max())
+    scale1 = max(1e-30, np.abs(z1).max())
     z = xr0.astype(np.complex64) + 1j * xi0.astype(np.complex64)
     for _ in range(reps):
         z = A @ z
@@ -127,6 +135,7 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     z = z[:VROWS]
     scale = max(1e-30, np.abs(z).max())
     err = max(np.abs(got_r - z.real).max(), np.abs(got_i - z.imag).max())
+    err = max(err / scale, err1 / scale1) * scale  # combined gate below
     from csparse3_tpu.utils.roofline import plan_bytes
 
     return {
