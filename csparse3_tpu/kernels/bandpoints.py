@@ -57,6 +57,33 @@ __all__ = ["OffsetsPlan", "SplitBandPoints", "points_spmv_pallas",
 # heavy-diagonal core: static-shift slabs
 # ---------------------------------------------------------------------------
 
+def _dot_onehot(A, Boh, dn=None):
+    """Exact-f32 dot of DATA against a 0/1 one-hot operand in THREE
+    single-pass MXU products.
+
+    The v5e MXU natively multiplies bf16; 'HIGHEST' emulates f32 x f32
+    with SIX bf16 passes.  A one-hot operand is bf16-EXACT, so only the
+    data side needs splitting: A = a1 + a2 + a3 with each part
+    bf16-representable (8+8+8 of f32's 24 mantissa bits), and the sum
+    of three DEFAULT-precision products reproduces the HIGHEST result
+    at half the MXU passes (measured: 403 -> 246 us per 200k matvec
+    for the supertile kernel, relerr unchanged at 2.2e-7)."""
+    a1 = A.astype(jnp.bfloat16).astype(jnp.float32)
+    r = A - a1
+    a2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    a3 = r - a2
+
+    def d(x):
+        if dn is None:
+            return jnp.dot(x, Boh, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+        return jax.lax.dot_general(
+            x, Boh, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    return d(a1) + d(a2) + d(a3)
+
+
 class OffsetsPlan:
     """SpMV over an explicit list of diagonals with static shifts.
 
@@ -206,10 +233,8 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         # starts provably 8-aligned and t + c0 is not)
         R = jnp.concatenate(
             [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
-        # HIGHEST: the v5e MXU truncates f32 operands to bf16 by default,
-        # costing ~2^-9 relative error on the gathered x values
-        Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # (2*KW, E)
+        # exact selection at half the HIGHEST passes: see _dot_onehot
+        Pg = _dot_onehot(R, M1)  # (2*KW, E)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         mask = (ksub == q).astype(jnp.float32)  # (KW, E)
         Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)  # (1, E)
@@ -220,10 +245,7 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         rowohT = (rsub == wrow).astype(jnp.float32)  # (T, E); dead rows 0
         # (2, E) x (T, E) contracted on E -> (2, T): output stays in the
         # (components, rows) layout so no host-side transpose is needed
-        o_ref[:] = jax.lax.dot_general(
-            P2, rowohT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        o_ref[:] = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))
 
     def xmap(shift):
         return lambda t: (0, (t * T + omin_p + P) // T + shift)
@@ -293,8 +315,7 @@ def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
         M1 = (rsub == r).astype(jnp.float32)  # (T, E)
         R = jnp.concatenate(
             [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
-        Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # (2*KW, E)
+        Pg = _dot_onehot(R, M1)  # (2*KW, E)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         mask = (ksub == q).astype(jnp.float32)  # (KW, E)
         Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
@@ -303,10 +324,7 @@ def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
         p_yi = vr * Gi + vi * Gr
         P2 = jnp.concatenate([p_yr, p_yi], axis=0)  # (2, E)
         rowohT = (rsub == wrow).astype(jnp.float32)
-        y = jax.lax.dot_general(
-            P2, rowohT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (2, T)
+        y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))  # (2, T)
         # heavy-diagonal slabs: static lane slices of the window.  The
         # slab block is (1, 2*D, T) — re rows then im rows, contiguous in
         # HBM per tile (one DMA descriptor instead of 2*D strided rows)
@@ -412,8 +430,7 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             R = jnp.concatenate(
                 [xsr[u + extra: u + extra + KW, :],
                  xsi[u + extra: u + extra + KW, :]], axis=0)  # (2KW, T)
-            Pg = jnp.dot(R, M1, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # (2KW, E)
+            Pg = _dot_onehot(R, M1)  # (2KW, E)
             mask = (ksub == q).astype(jnp.float32)
             Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
             Gi = jnp.sum(mask * Pg[KW:, :], axis=0, keepdims=True)
@@ -421,10 +438,7 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             p_yi = vr * Gi + vi * Gr
             P2 = jnp.concatenate([p_yr, p_yi], axis=0)    # (2, E)
             rowohT = (rsub == wrow).astype(jnp.float32)
-            y = jax.lax.dot_general(
-                P2, rowohT, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (2, T)
+            y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))  # (2, T)
             # heavy diagonals: subtile u, diagonal o reads the flat
             # positions u*T + P + o - C0a*T .. +T of the slice — two
             # STATIC rows with a STATIC lane shift
