@@ -257,8 +257,12 @@ class DCContingency:
     def base_theta(self):
         """Pre-contingency angles (device solve with the base values)."""
         th = np.zeros(self.grid.n_bus)
+        # jit the composite: eagerly, the multi-level refactor+solve is
+        # hundreds of individually dispatched ops (minutes over a
+        # remote-attached runtime); compiled it is one program
+        f = jax.jit(lambda d, P: self._rp.refactor(d)(P))
         th[self.keep] = np.asarray(
-            self._rp.refactor(jnp.asarray(self._base))(jnp.asarray(self._P)))
+            f(jnp.asarray(self._base), jnp.asarray(self._P)))
         return th
 
     def _build_run(self):
