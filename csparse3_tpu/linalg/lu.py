@@ -92,6 +92,7 @@ class SparseLU:
         self._plan: Optional[SolvePlan] = None
         self._plan_style = None
         self._csolve = None  # cached jitted transfer-safe complex solver
+        self._rsolve = None  # cached jitted real solver
 
     @property
     def is_singular(self) -> bool:
@@ -186,7 +187,11 @@ class SparseLU:
             if self._csolve is None:
                 self._csolve = jax.jit(splitc(plan))
             return unsplit(self._csolve(split(bh)))
-        return plan(b)
+        # jit the level-scheduled composite: eagerly it is hundreds of
+        # individually dispatched ops on remote-attached runtimes
+        if self._rsolve is None:
+            self._rsolve = jax.jit(lambda p, bb: p(bb))
+        return self._rsolve(plan, b)
 
     def solve_host(self, b):
         """Host (numpy) solve — oracle path."""
