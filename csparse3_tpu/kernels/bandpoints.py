@@ -626,19 +626,27 @@ class SplitBandPoints:
                 (jnp.asarray(widx), jnp.asarray(wrow),
                  jnp.asarray(gvr), jnp.asarray(gvi)))
             self.point_meta.append((tile, KW, omin_p, P))
-        # supertile mode (8 tiles per grid step): measured 78 us vs
-        # 468 us at 200k by eliminating the per-step window DMAs.
-        # 'resident' keeps x in VMEM (fastest); past the VMEM budget,
+        # supertile mode (8 tiles per grid step; sustained wall-slope at
+        # 200k: 246 us vs 330 us for the per-tile windowed kernel).
+        # 'resident' keeps x in VMEM (fastest); past the x budget,
         # 'windows' pre-gathers overlapping window blocks in XLA (one
-        # contiguous DMA per step — no size limit).
+        # contiguous DMA per step).  BOTH supertile modes keep the four
+        # (NT, E) entry tables fully VMEM-resident, so when the tables
+        # themselves outgrow the budget only the per-tile kernel (whose
+        # BlockSpecs stream everything) can run.
         if supertile is None:
             if group_span is not None:
                 supertile = False
             else:
                 nt0, E0 = (np.asarray(self.point_data[0][0])).shape
-                resident = (2 * (m + 4 * tile) + 4 * nt0 * E0) * 4
-                supertile = ("resident" if resident <= 10 * (1 << 20)
-                             else "windows")
+                tables = 4 * nt0 * E0 * 4
+                resident = (2 * (m + 4 * tile)) * 4 + tables
+                if resident <= 10 * (1 << 20):
+                    supertile = "resident"
+                elif tables <= 8 * (1 << 20):
+                    supertile = "windows"
+                else:
+                    supertile = False
         elif supertile is True:
             supertile = "resident"
         self.supertile = supertile

@@ -368,16 +368,24 @@ class RefactorPlan:
         refactorizations (frozen pivots turn structural singularity into a
         zero-or-noise pivot, NOT necessarily inf/nan output)."""
         Lx, Ux = self.factor_values(new_data)
-        X = jnp.concatenate([Lx, Ux])
-        l_off = X[self._l_offpos]
-        u_off = X[self._u_offpos]
-        u_diag = X[self._u_diagpos]
-        lplan = self._retarget(
-            self._ltpl, self._l_slab, l_off,
-            jnp.ones(self.n, dtype=X.dtype), self._l_slab[2],
-        )
-        uplan = self._retarget(
-            self._utpl, self._u_slab, u_off, 1.0 / u_diag, self._u_slab[2]
-        )
-        plan = SolvePlan(lplan, uplan, self.perm_r, self.perm_c)
-        return (plan, u_diag) if with_diag else plan
+        return retarget_solve_plan(self, Lx, Ux, with_diag)
+
+
+def retarget_solve_plan(obj, Lx, Ux, with_diag: bool = False):
+    """Shared refactor() plumbing for every device refactorization
+    class that stores the RefactorPlan template layout (``_ltpl`` /
+    ``_utpl`` TriSolvePlans, ``_l_slab``/``_u_slab`` retarget maps and
+    the ``_l_offpos``/``_u_offpos``/``_u_diagpos`` gather positions):
+    gather the freshly factored values into the stored solve plans and
+    return a SolvePlan (plus the U diagonal when ``with_diag``)."""
+    X = jnp.concatenate([Lx, Ux])
+    l_off = X[obj._l_offpos]
+    u_off = X[obj._u_offpos]
+    u_diag = X[obj._u_diagpos]
+    lplan = RefactorPlan._retarget(
+        obj, obj._ltpl, obj._l_slab, l_off,
+        jnp.ones(obj.n, dtype=X.dtype), obj._l_slab[2])
+    uplan = RefactorPlan._retarget(
+        obj, obj._utpl, obj._u_slab, u_off, 1.0 / u_diag, obj._u_slab[2])
+    plan = SolvePlan(lplan, uplan, obj.perm_r, obj.perm_c)
+    return (plan, u_diag) if with_diag else plan

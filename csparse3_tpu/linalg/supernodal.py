@@ -403,16 +403,7 @@ class SupernodalRefactor:
     def refactor(self, new_data, with_diag: bool = False):
         """SolvePlan with fresh numeric factors (same contract as
         RefactorPlan.refactor; the slab retargeting is shared)."""
+        from .refactor import retarget_solve_plan
+
         Lx, Ux = self.factor_values(new_data)
-        X = jnp.concatenate([Lx, Ux])
-        l_off = X[self._l_offpos]
-        u_off = X[self._u_offpos]
-        u_diag = X[self._u_diagpos]
-        lplan = RefactorPlan._retarget(
-            self, self._ltpl, self._l_slab, l_off,
-            jnp.ones(self.n, dtype=X.dtype), self._l_slab[2])
-        uplan = RefactorPlan._retarget(
-            self, self._utpl, self._u_slab, u_off, 1.0 / u_diag,
-            self._u_slab[2])
-        plan = SolvePlan(lplan, uplan, self.perm_r, self.perm_c)
-        return (plan, u_diag) if with_diag else plan
+        return retarget_solve_plan(self, Lx, Ux, with_diag)

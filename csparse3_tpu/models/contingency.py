@@ -212,6 +212,15 @@ class DCContingency:
                 lu0 = splu(
                     Br, ordering="nd" if ordering == "auto" else ordering,
                     tol=0.0)
+                # the no-pivot factorization must be NUMERICALLY sound
+                # before its pivots are frozen: a grid that breaks B'
+                # diagonal dominance (e.g. series compensation, 1/x < 0)
+                # can hit a zero/tiny pivot that lu_factor_host reports
+                # (or silently infs) rather than raises
+                if lu0.is_singular or not (
+                        np.isfinite(np.asarray(lu0._h.Lx)).all()
+                        and np.isfinite(np.asarray(lu0._h.Ux)).all()):
+                    raise ValueError("no-pivot base factorization unstable")
                 self._rp = MultifrontalRefactor(lu0._h, Br)
             except (ValueError, AssertionError):
                 self._rp = None
@@ -249,6 +258,7 @@ class DCContingency:
         self._red = red
         self._run = None
         self._run_raw = None
+        self._base_solve = None
 
     @property
     def n_branch(self) -> int:
@@ -259,10 +269,13 @@ class DCContingency:
         th = np.zeros(self.grid.n_bus)
         # jit the composite: eagerly, the multi-level refactor+solve is
         # hundreds of individually dispatched ops (minutes over a
-        # remote-attached runtime); compiled it is one program
-        f = jax.jit(lambda d, P: self._rp.refactor(d)(P))
-        th[self.keep] = np.asarray(
-            f(jnp.asarray(self._base), jnp.asarray(self._P)))
+        # remote-attached runtime); compiled it is one program.  Cached
+        # on self (with the plan as a pytree ARG) so repeated calls hit
+        # the compiled executable
+        if self._base_solve is None:
+            self._base_solve = jax.jit(lambda rp, d, P: rp.refactor(d)(P))
+        th[self.keep] = np.asarray(self._base_solve(
+            self._rp, jnp.asarray(self._base), jnp.asarray(self._P)))
         return th
 
     def _build_run(self):

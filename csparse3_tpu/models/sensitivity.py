@@ -83,7 +83,16 @@ def ptdf(grid: Grid, branches=None, ordering="auto", chunk: int = 1024,
     plan = None
     if ordering in ("auto", "rcm"):
         try:
-            plan = splu(Br, ordering="rcm", tol=0.0).banded_solve_plan()
+            lu0 = splu(Br, ordering="rcm", tol=0.0)
+            # a grid that breaks B' diagonal dominance (series
+            # compensation, 1/x < 0) can hit a zero/tiny no-pivot pivot
+            # that is reported (or silently infs) rather than raised —
+            # only a numerically sound factorization may skip pivoting
+            if lu0.is_singular or not (
+                    np.isfinite(np.asarray(lu0._h.Lx)).all()
+                    and np.isfinite(np.asarray(lu0._h.Ux)).all()):
+                raise ValueError("no-pivot factorization unstable")
+            plan = lu0.banded_solve_plan()
         except Exception:
             plan = None
     if plan is None:

@@ -73,6 +73,53 @@ def _thomas_factor_stacks(D, E, F, dtype):
     return ehat, sinv, uhat
 
 
+
+def _chunk_geometry(a, mesh, ordering, s):
+    """Shared symbolic prologue of the SPIKE constructors: mesh checks,
+    ordering, permuted-coordinate entry streams, bandwidth, lane-friendly
+    block size, and the chunk geometry.  Returns
+    (mesh, axis, Pn, n, perm, r, c, bw, s, m, nb) — one copy of the
+    block-size and chunks->=2 rules for both the host- and the
+    device-factored paths."""
+    from ..linalg import ordering as ordering_mod
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+    if len(mesh.axis_names) != 1:
+        raise ValueError("DistBandedLU needs a 1-axis mesh")
+    axis = mesh.axis_names[0]
+    Pn = int(np.prod(mesh.devices.shape))
+    n, mm = a.shape
+    if n != mm:
+        raise ValueError(f"requires a square matrix, got {a.shape}")
+    if ordering is None:
+        ordering = "natural"
+    perm = np.asarray(ordering_mod.get_ordering(ordering, a))
+    pinv = np.empty(n, dtype=np.int64)
+    pinv[perm] = np.arange(n, dtype=np.int64)
+    Ap, Ai, _ = a.np_arrays()
+    cols = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(np.asarray(Ap)))
+    r = pinv[np.asarray(Ai, dtype=np.int64)]
+    c = pinv[cols]
+    bw = int(np.abs(r - c).max()) if len(c) else 0
+    if s is None:
+        q = 128 if bw >= 96 else 8
+        s = max(8, -(-max(bw, 1) // q) * q)
+    if s < bw:
+        raise ValueError(f"block size {s} < matrix bandwidth {bw}")
+    m = -(-(-(-n // s)) // Pn)        # blocks per chunk
+    nb = m * Pn
+    if m < 2:
+        raise ValueError(
+            f"chunks need >= 2 blocks (n={n}, s={s}, P={Pn}); "
+            "use fewer devices or the single-chip BandedLU")
+    if (np.abs(r // s - c // s) > 1).any():
+        raise ValueError(f"bandwidth exceeds block size {s}")
+    return mesh, axis, Pn, n, perm, r, c, bw, s, m, nb
+
+
+
 class DistBandedLU:
     """SPIKE-partitioned block-tridiagonal factorization over a mesh.
 
@@ -89,41 +136,21 @@ class DistBandedLU:
 
     def __init__(self, a, mesh: Mesh | None = None, ordering="rcm",
                  s: int | None = None, dtype=None):
-        from ..linalg import ordering as ordering_mod
         from ..ops.slicing import submatrix
 
-        if mesh is None:
-            mesh = Mesh(np.array(jax.devices()), ("rows",))
-        if len(mesh.axis_names) != 1:
-            raise ValueError("DistBandedLU needs a 1-axis mesh")
+        (mesh, axis, Pn, n, perm, _, _, bw, s, m,
+         nb) = _chunk_geometry(a, mesh, ordering, s)
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
-        Pn = int(np.prod(mesh.devices.shape))
-        n, mm = a.shape
-        if n != mm:
-            raise ValueError(f"requires a square matrix, got {a.shape}")
-        if ordering is None:
-            ordering = "natural"
-        perm = np.asarray(ordering_mod.get_ordering(ordering, a))
+        self.axis = axis
+        # the host factor path wants the PERMUTED canonical CSC (its
+        # symmetry check and per-chunk streams read it directly)
         ap = a if np.array_equal(perm, np.arange(n)) else submatrix(
             a, perm, perm)
         Ap, Ai, Ax = ap.np_arrays()
-        bw = bandwidth(Ap, Ai)
-        if s is None:
-            q = 128 if bw >= 96 else 8
-            s = max(8, -(-max(bw, 1) // q) * q)
-        if s < bw:
-            raise ValueError(f"block size {s} < matrix bandwidth {bw}")
         if dtype is None:
             dtype = Ax.dtype if jax.config.jax_enable_x64 else (
                 np.complex64 if np.iscomplexobj(Ax) else np.float32)
         wide = np.complex128 if np.iscomplexobj(Ax) else np.float64
-        m = -(-(-(-n // s)) // Pn)        # blocks per chunk
-        nb = m * Pn
-        if m < 2:
-            raise ValueError(
-                f"chunks need >= 2 blocks (n={n}, s={s}, P={Pn}); "
-                "use fewer devices or the single-chip BandedLU")
         self.n, self.s, self.bw, self.m, self.P = n, s, bw, m, Pn
 
         cols = np.repeat(np.arange(n, dtype=np.int64),
@@ -131,8 +158,6 @@ class DistBandedLU:
         rows = np.asarray(Ai).astype(np.int64)
         vals = np.asarray(Ax)
         kb_r, kb_c = rows // s, cols // s
-        if (np.abs(kb_r - kb_c) > 1).any():
-            raise ValueError(f"bandwidth exceeds block size {s}")
         ch_r, ch_c = kb_r // m, kb_c // m
 
         ehat = np.empty((nb, s, s), dtype=dtype)
@@ -304,46 +329,15 @@ class DistBandedLU:
         unreliable on some attachments)."""
         from jax.sharding import NamedSharding
 
-        from ..linalg import ordering as ordering_mod
-
-        if mesh is None:
-            mesh = Mesh(np.array(jax.devices()), ("rows",))
-        if len(mesh.axis_names) != 1:
-            raise ValueError("DistBandedLU needs a 1-axis mesh")
-        axis = mesh.axis_names[0]
-        Pn = int(np.prod(mesh.devices.shape))
-        n, mm = a.shape
-        if n != mm:
-            raise ValueError(f"requires a square matrix, got {a.shape}")
-        if ordering is None:
-            ordering = "natural"
-        perm = np.asarray(ordering_mod.get_ordering(ordering, a))
-        pinv = np.empty(n, dtype=np.int64)
-        pinv[perm] = np.arange(n, dtype=np.int64)
-        Ap, Ai, Ax = a.np_arrays()
+        (mesh, axis, Pn, n, perm, r, c, bw, s, m,
+         nb) = _chunk_geometry(a, mesh, ordering, s)
+        _, _, Ax = a.np_arrays()
         if np.iscomplexobj(np.asarray(Ax)):
             raise NotImplementedError(
                 "factor_device is real-only; use the host constructor")
-        cols = np.repeat(np.arange(n, dtype=np.int64),
-                         np.diff(np.asarray(Ap)))
-        r = pinv[np.asarray(Ai, dtype=np.int64)]
-        c = pinv[cols]
-        bw = int(np.abs(r - c).max()) if len(c) else 0
-        if s is None:
-            q = 128 if bw >= 96 else 8
-            s = max(8, -(-max(bw, 1) // q) * q)
-        if s < bw:
-            raise ValueError(f"block size {s} < matrix bandwidth {bw}")
         if dtype is None:
             dtype = np.float32
-        m = -(-(-(-n // s)) // Pn)
-        nb = m * Pn
-        if m < 2:
-            raise ValueError(
-                f"chunks need >= 2 blocks (n={n}, s={s}, P={Pn})")
         kb_r, kb_c = r // s, c // s
-        if (np.abs(kb_r - kb_c) > 1).any():
-            raise ValueError(f"bandwidth exceeds block size {s}")
         # flat [D | E | F] scatter map (BandedRefactor layout)
         d = kb_r - kb_c
         which = np.where(d == 0, 0, np.where(d == 1, 1, 2))
@@ -430,6 +424,12 @@ class DistBandedLU:
     # -- host twin ------------------------------------------------------------
     def solve_host(self, b):
         """numpy replay of the SPIKE solve (for verification)."""
+        if self._h is None:
+            raise ValueError(
+                "no host factor state: this object was built by "
+                "factor_device (stacks live on the mesh devices) — use "
+                "the host constructor DistBandedLU(a, ...) for a "
+                "host-replayable twin")
         ehat, sinv, uhat, Wsp, Vsp, r_eh, r_si, r_uh = self._h
         b = np.asarray(b)
         squeeze = b.ndim == 1
