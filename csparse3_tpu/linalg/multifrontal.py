@@ -56,7 +56,9 @@ import numpy as np
 from .lu_host import HostLU
 from .lu import SolvePlan
 from .refactor import RefactorPlan
-from .supernodal import _dense_lu_nopiv, _pattern_symmetric
+from .supernodal import (
+    _dense_lu_nopiv, _fundamental_partition, _graded_ok,
+    _pattern_symmetric)
 from .trisolve import TriSolvePlan
 
 __all__ = ["MultifrontalRefactor"]
@@ -99,17 +101,7 @@ class MultifrontalRefactor:
         colsU = np.repeat(np.arange(n, dtype=np.int64), np.diff(Up))
 
         # ---- fundamental supernode partition ---------------------------
-        cnt = np.diff(Lp)
-        parent = np.full(n, n, dtype=np.int64)
-        for j in range(n):
-            if cnt[j] > 1:
-                parent[j] = Li[Lp[j] + 1]  # first off-diagonal row
-        fstarts = [0]
-        for j in range(1, n):
-            fundamental = (parent[j - 1] == j and cnt[j] == cnt[j - 1] - 1)
-            if not fundamental:
-                fstarts.append(j)
-        fstarts.append(n)
+        fstarts, parent, cnt = _fundamental_partition(n, Lp, Li)
 
         # ---- amalgamation restricted to etree parent-child chains ------
         # merge group [a, b) with the next fundamental snode ONLY when
@@ -118,10 +110,6 @@ class MultifrontalRefactor:
         # absorbed columns, so the merged front still satisfies the
         # multifrontal containment theorem (its off rows land inside ITS
         # parent's front).
-        def _graded_ok(w, z):
-            return ((w <= 4 and z <= 0.85) or (w <= 8 and z <= 0.6)
-                    or (w <= 16 and z <= 0.4) or z <= 0.25)
-
         starts = [0]
         srows = []
         if relax and relax > 1 and len(fstarts) > 2:

@@ -77,6 +77,36 @@ def _dense_lu_nopiv(D):
     return jax.lax.fori_loop(0, w, step, D)
 
 
+def _graded_ok(w, z):
+    """CHOLMOD-style graded amalgamation schedule: merged width w is
+    acceptable when the padded-panel zero fraction z stays under the
+    width-dependent budget."""
+    return ((w <= 4 and z <= 0.85) or (w <= 8 and z <= 0.6)
+            or (w <= 16 and z <= 0.4) or z <= 0.25)
+
+
+def _fundamental_partition(n, Lp, Li):
+    """Fundamental supernode boundaries + the column etree parents.
+
+    Returns (fstarts, parent, cnt): fstarts includes the n sentinel;
+    parent[j] = first off-diagonal row of column j (n = root); a
+    boundary falls wherever struct(col j) != struct(col j-1) minus the
+    pivot row — the packing in both the supernodal-panel and the
+    multifrontal schedules relies on that nesting."""
+    cnt = np.diff(Lp)
+    parent = np.full(n, n, dtype=np.int64)
+    for j in range(n):
+        if cnt[j] > 1:
+            parent[j] = Li[Lp[j] + 1]
+    fstarts = [0]
+    for j in range(1, n):
+        fundamental = (parent[j - 1] == j and cnt[j] == cnt[j - 1] - 1)
+        if not fundamental:
+            fstarts.append(j)
+    fstarts.append(n)
+    return fstarts, parent, cnt
+
+
 @jax.tree_util.register_pytree_node_class
 class SupernodalRefactor:
     """values -> (Lx, Ux) (and a SolvePlan) entirely on device, via
@@ -147,20 +177,7 @@ class SupernodalRefactor:
             return lnz + p, keysU[p] == k
 
         # ---- supernode partition: fundamental pass ---------------------
-        cnt = np.diff(Lp)
-        parent = np.full(n, n, dtype=np.int64)
-        for j in range(n):
-            if cnt[j] > 1:
-                parent[j] = Li[Lp[j] + 1]  # first off-diagonal row
-        fstarts = [0]
-        for j in range(1, n):
-            # fundamental rule: struct(col j) == struct(col j-1) minus
-            # the pivot row, so the first column's rows contain every
-            # later column's rows (the packing relies on this)
-            fundamental = (parent[j - 1] == j and cnt[j] == cnt[j - 1] - 1)
-            if not fundamental:
-                fstarts.append(j)
-        fstarts.append(n)
+        fstarts, parent, cnt = _fundamental_partition(n, Lp, Li)
 
         # ---- relaxed amalgamation (VERDICT r2 item 4b) -----------------
         # Greedily merge CONTIGUOUS fundamental snodes while the merged
@@ -171,10 +188,6 @@ class SupernodalRefactor:
         # Correctness does not need the merged fill to exist in the host
         # pattern: absent entries ride the D0/TRASH sentinels (see
         # posL_opt above).
-        def _graded_ok(w, z):
-            return ((w <= 4 and z <= 0.85) or (w <= 8 and z <= 0.6)
-                    or (w <= 16 and z <= 0.4) or z <= 0.25)
-
         starts = [0]
         srows = []
         if relax and relax > 1 and len(fstarts) > 2:
