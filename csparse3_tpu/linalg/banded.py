@@ -720,19 +720,28 @@ class BandedSolvePlan:
     def nblocks(self) -> int:
         return int(self.linv.shape[0])
 
-    def __call__(self, b):
+    def blocks(self, b):
+        """Permute (perm_r) + zero-pad an (n,)/(n, B) RHS into block
+        form (nb, s, B).  Chained solvers with perm_r == perm_c (the
+        no-row-exchange case this plan targets) should iterate in block
+        space via ``solve_blocks`` — the per-solve permutation
+        gather/scatter is wasted work inside a loop."""
         b = jnp.asarray(b)
-        squeeze = b.ndim == 1
-        if squeeze:
+        if b.ndim == 1:
             b = b[:, None]
         n, s, nb = self.n, self.s, self.nblocks
-        B = b.shape[1]
         dt = jnp.result_type(self.linv.dtype, b.dtype)
-        bp = jnp.zeros((nb * s, B), dtype=dt).at[:n].set(b[self.perm_r])
-        bb = bp.reshape(nb, s, B)
+        bp = jnp.zeros((nb * s, b.shape[1]), dtype=dt).at[:n].set(
+            b[self.perm_r])
+        return bp.reshape(nb, s, -1)
 
+    def solve_blocks(self, bb):
+        """Solve in block space: (nb, s, B) -> (nb, s, B)."""
         # HIGHEST: see thomas_sweeps — bf16 MXU truncation compounds
         # through the block recurrence
+        dt = bb.dtype
+        s = self.s
+        B = bb.shape[-1]
         with jax.default_matmul_precision("highest"):
             def fwd(x_prev, blk):
                 binv, sub, rhs = blk
@@ -750,7 +759,15 @@ class BandedSolvePlan:
             _, z = jax.lax.scan(
                 bwd, x0, (self.uinv, self.usup, y), reverse=True
             )
-        zf = z.reshape(nb * s, B)[:n]
+        return z
+
+    def unblocks(self, z):
+        """Inverse of ``blocks`` on the solution side (perm_c)."""
+        zf = z.reshape(self.nblocks * self.s, -1)[: self.n]
         x = jnp.zeros_like(zf)
-        x = x.at[self.perm_c].set(zf)
+        return x.at[self.perm_c].set(zf)
+
+    def __call__(self, b):
+        squeeze = jnp.ndim(b) == 1
+        x = self.unblocks(self.solve_blocks(self.blocks(b)))
         return x[:, 0] if squeeze else x
