@@ -1159,7 +1159,10 @@ def main():
             rf_runs.append(a["per"])
     if rf_runs:
         spread = max(rf_runs) / min(rf_runs)
-        extra["refactor_per_s"] = 1.0 / min(rf_runs)
+        # disagreeing trials: report the CONSERVATIVE (slower) one — a
+        # noise-flattered min is worse than an honest slow number
+        per_rf = min(rf_runs) if spread <= 2.0 else max(rf_runs)
+        extra["refactor_per_s"] = 1.0 / per_rf
         extra["refactor_spread"] = round(spread, 2)
         if spread > 2.0:
             extra["refactor_unstable"] = True
