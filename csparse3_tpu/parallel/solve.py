@@ -150,6 +150,44 @@ class BlockJacobi:
         return x.at[self.perm_c[0]].set(z)
 
 
+@jax.tree_util.register_pytree_node_class
+class DiagJacobi:
+    """Point-Jacobi preconditioner: M^{-1} = diag(A)^{-1}.
+
+    The memory-light companion to ``BlockJacobi``: per-shard DIRECT
+    factors fill at ~n_loc x bandwidth (measured 113M nnz per 125k-row
+    shard of the 1M-node RCM'd B' — ~130 GB across 8 stacked level
+    plans), while this stores one vector.  More iterations, bounded
+    memory — the right trade at the config-5 scale."""
+
+    def __init__(self, dinv):
+        self.dinv = dinv          # (S, mloc) stacked inverse diagonals
+
+    def tree_flatten(self):
+        return (self.dinv,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0])
+
+    @classmethod
+    def build(cls, a: CSC, part: RowPartition):
+        from ..ops.reductions import diagonal
+
+        S, mloc, m = part.S, part.mloc, part.m
+        d = np.asarray(diagonal(a))
+        dp = np.ones(S * mloc, dtype=d.dtype)
+        dp[:m] = np.where(d != 0, d, 1.0)
+        return cls(jnp.asarray((1.0 / dp).reshape(S, mloc)))
+
+    def specs(self, axis: str):
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self), (P(axis, None),))
+
+    def apply_local(self, b_local):
+        return b_local * self.dinv[0]
+
+
 def _identity_prec(b_local):
     return b_local
 
@@ -160,7 +198,7 @@ def _identity_prec(b_local):
 
 def _cg_body(part, prec, b, x0, *, axis, tol, maxiter):
     A = lambda v: spmv_local(part, v, axis)
-    M = prec.apply_local if isinstance(prec, BlockJacobi) else _identity_prec
+    M = prec.apply_local if hasattr(prec, "apply_local") else _identity_prec
     dot = lambda u, v: jax.lax.psum(jnp.vdot(u, v).real, axis)
 
     r0 = b - A(x0)
@@ -191,7 +229,7 @@ def _cg_body(part, prec, b, x0, *, axis, tol, maxiter):
 
 def _bicgstab_body(part, prec, b, x0, *, axis, tol, maxiter):
     A = lambda v: spmv_local(part, v, axis)
-    M = prec.apply_local if isinstance(prec, BlockJacobi) else _identity_prec
+    M = prec.apply_local if hasattr(prec, "apply_local") else _identity_prec
     dot = lambda u, v: jax.lax.psum(jnp.vdot(u, v), axis)
 
     r0 = b - A(x0)

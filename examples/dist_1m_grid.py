@@ -52,7 +52,7 @@ import csparse3_tpu as cst  # noqa: E402
 from csparse3_tpu.linalg.ordering import rcm  # noqa: E402
 from csparse3_tpu.models.grids import synthetic_grid  # noqa: E402
 from csparse3_tpu.parallel import (  # noqa: E402
-    BlockJacobi, dist_bicgstab, dist_spmv, partition_rows,
+    dist_bicgstab, dist_spmv, partition_rows,
 )
 
 
@@ -90,7 +90,14 @@ def main():
     print(f"dist SpMV: {t_spmv * 1e3:.1f} ms  max err {err:.2e}", flush=True)
     assert err < 1e-8
 
-    prec = BlockJacobi.build(A, part)
+    # point-Jacobi, NOT BlockJacobi: per-shard direct factors of the
+    # wide-band B' fill at n_loc x bandwidth (measured 113M nnz per
+    # 125k-row shard = ~130 GB across 8 stacked level plans — an OOM on
+    # this host); the diagonal preconditioner stores one vector and the
+    # +3.0 shunt regularization keeps BiCGSTAB convergent
+    from csparse3_tpu.parallel import DiagJacobi
+
+    prec = DiagJacobi.build(A, part)
     b = np.random.RandomState(1).rand(n)
     with mesh:
         t0 = time.time()
