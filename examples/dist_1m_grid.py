@@ -11,7 +11,7 @@ scipy on the host.
 Three stages:
 1. halo-ring SpMV of the RCM-ordered 1M-bus B' matrix (ring k hops =
    band radius / shard size; compute overlaps the ppermute exchanges);
-2. block-Jacobi preconditioned distributed BiCGSTAB solve of the
+2. point-Jacobi preconditioned distributed BiCGSTAB solve of the
    regularized B' system;
 3. SPIKE distributed DIRECT solve (parallel.DistBandedLU) on a 1M
    narrow-band case: per-shard block-Thomas factors + one all_gather of
