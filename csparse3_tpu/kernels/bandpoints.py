@@ -385,6 +385,9 @@ def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     return y[:, :m]
 
 
+_ST_G = 8   # tiles per supertile grid step (must be a multiple of 8)
+
+
 def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
                     windows=False):
     """Supertile-of-8 fused kernel with a VMEM-RESIDENT x.
@@ -400,9 +403,10 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
     slice, and the heavy-diagonal windows are two static rows + a
     static positive roll.
     """
-    # slice rows covering all 8 subtiles' windows (+1 spare so the
+    # slice rows covering all G subtiles' windows (+1 spare so the
     # two-row diagonal window never slices past the end)
-    LW = extra + 8 + KW
+    G = _ST_G
+    LW = extra + G + KW
 
     def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, s2_ref, xre_ref,
                xim_ref, o_ref):
@@ -413,17 +417,17 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             xsr = xre_ref[0]
             xsi = xim_ref[0]
         else:
-            start = pl.multiple_of(8 * g + C0a, 8)
+            start = pl.multiple_of(G * g + C0a, 8)
             xsr = xre_ref[pl.ds(start, LW), :]   # (LW, T)
             xsi = xim_ref[pl.ds(start, LW), :]
         rsub = jax.lax.broadcasted_iota(jnp.int32, (T, E), 0)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         outs = []
-        for u in range(8):
-            widx = widx_ref[pl.ds(8 * g + u, 1), :]  # (1, E)
-            wrow = wrow_ref[pl.ds(8 * g + u, 1), :]
-            vr = vr_ref[pl.ds(8 * g + u, 1), :]
-            vi = vi_ref[pl.ds(8 * g + u, 1), :]
+        for u in range(G):
+            widx = widx_ref[pl.ds(G * g + u, 1), :]  # (1, E)
+            wrow = wrow_ref[pl.ds(G * g + u, 1), :]
+            vr = vr_ref[pl.ds(G * g + u, 1), :]
+            vi = vi_ref[pl.ds(G * g + u, 1), :]
             q = widx // T
             r = widx - q * T
             M1 = (rsub == r).astype(jnp.float32)          # (T, E)
@@ -470,14 +474,14 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             outs.append(jnp.concatenate([yr, yi], axis=0))  # (2, T)
         o_ref[:] = jnp.concatenate(outs, axis=1)  # (2, 8*T)
 
-    NT = NG * 8
+    NT = NG * G
     full = lambda g: (0, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec((NT, E), full),
         pl.BlockSpec((NT, E), full),
         pl.BlockSpec((NT, E), full),
         pl.BlockSpec((NT, E), full),
-        pl.BlockSpec((1, 8, 2 * D, T), lambda g: (g, 0, 0, 0)),
+        pl.BlockSpec((1, G, 2 * D, T), lambda g: (g, 0, 0, 0)),
         None,  # placeholder, replaced below with resident x specs
         None,
     ]
@@ -499,7 +503,7 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     the residency budget.
     """
     NT, E = widx.shape
-    NG = NT // 8
+    NG = NT // _ST_G
     m_pad = NT * T
     C0 = (omin_p + P) // T          # window base block of tile 0
     C0a = (C0 // 8) * 8             # rounded down -> slice starts align
@@ -509,7 +513,7 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
         E, T, KW, NG, extra, C0a, tuple(int(o) + P for o in offs), D,
         interpret, windows=windows)
     # padded x blocks: (NBX, T) re and im, big enough for every slice
-    NBX = max(8 * (NG - 1) + C0a + LW, -(-(P + x2.shape[1]) // T))
+    NBX = max(_ST_G * (NG - 1) + C0a + LW, -(-(P + x2.shape[1]) // T))
     NBX = -(-NBX // 8) * 8
     xp = jnp.zeros((2, NBX * T), jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, x2.astype(jnp.float32), (0, P))
@@ -517,7 +521,7 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     xim = xp[1].reshape(NBX, T)
     full = lambda g: (0, 0)  # noqa: E731
     if windows:
-        widx_b = (C0a + 8 * jnp.arange(NG)[:, None]
+        widx_b = (C0a + _ST_G * jnp.arange(NG)[:, None]
                   + jnp.arange(LW)[None, :])          # (NG, LW)
         xre = xre[widx_b]                             # (NG, LW, T)
         xim = xim[widx_b]
@@ -530,7 +534,7 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
         kernel,
         grid=(NG,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((2, 8 * T), lambda g: (0, g)),
+        out_specs=pl.BlockSpec((2, _ST_G * T), lambda g: (0, g)),
         out_shape=jax.ShapeDtypeStruct((2, m_pad), jnp.float32),
         interpret=interpret,
     )(widx, wrow, vr, vi, s2, xre, xim)
@@ -654,8 +658,8 @@ class SplitBandPoints:
             widx, wrow, gvr, gvi = [np.asarray(x)
                                     for x in self.point_data[0]]
             nt0, E0 = widx.shape
-            NG = -(-nt0 // 8)
-            pad = NG * 8 - nt0
+            NG = -(-nt0 // _ST_G)
+            pad = NG * _ST_G - nt0
             if pad:
                 widx = np.concatenate(
                     [widx, np.zeros((pad, E0), widx.dtype)])
@@ -670,7 +674,7 @@ class SplitBandPoints:
                 sl = np.concatenate(
                     [sl, np.zeros((pad,) + sl.shape[1:], sl.dtype)])
             self.slabs = jnp.asarray(
-                sl.reshape(NG, 8, *sl.shape[1:]))
+                sl.reshape(NG, _ST_G, *sl.shape[1:]))
 
     @property
     def core_ndiag(self):
