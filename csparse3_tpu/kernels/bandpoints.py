@@ -541,6 +541,25 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     return y[:, :m]
 
 
+def _auto_supertile(m, tile, nt0, E0, group_span):
+    """Pick the supertile mode from the VMEM footprints.
+
+    'resident' when x + the four (NT, E) entry tables fit the ~10 MiB
+    budget; 'windows' when only the tables fit (x streams as
+    pre-gathered window blocks); False (per-tile streaming kernel)
+    when the tables themselves outgrow VMEM — both supertile modes
+    keep them fully resident."""
+    if group_span is not None:
+        return False
+    tables = 4 * nt0 * E0 * 4
+    resident = (2 * (m + 4 * tile)) * 4 + tables
+    if resident <= 10 * (1 << 20):
+        return "resident"
+    if tables <= 8 * (1 << 20):
+        return "windows"
+    return False
+
+
 def split_offsets(rows, cols, n, frac: float = 0.02):
     """Heavy offsets: those carrying at least ``frac * n`` entries."""
     d = cols - rows
@@ -639,18 +658,8 @@ class SplitBandPoints:
         # themselves outgrow the budget only the per-tile kernel (whose
         # BlockSpecs stream everything) can run.
         if supertile is None:
-            if group_span is not None:
-                supertile = False
-            else:
-                nt0, E0 = (np.asarray(self.point_data[0][0])).shape
-                tables = 4 * nt0 * E0 * 4
-                resident = (2 * (m + 4 * tile)) * 4 + tables
-                if resident <= 10 * (1 << 20):
-                    supertile = "resident"
-                elif tables <= 8 * (1 << 20):
-                    supertile = "windows"
-                else:
-                    supertile = False
+            nt0, E0 = (np.asarray(self.point_data[0][0])).shape
+            supertile = _auto_supertile(m, tile, nt0, E0, group_span)
         elif supertile is True:
             supertile = "resident"
         self.supertile = supertile

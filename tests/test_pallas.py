@@ -242,3 +242,35 @@ def test_split_bandpoints_supertile_modes():
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(yi), z.imag,
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_auto_supertile_selection():
+    """Footprint-driven mode choice: resident when x fits VMEM, windows
+    when only the entry tables fit, per-tile streaming kernel when the
+    tables themselves outgrow the budget."""
+    from csparse3_tpu.kernels.bandpoints import _auto_supertile
+
+    assert _auto_supertile(200_000, 256, 784, 168, None) == "resident"
+    # x past the budget, tables small -> windows
+    assert _auto_supertile(5_000_000, 256, 784, 168, None) == "windows"
+    # tables alone past 8 MiB -> stream everything (per-tile kernel)
+    assert _auto_supertile(5_000_000, 256, 20_000, 128, None) is False
+    # offset groups use their own kernels
+    assert _auto_supertile(1000, 256, 8, 8, 40) is False
+
+
+def test_diag_jacobi_reference():
+    """DiagJacobi.apply_local is exactly diag(A)^{-1} b per shard."""
+    import csparse3_tpu as cst
+    from csparse3_tpu.parallel import DiagJacobi
+    from csparse3_tpu.parallel.partition import partition_rows
+
+    n = 64
+    rng = np.random.RandomState(5)
+    dv = 2.0 + rng.rand(n)
+    A = cst.diags(dv)
+    part = partition_rows(A, 4)
+    prec = DiagJacobi.build(A, part)
+    d = np.asarray(prec.dinv)
+    assert d.shape[0] == 4
+    np.testing.assert_allclose(d.reshape(-1)[:n], 1.0 / dv, rtol=1e-6)
