@@ -57,21 +57,22 @@ __all__ = ["OffsetsPlan", "SplitBandPoints", "points_spmv_pallas",
 # heavy-diagonal core: static-shift slabs
 # ---------------------------------------------------------------------------
 
-def _dot_onehot(A, Boh, dn=None):
-    """Exact-f32 dot of DATA against a 0/1 one-hot operand in THREE
+def _dot_onehot(A, Boh, dn=None, parts=3):
+    """Dot of DATA against a 0/1 one-hot operand in ``parts``
     single-pass MXU products.
 
     The v5e MXU natively multiplies bf16; 'HIGHEST' emulates f32 x f32
     with SIX bf16 passes.  A one-hot operand is bf16-EXACT, so only the
-    data side needs splitting: A = a1 + a2 + a3 with each part
-    bf16-representable (8+8+8 of f32's 24 mantissa bits), and the sum
-    of three DEFAULT-precision products reproduces the HIGHEST result
-    at half the MXU passes (measured: 403 -> 246 us per 200k matvec
-    for the supertile kernel, relerr unchanged at 2.2e-7)."""
+    data side needs splitting: A = a1 + a2 (+ a3) with each part
+    bf16-representable (8+8(+8) of f32's 24 mantissa bits).  parts=3
+    reproduces the HIGHEST result exactly at half the passes (measured:
+    403 -> 246 us per 200k matvec for the supertile kernel, relerr
+    unchanged at 2.2e-7); parts=2 keeps ~16 mantissa bits (~1e-5
+    relative) at a third of the passes — the 'fast' plan mode for
+    iterative-solver contexts."""
     a1 = A.astype(jnp.bfloat16).astype(jnp.float32)
     r = A - a1
     a2 = r.astype(jnp.bfloat16).astype(jnp.float32)
-    a3 = r - a2
 
     def d(x):
         if dn is None:
@@ -81,7 +82,10 @@ def _dot_onehot(A, Boh, dn=None):
             x, Boh, dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
 
-    return d(a1) + d(a2) + d(a3)
+    out = d(a1) + d(a2)
+    if parts >= 3:
+        out = out + d(r - a2)
+    return out
 
 
 class OffsetsPlan:
@@ -206,7 +210,8 @@ def _pack_points(m, rows, cols, valr, vali, T, off_range=None):
     return widx, wrow, vr, vi, omin_p, P, KW, nt
 
 
-def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
+def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret,
+                 parts=3):
     def kernel(widx_ref, wrow_ref, vr_ref, vi_ref, *refs):
         xrefs, o_ref = refs[:-1], refs[-1]
         t = pl.program_id(0)
@@ -234,7 +239,7 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         R = jnp.concatenate(
             [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
         # exact selection at half the HIGHEST passes: see _dot_onehot
-        Pg = _dot_onehot(R, M1)  # (2*KW, E)
+        Pg = _dot_onehot(R, M1, parts=parts)  # (2*KW, E)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         mask = (ksub == q).astype(jnp.float32)  # (KW, E)
         Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)  # (1, E)
@@ -245,7 +250,8 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
         rowohT = (rsub == wrow).astype(jnp.float32)  # (T, E); dead rows 0
         # (2, E) x (T, E) contracted on E -> (2, T): output stays in the
         # (components, rows) layout so no host-side transpose is needed
-        o_ref[:] = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))
+        o_ref[:] = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())),
+                               parts=parts)
 
     def xmap(shift):
         return lambda t: (0, (t * T + omin_p + P) // T + shift)
@@ -268,9 +274,9 @@ def _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "T", "KW", "omin_p", "P", "m", "interpret"))
+    "T", "KW", "omin_p", "P", "m", "parts", "interpret"))
 def points_spmv_pallas(widx, wrow, vr, vi, x2, *, T, KW, omin_p, P, m,
-                       interpret=False):
+                       parts=3, interpret=False):
     """(yr, yi) contribution of packed point entries.
 
     x2: (2, n) stacked (xr, xi) float32.  Returns (2, m).
@@ -284,13 +290,15 @@ def points_spmv_pallas(widx, wrow, vr, vi, x2, *, T, KW, omin_p, P, m,
     xp = jnp.zeros((2, xp_len), jnp.float32)
     xp = jax.lax.dynamic_update_slice(
         xp, x2.astype(jnp.float32), (0, P))
-    call = _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret)
+    call = _points_call(E, T, KW, nt, m_pad, omin_p, P, interpret,
+                        parts=parts)
     xargs = [xp] * KW
     y = call(widx, wrow, vr, vi, *xargs)  # (2, m_pad)
     return y[:, :m]
 
 
-def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
+def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret,
+                parts=3):
     """One kernel = heavy-diagonal slabs + one-hot point gather.
 
     Composing the slab contraction (plain XLA) with a per-iteration
@@ -315,7 +323,7 @@ def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
         M1 = (rsub == r).astype(jnp.float32)  # (T, E)
         R = jnp.concatenate(
             [x[0:1, :] for x in xrefs] + [x[1:2, :] for x in xrefs], axis=0)
-        Pg = _dot_onehot(R, M1)  # (2*KW, E)
+        Pg = _dot_onehot(R, M1, parts=parts)  # (2*KW, E)
         ksub = jax.lax.broadcasted_iota(jnp.int32, (KW, E), 0)
         mask = (ksub == q).astype(jnp.float32)  # (KW, E)
         Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
@@ -324,7 +332,8 @@ def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
         p_yi = vr * Gi + vi * Gr
         P2 = jnp.concatenate([p_yr, p_yi], axis=0)  # (2, E)
         rowohT = (rsub == wrow).astype(jnp.float32)
-        y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))  # (2, T)
+        y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())),
+                        parts=parts)  # (2, T)
         # heavy-diagonal slabs: static lane slices of the window.  The
         # slab block is (1, 2*D, T) — re rows then im rows, contiguous in
         # HBM per tile (one DMA descriptor instead of 2*D strided rows)
@@ -365,9 +374,10 @@ def _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "T", "KW", "omin_p", "P", "m", "offs", "interpret"))
+    "T", "KW", "omin_p", "P", "m", "offs", "parts", "interpret"))
 def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
-                            omin_p, P, m, offs, interpret=False):
+                            omin_p, P, m, offs, parts=3,
+                            interpret=False):
     """Full split-complex SpMV: heavy-diagonal slabs + packed points in
     ONE pallas call.  s2: (nt, 2*D, T) per-tile slab blocks (re rows then
     im rows).  x2: (2, n) stacked (xr, xi).  Returns (2, m)."""
@@ -380,7 +390,8 @@ def band_points_spmv_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     xp = jax.lax.dynamic_update_slice(
         xp, x2.astype(jnp.float32), (0, P))
     D = s2.shape[1] // 2
-    call = _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D, interpret)
+    call = _fused_call(E, T, KW, nt, m_pad, omin_p, P, offs, D,
+                       interpret, parts=parts)
     y = call(widx, wrow, vr, vi, s2, *([xp] * KW))  # (2, m_pad)
     return y[:, :m]
 
@@ -389,7 +400,7 @@ _ST_G = 8   # tiles per supertile grid step (must be a multiple of 8)
 
 
 def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
-                    windows=False):
+                    windows=False, parts=3):
     """Supertile-of-8 fused kernel with a VMEM-RESIDENT x.
 
     The per-grid-step floor of ``_fused_call`` is its KW strided window
@@ -434,7 +445,7 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             R = jnp.concatenate(
                 [xsr[u + extra: u + extra + KW, :],
                  xsi[u + extra: u + extra + KW, :]], axis=0)  # (2KW, T)
-            Pg = _dot_onehot(R, M1)  # (2KW, E)
+            Pg = _dot_onehot(R, M1, parts=parts)  # (2KW, E)
             mask = (ksub == q).astype(jnp.float32)
             Gr = jnp.sum(mask * Pg[:KW, :], axis=0, keepdims=True)
             Gi = jnp.sum(mask * Pg[KW:, :], axis=0, keepdims=True)
@@ -442,7 +453,8 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
             p_yi = vr * Gi + vi * Gr
             P2 = jnp.concatenate([p_yr, p_yi], axis=0)    # (2, E)
             rowohT = (rsub == wrow).astype(jnp.float32)
-            y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())))  # (2, T)
+            y = _dot_onehot(P2, rowohT, (((1,), (1,)), ((), ())),
+                        parts=parts)  # (2, T)
             # heavy diagonals: subtile u, diagonal o reads the flat
             # positions u*T + P + o - C0a*T .. +T of the slice — two
             # STATIC rows with a STATIC lane shift
@@ -489,10 +501,11 @@ def _supertile_call(E, T, KW, NG, extra, C0a, offs, D, interpret,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "T", "KW", "omin_p", "P", "m", "offs", "windows", "interpret"))
+    "T", "KW", "omin_p", "P", "m", "offs", "windows", "parts",
+    "interpret"))
 def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
                                  omin_p, P, m, offs, windows=False,
-                                 interpret=False):
+                                 parts=3, interpret=False):
     """Supertile-of-8, resident-x variant of ``band_points_spmv_pallas``.
 
     Same inputs/contract; ``s2`` here is (NG, 8, 2*D, T) slab blocks and
@@ -511,7 +524,7 @@ def band_points_supertile_pallas(widx, wrow, vr, vi, s2, x2, *, T, KW,
     D = s2.shape[2] // 2
     kernel, in_specs, LW = _supertile_call(
         E, T, KW, NG, extra, C0a, tuple(int(o) + P for o in offs), D,
-        interpret, windows=windows)
+        interpret, windows=windows, parts=parts)
     # padded x blocks: (NBX, T) re and im, big enough for every slice
     NBX = max(_ST_G * (NG - 1) + C0a + LW, -(-(P + x2.shape[1]) // T))
     NBX = -(-NBX // 8) * 8
@@ -588,7 +601,16 @@ class SplitBandPoints:
 
     def __init__(self, a, frac: float = 0.02, tile: int = 256,
                  group_span: int | None = None,
-                 supertile: bool | None = None):
+                 supertile: bool | None = None,
+                 precision: str = "exact"):
+        if precision not in ("exact", "fast"):
+            raise ValueError(f"precision must be 'exact' or 'fast', "
+                             f"got {precision!r}")
+        # 'exact': 3-part bf16 split of the one-hot dots reproduces the
+        # f32 result bit-comparably; 'fast': 2 parts (~16 mantissa bits,
+        # ~1e-5 relative) at two thirds of the MXU passes — for
+        # iterative-solver contexts where the residual loop absorbs it
+        self.dot_parts = 3 if precision == "exact" else 2
         if a.m != a.n:
             raise ValueError(f"SplitBandPoints needs a square matrix, "
                              f"got {a.shape}")
@@ -706,19 +728,20 @@ class SplitBandPoints:
             y = band_points_supertile_pallas(
                 widx, wrow, gvr, gvi, self.slabs, x2,
                 T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
-                windows=(self.supertile == "windows"), interpret=interp)
+                windows=(self.supertile == "windows"),
+                parts=self.dot_parts, interpret=interp)
         else:
             y = band_points_spmv_pallas(
                 widx, wrow, gvr, gvi, self.slabs, x2,
                 T=T, KW=KW, omin_p=omin_p, P=P, m=self.m, offs=self.offs,
-                interpret=interp)
+                parts=self.dot_parts, interpret=interp)
         yr, yi = y[0], y[1]
         for (widx, wrow, gvr, gvi), (T, KW, omin_p, P) in zip(
                 self.point_data[1:], self.point_meta[1:]):
             yp = points_spmv_pallas(
                 widx, wrow, gvr, gvi, x2,
                 T=T, KW=KW, omin_p=omin_p, P=P, m=self.m,
-                interpret=interp)
+                parts=self.dot_parts, interpret=interp)
             yr = yr + yp[0]
             yi = yi + yp[1]
         return yr, yi
@@ -728,7 +751,7 @@ jax.tree_util.register_pytree_node(
     SplitBandPoints,
     lambda p: ((p.slabs, p.point_data),
                (p.m, p.n, p.iscomplex, p.tile, p.group_span, p.offs,
-                tuple(p.point_meta), p.supertile)),
+                tuple(p.point_meta), p.supertile, p.dot_parts)),
     lambda aux, ch: _sbp_unflatten(aux, ch),
 )
 
@@ -736,7 +759,7 @@ jax.tree_util.register_pytree_node(
 def _sbp_unflatten(aux, ch):
     obj = object.__new__(SplitBandPoints)
     (obj.m, obj.n, obj.iscomplex, obj.tile, obj.group_span, obj.offs,
-     meta, obj.supertile) = aux
+     meta, obj.supertile, obj.dot_parts) = aux
     obj.point_meta = list(meta)
     (obj.slabs, obj.point_data) = ch
     return obj

@@ -274,3 +274,24 @@ def test_diag_jacobi_reference():
     d = np.asarray(prec.dinv)
     assert d.shape[0] == 4
     np.testing.assert_allclose(d.reshape(-1)[:n], 1.0 / dv, rtol=1e-6)
+
+
+def test_split_bandpoints_fast_precision():
+    """precision='fast' (2-part one-hot dots, ~16 mantissa bits) stays
+    within iterative-solver tolerance while 'exact' stays f32-tight."""
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 1500
+    g = synthetic_grid(n, seed=13)
+    Y, _, _ = ybus(g)
+    rng = np.random.RandomState(14)
+    xr = rng.rand(n).astype(np.float32)
+    xi = rng.rand(n).astype(np.float32)
+    z = Y.to_scipy() @ (xr + 1j * xi)
+    scale = np.abs(z.real).max()
+    for prec, tol in (("exact", 2e-6), ("fast", 1e-4)):
+        p = SplitBandPoints(Y, tile=128, precision=prec)
+        yr, yi = p(xr, xi)
+        rel = max(np.abs(np.asarray(yr) - z.real).max(),
+                  np.abs(np.asarray(yi) - z.imag).max()) / scale
+        assert rel < tol, (prec, rel)
