@@ -286,16 +286,22 @@ def run_solve100k(reps: int, n: int = 100_000):
     rf = BandedRefactor.from_matrix(A)
     t_sym = time.perf_counter() - t0
     data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    t0 = time.perf_counter()
     fac = jax.jit(rf.__call__).lower(data).compile()
-    t_factor = None
-    for _ in range(2):
+    t_fcompile = time.perf_counter() - t0
+    # {symbolic, compile, execute} reported separately (VERDICT r3 item
+    # 4: the lumped number swung 10x between runs because one flaky
+    # download or a cold host page dominated it); execute is min-of-4
+    # with a recorded spread
+    t_execs = []
+    for _ in range(4):
         t0 = time.perf_counter()
         plan = fac(data)
         # slice download: forces the scan far enough for a wall bound
         np.asarray(plan._sinv[-1, :1])
-        dt = time.perf_counter() - t0
-        t_factor = dt if t_factor is None else min(t_factor, dt)
-    t_factor += t_sym
+        t_execs.append(time.perf_counter() - t0)
+    t_exec = min(t_execs)
+    t_factor = t_sym + t_exec
     host_plan = BandedLU(A)  # untimed: the verification oracle
     RHS = jnp.asarray(
         np.random.RandomState(1).rand(n, B).astype(np.float32))
@@ -351,6 +357,10 @@ def run_solve100k(reps: int, n: int = 100_000):
         "n": n,
         "bw": int(plan.bw),
         "factor_s": t_factor,
+        "factor_sym_s": t_sym,
+        "factor_compile_s": t_fcompile,
+        "factor_exec_s": t_exec,
+        "factor_exec_spread": round(max(t_execs) / max(t_exec, 1e-12), 2),
         # factor stacks + RHS in + X out per solve
         "bytes_per_op": plan_bytes(plan) + 2 * n * B * 4,
         # sweep matmul flops per solve: fwd 1 + bwd 2 (s,s)@(s,B) per block
@@ -762,6 +772,162 @@ def run_refactor_general10k(reps: int):
     return run_refactor_general(reps, ng=10_000)
 
 
+def run_newton10k(reps: int):
+    """Device Newton power flow at config-3 scale (~10k nodes, VERDICT
+    r3 item 7): NewtonPowerFlow(solver='multifrontal') — per-iteration
+    Jacobian refactorization as matmul extend-add fronts, level-
+    scheduled solve, all inside one lax.while_loop.  Measured as a
+    delta between two sequential-solve counts (each full Newton from
+    flat start); gated on the power-flow mismatch of the final state
+    rebuilt on host scipy."""
+    import jax
+    import jax.numpy as jnp
+
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow, sbus
+
+    ng = 10_000
+    g = synthetic_grid(ng, seed=3)
+    t0 = time.perf_counter()
+    # f32 device math: tol below the f32 mismatch floor would pin every
+    # solve at max_iter instead of converging
+    pf = NewtonPowerFlow(g, tol=1e-6, solver="multifrontal")
+    t_build = time.perf_counter() - t0
+    vm0 = jnp.asarray(g.vm0.astype(np.float64))
+    va0 = jnp.zeros(ng)
+    sb = sbus(g)
+    sbr0, sbi0 = np.asarray(sb.real), np.asarray(sb.imag)
+    # the plan state enters as a pytree ARGUMENT — static-self run bakes
+    # the 10k index maps in as HLO literals and trips the tunnel's
+    # remote-compile request limit (HTTP 413)
+    run = jax.jit(NewtonPowerFlow.run_fn)
+
+    def solves(R, seed):
+        """R full Newton solves with slightly perturbed injections —
+        every call converges from flat start; one download each."""
+        rng = np.random.RandomState(seed)
+        tot_it = 0
+        worst = 0.0
+        vm = va = None
+        for i in range(R):
+            f = 1.0 + 1e-4 * rng.rand(ng)
+            vm, va, it, res = run(pf, vm0, va0, jnp.asarray(sbr0 * f),
+                                  jnp.asarray(sbi0 * f))
+            tot_it += int(it)
+            worst = max(worst, float(res))
+        return np.asarray(vm), np.asarray(va), tot_it, worst
+
+    R1 = max(reps // 4, 1)
+    solves(1, 0)  # compile + warm
+    per = None
+    got = None
+    for t in range(3):
+        t0 = time.perf_counter()
+        solves(R1, 10 + t)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = solves(reps, 10 + t)
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    vm, va, tot_it, worst = got
+    # host oracle: AC mismatch of the device solution on scipy
+    Y, _, _ = ybus(g)
+    Ys = Y.to_scipy().tocsr()
+    v = vm.astype(np.float64) * np.exp(1j * va.astype(np.float64))
+    # the last perturbed injection the device solved against
+    rng = np.random.RandomState(12)
+    for _ in range(reps - 1):
+        rng.rand(ng)
+    f = 1.0 + 1e-4 * rng.rand(ng)
+    sbp = (sbr0 + 1j * sbi0) * f
+    mis = v * np.conj(Ys @ v) - sbp
+    pvpq = np.concatenate([g.pv, g.pq])
+    res = float(max(np.abs(mis.real[pvpq]).max(),
+                    np.abs(mis.imag[g.pq]).max()))
+    return {"per": per, "reps": reps, "n": ng, "build_s": t_build,
+            "mean_iters": tot_it / reps, "rel_err": res,
+            "correct": bool(res < 1e-4)}
+
+
+def run_factor_shard(reps: int):
+    """One config-5 SHARD factored on the real chip (VERDICT r3 item 1):
+    the leading 125k rows of the RCM-ordered 1M-node B' (bandwidth
+    ~2453, s=2560) — the per-chip work unit of the 8-way distributed 1M
+    factorization, measured by the chained-delta method like
+    run_factor_device."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.linalg.banded import BandedRefactor
+    from csparse3_tpu.linalg.ordering import rcm
+    from csparse3_tpu.models.grids import synthetic_grid
+
+    N = 1_000_000
+    g = synthetic_grid(N, seed=1)
+    bp = 1.0 / g.x
+    rows = np.concatenate([g.f, g.t, g.f, g.t])
+    cols = np.concatenate([g.f, g.t, g.t, g.f])
+    vals = np.concatenate([bp, bp, -bp, -bp])
+    t0 = time.perf_counter()
+    A0 = cst.add(cst.from_triplets(rows, cols, vals, (N, N)),
+                 cst.diags(np.full(N, 3.0)))
+    perm = rcm(A0)
+    n = 125_000
+    sub = perm[:n]  # leading shard of the RCM order
+    A = A0[sub, sub]
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rf = BandedRefactor.from_matrix(A, ordering=None)
+    t_sym = time.perf_counter() - t0
+    data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
+    b = jnp.asarray(np.random.RandomState(2).rand(n).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chain(p, d0, b, R):
+        def body(d, _):
+            lu = p(d)
+            s = 1.0 + 1e-9 * jnp.max(jnp.abs(lu._sinv))
+            return d0 * s, None
+
+        o, _ = jax.lax.scan(body, d0, None, length=R)
+        return p(o)(b)
+
+    R1 = max(reps // 4, 1)
+    t0 = time.perf_counter()
+    c1 = chain.lower(rf, data, b, R1).compile()
+    c2 = chain.lower(rf, data, b, reps).compile()
+    t_compile = time.perf_counter() - t0
+    per = None
+    got = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(c1(rf, data, b))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = np.asarray(c2(rf, data, b))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - R1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    As = A.to_scipy().tocsc()
+    bh = np.asarray(b, np.float64)
+    x = np.asarray(got, np.float64)
+    res = float(np.linalg.norm(As @ x - bh) / np.linalg.norm(bh))
+    from csparse3_tpu.utils.roofline import thomas_factor_flops
+
+    nb_, s_ = rf._aux[2], rf._aux[1]
+    return {"per": per, "reps": reps, "n": n, "bw": int(rf._aux[3]),
+            "s": int(s_), "build_s": t_build, "sym_s": t_sym,
+            "compile_s": t_compile,
+            "flops": thomas_factor_flops(nb_, s_),
+            "rel_err": res, "correct": bool(res < 1e-3)}
+
+
 def run_mxu_f32(reps: int):
     """Achievable f32-('highest')-precision matmul FLOP/s — the compute
     roofline denominator for the MXU-bound solve sweeps."""
@@ -985,6 +1151,8 @@ _KINDS = {
     "refactor": run_refactor,
     "refactor_general": run_refactor_general,
     "refactor_general10k": run_refactor_general10k,
+    "newton10k": run_newton10k,
+    "factor_shard": run_factor_shard,
     "spgemm": run_spgemm,
     "spgemm_tpu": run_spgemm_tpu,
     "spgemm_bsr": run_spgemm_bsr,
@@ -1114,6 +1282,10 @@ def main():
     if per_100k:
         extra["solve100k_rhs_per_s"] = 1024 / per_100k
         extra["solve100k_factor_s"] = a["factor_s"]
+        for k in ("factor_sym_s", "factor_compile_s", "factor_exec_s",
+                  "factor_exec_spread"):
+            if k in a:
+                extra[f"solve100k_{k}"] = a[k]
         extra["solve100k_bw"] = a["bw"]
         if hbm_bw and a.get("bytes_per_op"):
             extra["solve100k_pct_roofline"] = round(
@@ -1189,19 +1361,52 @@ def main():
     else:
         extra["lodf_error"] = str(a.get("error", a.get("rel_err", "?")))
 
-    a = _sub("refactor_general", 24, timeout=600)
-    if a.get("correct") and a.get("per"):
-        extra["refactor_general_per_s"] = 1.0 / a["per"]
-    else:
-        extra["refactor_general_error"] = str(
-            a.get("error", a.get("rel_err", "?")))
+    # general-refactor kinds get the same min-of-two-subprocess + spread
+    # treatment as `refactor` (VERDICT r3 item 4: 3.3x driver-vs-local
+    # swings): disagreeing trials report the CONSERVATIVE (slower) one
+    for kind, reps_k in (("refactor_general", 24),
+                         ("refactor_general10k", 15)):
+        runs = []
+        a = {}
+        for _ in range(2):
+            a = _sub(kind, reps_k, timeout=600)
+            if a.get("correct") is False:
+                a.setdefault("error",
+                             f"wrong result (rel_err={a.get('rel_err')})")
+                continue
+            if a.get("per"):
+                runs.append(a["per"])
+        if runs:
+            spread = max(runs) / min(runs)
+            per_k = min(runs) if spread <= 2.0 else max(runs)
+            extra[f"{kind}_per_s"] = 1.0 / per_k
+            extra[f"{kind}_spread"] = round(spread, 2)
+            if spread > 2.0:
+                extra[f"{kind}_unstable"] = True
+        else:
+            extra[f"{kind}_error"] = str(
+                a.get("error", a.get("rel_err", "?")))
 
-    a = _sub("refactor_general10k", 15, timeout=600)
+    a = _sub("newton10k", 8, timeout=900, attempts=2)
     if a.get("correct") and a.get("per"):
-        extra["refactor_general10k_per_s"] = 1.0 / a["per"]
+        extra["newton10k_per_s"] = 1.0 / a["per"]
+        extra["newton10k_mean_iters"] = a["mean_iters"]
+        extra["newton10k_build_s"] = a["build_s"]
     else:
-        extra["refactor_general10k_error"] = str(
-            a.get("error", a.get("rel_err", "?")))
+        extra["newton10k_error"] = str(a.get("error",
+                                             a.get("rel_err", "?")))
+
+    a = _sub("factor_shard", 8, timeout=900, attempts=2)
+    if a.get("correct") and a.get("per"):
+        extra["factor_shard_device_s"] = a["per"]
+        extra["factor_shard_bw"] = a["bw"]
+        extra["factor_shard_s"] = a["s"]
+        if a.get("flops"):
+            extra["factor_shard_tflops"] = round(
+                a["flops"] / a["per"] / 1e12, 2)
+    else:
+        extra["factor_shard_error"] = str(a.get("error",
+                                                a.get("rel_err", "?")))
 
     gm = _sub("spgemm", 9)
     if "error" not in gm and gm.get("correct", True):

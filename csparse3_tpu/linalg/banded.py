@@ -287,6 +287,110 @@ def thomas_factor_device(D, E, F):
     return ehat, sinv, uhat
 
 
+def thomas_factor_device_sym(D, F):
+    """Symmetric-input device block-Thomas factorization.
+
+    For a symmetric block-tridiagonal matrix E_k = F_{k-1}^T and every
+    Schur complement S_k is symmetric, so Ehat_k = (Sinv_{k-1} F_{k-1})^T
+    = Uhat_{k-1}^T — the E stack and one of the three (s,s) matmuls per
+    block drop out (the device twin of ``_thomas_factor(sym=True)``).
+    Returns only (sinv, uhat); pair with ``thomas_sweeps_sym``."""
+    with jax.default_matmul_precision("highest"):
+        def step(carry, blk):
+            Uprev, Fprev = carry
+            Dk, Fk = blk
+            S = Dk - Uprev.T @ Fprev
+            Sinv = jnp.linalg.inv(S)
+            Uh = Sinv @ Fk
+            return (Uh, Fk), (Sinv, Uh)
+
+        z = D[0] * 0
+        _, (sinv, uhat) = jax.lax.scan(step, (z, z), (D, F))
+    return sinv, uhat
+
+
+def thomas_sweeps_sym(sinv, uhat, bb, precision="highest"):
+    """``thomas_sweeps`` for factors from ``thomas_factor_device_sym``:
+    the forward sweep reads Ehat_k as Uhat_{k-1}^T instead of a stored
+    E-hat stack."""
+    with jax.default_matmul_precision(precision):
+        z0 = bb[0] * 0
+        zs = uhat[0] * 0
+        uh_prev = jnp.concatenate([zs[None], uhat[:-1]], axis=0)
+
+        def fwd(y_prev, blk):
+            uhp, rhs = blk
+            y_k = rhs - uhp.T @ y_prev
+            return y_k, y_k
+
+        _, y = jax.lax.scan(fwd, z0, (uh_prev, bb))
+
+        def bwd(x_next, blk):
+            si, uh, rhs = blk
+            x_k = si @ rhs - uh @ x_next
+            return x_k, x_k
+
+        _, x = jax.lax.scan(bwd, z0, (sinv, uhat, y), reverse=True)
+    return x
+
+
+def spike_tips_device(sinv, uhat, Bp, Cp, ehat=None, precision="highest"):
+    """Interface blocks of the SPIKE spikes WITHOUT materializing them.
+
+    W = T^{-1}[B; 0; ..; 0], V = T^{-1}[0; ..; 0; C]; only W's and V's
+    first/last (s, s) blocks enter the reduced interface system.  Both
+    recurrences carry a single (s, s) block:
+
+      W: y_0 = B,     y_k = -Ehat_k y_{k-1}         (forward chain)
+         x_{m-1} = Sinv_{m-1} y_{m-1},  x_k = Sinv_k y_k - Uhat_k x_{k+1}
+      V: x_{m-1} = Sinv_{m-1} C,        x_k = -Uhat_k x_{k+1}
+
+    Cost 8 m s^3 flops total vs 12 m s^3 for two full spike sweeps, and
+    O(s^2) memory instead of O(m s^2) per spike (the full (m s, s)
+    spikes at 1M nodes / s = 2560 are 20 GB the recompute-variant solve
+    never needs).  ``ehat=None`` takes the symmetric path
+    (Ehat_k = Uhat_{k-1}^T).  Returns (Wt, Wb, Vt, Vb)."""
+    m = sinv.shape[0]
+    with jax.default_matmul_precision(precision):
+        if ehat is None:
+            zs = uhat[0] * 0
+            eh_seq = jnp.concatenate([zs[None], uhat[:-1]], axis=0)
+
+            def wfwd(y_prev, uhp):
+                y = -(uhp.T @ y_prev)
+                return y, y
+        else:
+            eh_seq = ehat
+
+            def wfwd(y_prev, ehk):
+                y = -(ehk @ y_prev)
+                return y, y
+
+        # forward chain of W's RHS propagation, seeded with y_0 = B
+        _, ytail = jax.lax.scan(wfwd, Bp, eh_seq[1:])
+        y = jnp.concatenate([Bp[None], ytail], axis=0)     # (m, s, s)
+
+        def wbwd(x_next, blk):
+            si, uh, yk = blk
+            x_k = si @ yk - uh @ x_next
+            return x_k, x_k
+
+        zW = Bp * 0
+        Wt, xs = jax.lax.scan(wbwd, zW, (sinv, uhat, y), reverse=True)
+        Wb = xs[m - 1]
+
+        def vbwd(x_next, uh):
+            x_k = -(uh @ x_next)
+            return x_k, x_k
+
+        Vb = sinv[m - 1] @ Cp
+        if m > 1:
+            Vt, _ = jax.lax.scan(vbwd, Vb, uhat[:-1], reverse=True)
+        else:
+            Vt = Vb
+    return Wt, Wb, Vt, Vb
+
+
 def _sweeps_host(ehat, sinv, uhat, bb):
     """numpy twin of thomas_sweeps (f64 math over the stored stacks)."""
     nb = bb.shape[0]

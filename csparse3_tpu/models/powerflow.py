@@ -318,6 +318,7 @@ def _jacobian(Y: CSC, v, ibus, pvpq, pq):
     return construct.from_triplets(jr, jc, jv, (dim, dim))
 
 
+@jax.tree_util.register_pytree_node_class
 class NewtonPowerFlow:
     """Fully-jittable Newton power flow.
 
@@ -328,7 +329,31 @@ class NewtonPowerFlow:
     solve, state update — inside one ``lax.while_loop``.  No host
     round-trip per iteration, unlike ``newton_raphson`` (the host
     reference implementation kept below).
+
+    The class is a registered pytree: pass the instance to
+    ``jax.jit(NewtonPowerFlow.run_fn)`` as an ARGUMENT so the plan's
+    index maps enter the program as operands — ``run`` (static self)
+    bakes them in as HLO literals, which at 10k nodes exceeds
+    remote-compile request limits (HTTP 413 on tunnel attachments).
     """
+
+    def tree_flatten(self):
+        ch = (self._rp, self._yplan, self._sbr, self._sbi, self._y_rows,
+              self._y_cols, self._ygr, self._ygi, self._diag_mask,
+              tuple(self._keep), self._perm, self._pvpq, self._pq)
+        aux = (self.tol, self.max_iter, self._npvpq)
+        return ch, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        (obj._rp, obj._yplan, obj._sbr, obj._sbi, obj._y_rows,
+         obj._y_cols, obj._ygr, obj._ygi, obj._diag_mask, keep,
+         obj._perm, obj._pvpq, obj._pq) = ch
+        obj._keep = list(keep)
+        obj.tol, obj.max_iter, obj._npvpq = aux
+        obj.grid = obj.Y = None  # host-only state, not needed in jit
+        return obj
 
     def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="auto",
                  spmv="ell", solver="level"):
@@ -409,10 +434,16 @@ class NewtonPowerFlow:
 
             lu = splu(J0, ordering="nd" if ordering == "auto"
                       else ordering, tol=0.0)
-            if lu.is_singular:
+            # a tiny (not exactly zero) pivot can silently inf/nan the
+            # factors without setting the singular flag — validate
+            # numerically before freezing the pivots into every Newton
+            # iteration (same check as DCContingency / ptdf)
+            if lu.is_singular or not (
+                    np.isfinite(np.asarray(lu._h.Lx)).all()
+                    and np.isfinite(np.asarray(lu._h.Ux)).all()):
                 raise ValueError(
-                    "no-pivot factorization of the base Jacobian hit a "
-                    "zero pivot; use solver='level'")
+                    "no-pivot factorization of the base Jacobian is "
+                    "numerically unstable; use solver='level'")
             self._rp = MultifrontalRefactor(lu._h, J0)
         else:
             lu = splu(J0, ordering=ordering)
@@ -474,11 +505,15 @@ class NewtonPowerFlow:
         f = jnp.concatenate([mis_r[self._pvpq], mis_i[self._pq]])
         return f, (vr, vi), (ir, ii)
 
-    @partial(jax.jit, static_argnums=0)
-    def run(self, vm0, va0, sbr, sbi, ygr=None, ygi=None):
+    def run_fn(self, vm0, va0, sbr, sbi, ygr=None, ygi=None):
         """Solve to tolerance; returns (vm, va, iterations, residual).
         ``ygr/ygi`` override the Ybus entry values (same pattern) — the
-        AC-contingency hook: vmap over per-scenario value arrays."""
+        AC-contingency hook: vmap over per-scenario value arrays.
+
+        Undecorated body: jit as ``jax.jit(NewtonPowerFlow.run_fn)``
+        with the instance passed as a pytree argument (see class
+        docstring), or use ``run`` (static self, convenient at small
+        n)."""
 
         def cond(state):
             vm, va, it = state
@@ -501,6 +536,8 @@ class NewtonPowerFlow:
         f, _, _ = self._mismatch_f(vm, va, sbr, sbi, ygr, ygi)
         res = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
         return vm, va, it, res
+
+    run = partial(jax.jit, static_argnums=0)(run_fn)
 
     def solve(self, flat_start=True):
         n = self.grid.n_bus

@@ -93,7 +93,15 @@ def ptdf(grid: Grid, branches=None, ordering="auto", chunk: int = 1024,
                     and np.isfinite(np.asarray(lu0._h.Ux)).all()):
                 raise ValueError("no-pivot factorization unstable")
             plan = lu0.banded_solve_plan()
-        except Exception:
+        except (ValueError, np.linalg.LinAlgError) as e:
+            # expected fallbacks only (stability/bandwidth checks); any
+            # other exception is a real bug and must propagate instead
+            # of silently degrading to the scalar level-scheduled plan
+            import warnings
+
+            warnings.warn(
+                f"ptdf: banded fast path unavailable ({e}); falling "
+                "back to the level-scheduled solve plan", stacklevel=2)
             plan = None
     if plan is None:
         lu = splu(Br, ordering=ordering)

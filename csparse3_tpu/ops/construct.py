@@ -288,9 +288,11 @@ def csc_to_dense(a: CSC):
     cols = expand_indptr(a.indptr, k)
     dt = a.data.dtype
     if dt == jnp.bool_:
-        # XLA scatter-add rejects bool; accumulate in uint8 ("or")
+        # XLA scatter-add rejects bool; scatter-MAX in uint8 gives OR
+        # semantics that survive any number of duplicate entries (add
+        # would wrap 256 duplicate Trues back to False)
         out = jnp.zeros((a.m, a.n), dtype=jnp.uint8)
-        return out.at[a.indices[:k], cols].add(
+        return out.at[a.indices[:k], cols].max(
             a.data[:k].astype(jnp.uint8)).astype(jnp.bool_)
     out = jnp.zeros((a.m, a.n), dtype=dt)
     return out.at[a.indices[:k], cols].add(a.data[:k])
@@ -300,8 +302,9 @@ def coo_to_dense(a: COO):
     k = a.nnz
     dt = a.data.dtype
     if dt == jnp.bool_:
+        # scatter-max = duplicate-safe OR (see csc_to_dense)
         out = jnp.zeros((a.m, a.n), dtype=jnp.uint8)
-        return out.at[a.rows[:k], a.cols[:k]].add(
+        return out.at[a.rows[:k], a.cols[:k]].max(
             a.data[:k].astype(jnp.uint8)).astype(jnp.bool_)
     out = jnp.zeros((a.m, a.n), dtype=dt)
     return out.at[a.rows[:k], a.cols[:k]].add(a.data[:k])

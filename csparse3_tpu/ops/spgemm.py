@@ -58,7 +58,13 @@ def spgemm(a: CSC, b: CSC) -> CSC:
     general-dims path; CscMat.__mul__'s square-only dim quirk at
     csc.py:354-370 is intentionally NOT replicated, see SURVEY §7).
     Host-eager (output nnz is data-dependent); for repeated products with
-    a fixed pattern use ``spgemm_symbolic`` + ``SpGEMMPlan.numeric``."""
+    a fixed pattern use ``spgemm_symbolic`` + ``SpGEMMPlan.numeric``.
+
+    Dtype policy (reference instantiates T over bool..int64..clongdouble,
+    sparsetools.cxx:44, csr.i:12-41): float/complex ride the native host
+    kernel; INTEGER values ride the numpy triplet path below, exact in
+    the input dtype (int64 containers hold int32 on device — the integer
+    analogue of the f64 -> f32 device value policy)."""
     if a.n != b.m:
         raise ValueError(f"dim mismatch for A@B: {a.shape} @ {b.shape}")
     a = a if a.canonical else construct.canonicalize(a)

@@ -66,8 +66,11 @@ class ESCSpGEMM:
             total = int(capacity)
         self.m, self.n, self.k = a.m, b.n, a.n
         self.total = total
-        # fused int32 sort key when col*m + row fits; else two-key sort
-        self.fused = (a.m * b.n) < 2**31
+        # fused int32 sort key when col*(m+1) + row fits for every key
+        # INCLUDING the padding sentinel (col=n, row=m → max key
+        # (m+1)*(n+1) - 1); a bare m*n guard overflows for e.g.
+        # m = n = 46341 and wraps keys negative, corrupting the sort
+        self.fused = (a.m + 1) * (b.n + 1) <= 2**31
         self.ap = a.indptr
         self.ai = a.indices
         self.bp = b.indptr

@@ -42,8 +42,11 @@ from ..linalg.banded import (
     _sweeps_host,
     _thomas_factor,
     bandwidth,
+    spike_tips_device,
     thomas_factor_device,
+    thomas_factor_device_sym,
     thomas_sweeps,
+    thomas_sweeps_sym,
 )
 
 __all__ = ["DistBandedLU"]
@@ -241,6 +244,9 @@ class DistBandedLU:
         self.perm = perm
         self._hperm = perm
         self._h = (ehat, sinv, uhat, Wsp, Vsp, r_eh, r_si, r_uh)
+        self._B = self._C = None
+        self._sym = False
+        self._solve_c = None
 
     # -- device solve --------------------------------------------------------
     def _local(self, bb, ehat, sinv, uhat, w, v, r_eh, r_si, r_uh):
@@ -272,17 +278,92 @@ class DistBandedLU:
             corr = w @ x_prev_b + v @ x_next_t               # (m*s, B)
         return (g.reshape(m * s, -1) - corr).reshape(m, s, -1)
 
+    def _local2(self, bb, sinv, uhat, ehat, Bc, Cc, r_eh, r_si, r_uh):
+        """Recompute-variant shard body (factor_device objects): no
+        stored spikes — after the replicated reduced solve, the spike
+        correction is a SECOND local Thomas sweep of the boundary-
+        coupling RHS (equal flops to the spike matmuls, none of the
+        (m s, s) spike storage).  ``ehat is None`` -> symmetric factors
+        (Ehat_k = Uhat_{k-1}^T)."""
+        ax = self.axis
+        m, s = self.m, self.s
+
+        def sweep(rhs):
+            if ehat is None:
+                return thomas_sweeps_sym(sinv, uhat, rhs)
+            return thomas_sweeps(ehat, sinv, uhat, rhs)
+
+        g = sweep(bb)                                        # (m, s, B)
+        if self.P == 1:
+            return g
+        gt_gb = jnp.stack([g[0], g[-1]])                     # (2, s, B)
+        allg = jax.lax.all_gather(gt_gb, ax)                 # (P, 2, s, B)
+        gts, gbs = allg[:, 0], allg[:, 1]
+        r = jnp.concatenate([gbs[:-1], gts[1:]], axis=1)     # (P-1, 2s, B)
+        z = thomas_sweeps(r_eh, r_si, r_uh, r)
+        xb = z[:, :s]
+        xt = z[:, s:]
+        idx = jax.lax.axis_index(ax)
+        zero = jnp.zeros_like(g[0])
+        x_prev_b = jnp.where(idx > 0,
+                             jnp.take(xb, idx - 1, axis=0, mode="clip"),
+                             zero)
+        x_next_t = jnp.where(idx < self.P - 1,
+                             jnp.take(xt, idx, axis=0, mode="clip"),
+                             zero)
+        with jax.default_matmul_precision("highest"):
+            rhs2 = jnp.zeros_like(g)
+            rhs2 = rhs2.at[0].set(Bc[0] @ x_prev_b)
+            rhs2 = rhs2.at[m - 1].add(Cc[0] @ x_next_t)
+            delta = sweep(rhs2)
+        return g - delta
+
+    def _build_solve(self):
+        """One jitted shard_map solve per object — the eager path paid a
+        trace + per-primitive multi-device dispatch on EVERY solve
+        (measured 40 s for a trivial 1-RHS solve at 205k on the CPU
+        mesh)."""
+        ax = self.axis
+        if self._w is not None:
+            def body(bb, eh, si, uh, w, v, r_eh, r_si, r_uh):
+                return self._local(bb, eh, si, uh, w, v, r_eh, r_si,
+                                   r_uh)
+
+            f = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                          P(), P(), P()),
+                out_specs=P(ax),
+            )
+            self._solve_c = jax.jit(f)
+        else:
+            sym = self._sym
+
+            def body2(bb, si, uh, eh, Bc, Cc, r_eh, r_si, r_uh):
+                return self._local2(bb, si, uh, None if sym else eh,
+                                    Bc, Cc, r_eh, r_si, r_uh)
+
+            f = jax.shard_map(
+                body2, mesh=self.mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                          P(), P(), P()),
+                out_specs=P(ax),
+            )
+            self._solve_c = jax.jit(f)
+
     def solve_blocks(self, bb):
         """Solve in sharded block space: (nb, s, B) -> (nb, s, B)."""
-        ax = self.axis
-        f = jax.shard_map(
-            self._local, mesh=self.mesh,
-            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
-                      P(), P(), P()),
-            out_specs=P(ax),
-        )
-        return f(bb, self._ehat, self._sinv, self._uhat, self._w,
-                 self._v, self._r_eh, self._r_si, self._r_uh)
+        if self._solve_c is None:
+            self._build_solve()
+        if self._w is not None:
+            return self._solve_c(bb, self._ehat, self._sinv, self._uhat,
+                                 self._w, self._v, self._r_eh,
+                                 self._r_si, self._r_uh)
+        # the sym path has no ehat stack; pass sinv as a shape-true dummy
+        # (body2 ignores it)
+        eh = self._ehat if self._ehat is not None else self._sinv
+        return self._solve_c(bb, self._sinv, self._uhat, eh, self._B,
+                             self._C, self._r_eh, self._r_si, self._r_uh)
 
     def blocks(self, b):
         """Permute + pad an (n,)/(n,B) RHS to sharded (nb, s, B)."""
@@ -317,69 +398,104 @@ class DistBandedLU:
                       s: int | None = None, dtype=None):
         """SPIKE factorization with the numeric work ON DEVICE, sharded.
 
-        Host does only symbolic work (ordering + the block-tridiagonal
-        index map); each shard then runs the block-Thomas recurrence and
-        its two spike solves locally under ``shard_map``
-        (``thomas_factor_device`` / ``thomas_sweeps``), exchanges ONE
-        all_gather of four (s, s) interface blocks, and the reduced
-        2s-block interface system factors on device too.  This is the
-        config-5 "pod-grade BLAS" path: the per-chunk factors that the
-        host constructor builds in streamed numpy BLAS come out of the
-        MXU instead.  Real-valued matrices only (complex transfers are
+        Host does only symbolic work (ordering + numpy assembly of the
+        block-tridiagonal stacks in sharded layout); each shard runs the
+        block-Thomas recurrence under one jitted ``shard_map`` call with
+        DONATED inputs (the (nb, s, s) D/F stacks are reused for the
+        factor output — at 1M nodes / s = 2560 that halves the peak),
+        computes only the four (s, s) spike INTERFACE blocks by carried
+        recurrences (``spike_tips_device`` — the full (m s, s) spikes
+        are never materialized; the solve recomputes their action as a
+        second local sweep), exchanges ONE all_gather of the tips, and
+        factors the reduced 2s-block interface system on device.
+
+        Symmetric matrices (checked on host) take the E-free fast path:
+        Ehat_k = Uhat_{k-1}^T, dropping the E stack and one (s,s) matmul
+        per block.  Real-valued matrices only (complex transfers are
         unreliable on some attachments)."""
-        from jax.sharding import NamedSharding
+        from ..linalg.banded import is_symmetric_csc
 
         (mesh, axis, Pn, n, perm, r, c, bw, s, m,
          nb) = _chunk_geometry(a, mesh, ordering, s)
-        _, _, Ax = a.np_arrays()
+        Ap, Ai, Ax = a.np_arrays()
         if np.iscomplexobj(np.asarray(Ax)):
             raise NotImplementedError(
                 "factor_device is real-only; use the host constructor")
         if dtype is None:
             dtype = np.float32
+        # symmetry is invariant under the symmetric permutation A[p, p],
+        # so check the ORIGINAL canonical arrays (no permuted copy)
+        sym = bool(a.canonical
+                   and is_symmetric_csc(n, np.asarray(Ap), np.asarray(Ai),
+                                        np.asarray(Ax)))
+        vals = np.asarray(Ax, dtype=dtype)
         kb_r, kb_c = r // s, c // s
-        # flat [D | E | F] scatter map (BandedRefactor layout)
         d = kb_r - kb_c
-        which = np.where(d == 0, 0, np.where(d == 1, 1, 2))
-        idx = which * (nb * s * s) + kb_r * (s * s) + (r % s) * s + (c % s)
+        lr, lc = (r % s).astype(np.int64), (c % s).astype(np.int64)
+
+        # ---- host numpy assembly, sharded (nb, s, s) layout ------------
+        D = np.zeros((nb, s, s), dtype=dtype)
+        F = np.zeros((nb, s, s), dtype=dtype)
+        Bc = np.zeros((Pn, s, s), dtype=dtype)
+        Cc = np.zeros((Pn, s, s), dtype=dtype)
+        m0 = d == 0
+        np.add.at(D, (kb_r[m0], lr[m0], lc[m0]), vals[m0])
         pad = np.arange(n, nb * s, dtype=np.int64)
-        pad_idx = (pad // s) * (s * s) + (pad % s) * s + (pad % s)
+        D[pad // s, pad % s, pad % s] += 1.0       # unit pad diagonal
+        mF = d == -1                                # F_k lives at kb_r
+        cross_F = (kb_c % m) == 0                   # crosses a chunk edge
+        fin = mF & ~cross_F
+        np.add.at(F, (kb_r[fin], lr[fin], lc[fin]), vals[fin])
+        fout = mF & cross_F                         # C_p coupling blocks
+        np.add.at(Cc, (kb_r[fout] // m, lr[fout], lc[fout]), vals[fout])
+        mE = d == 1                                 # E_k lives at kb_r
+        cross_E = (kb_r % m) == 0
+        eout = mE & cross_E                         # B_p coupling blocks
+        np.add.at(Bc, (kb_r[eout] // m, lr[eout], lc[eout]), vals[eout])
+        if sym:
+            E = None
+        else:
+            E = np.zeros((nb, s, s), dtype=dtype)
+            ein = mE & ~cross_E
+            np.add.at(E, (kb_r[ein], lr[ein], lc[ein]), vals[ein])
 
-        data = jnp.asarray(np.asarray(Ax, dtype=dtype))
-        idx_d = jnp.asarray(idx)
-        pad_d = jnp.asarray(pad_idx)
-
-        @jax.jit
-        def assemble(vals):
-            buf = jnp.zeros((3 * nb * s * s,), dtype=dtype)
-            buf = buf.at[idx_d].add(vals)
-            buf = buf.at[pad_d].add(jnp.ones((), dtype))
-            D, E, F = buf.reshape(3, Pn, m, s, s)
-            B = E[:, 0]                    # chunk coupling to the left
-            C = F[:, -1]                   # chunk coupling to the right
-            E = E.at[:, 0].set(0.0)
-            F = F.at[:, -1].set(0.0)
-            return D, E, F, B, C
-
-        D, E, F, B, C = assemble(data)
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        D = jax.device_put(D, shard)
+        F = jax.device_put(F, shard)
+        if E is not None:
+            E = jax.device_put(E, shard)
+        Bc = jax.device_put(Bc, shard)
+        Cc = jax.device_put(Cc, shard)
         spec = P(axis)
 
-        def local(Dp, Ep, Fp, Bp, Cp):
-            # per-shard (1, m, s, s) blocks
-            eh, si, uh = thomas_factor_device(Dp[0], Ep[0], Fp[0])
-            z = jnp.zeros((m, s, s), dtype)
-            W = thomas_sweeps(eh, si, uh, z.at[0].set(Bp[0]))
-            V = thomas_sweeps(eh, si, uh, z.at[-1].set(Cp[0]))
-            iface = jnp.stack([W[0], W[-1], V[0], V[-1]])  # (4, s, s)
-            return eh[None], si[None], uh[None], W[None], V[None], \
-                iface[None]
+        if sym:
+            def local(Dp, Fp, Bp, Cp):
+                si, uh = thomas_factor_device_sym(Dp, Fp)
+                Wt, Wb, Vt, Vb = spike_tips_device(si, uh, Bp[0], Cp[0])
+                iface = jnp.stack([Wt, Wb, Vt, Vb])      # (4, s, s)
+                return si, uh, iface[None]
 
-        f = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(spec, spec, spec, spec, spec),
-            out_specs=(spec, spec, spec, spec, spec, spec),
-        )
-        eh, si, uh, W, V, iface = f(D, E, F, B, C)
+            f = jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(spec,) * 4,
+                out_specs=(spec, spec, spec)),
+                donate_argnums=(0, 1))
+            si, uh, iface = f(D, F, Bc, Cc)
+            eh = None
+        else:
+            def local(Dp, Ep, Fp, Bp, Cp):
+                eh, si, uh = thomas_factor_device(Dp, Ep, Fp)
+                Wt, Wb, Vt, Vb = spike_tips_device(si, uh, Bp[0], Cp[0],
+                                                   ehat=eh)
+                iface = jnp.stack([Wt, Wb, Vt, Vb])
+                return eh, si, uh, iface[None]
+
+            f = jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(spec,) * 5,
+                out_specs=(spec, spec, spec, spec)),
+                donate_argnums=(0, 1, 2))
+            eh, si, uh, iface = f(D, E, F, Bc, Cc)
+        del D, E, F
 
         @jax.jit
         def reduced(iface):
@@ -401,13 +517,13 @@ class DistBandedLU:
         obj = object.__new__(cls)
         obj.mesh, obj.axis = mesh, axis
         obj.n, obj.s, obj.bw, obj.m, obj.P = n, s, bw, m, Pn
-        shard = NamedSharding(mesh, P(axis))
-        rep = NamedSharding(mesh, P())
-        obj._ehat = jax.device_put(eh.reshape(nb, s, s), shard)
-        obj._sinv = jax.device_put(si.reshape(nb, s, s), shard)
-        obj._uhat = jax.device_put(uh.reshape(nb, s, s), shard)
-        obj._w = jax.device_put(W.reshape(Pn, m * s, s), shard)
-        obj._v = jax.device_put(V.reshape(Pn, m * s, s), shard)
+        obj._ehat = eh
+        obj._sinv = si
+        obj._uhat = uh
+        obj._w = obj._v = None
+        obj._B, obj._C = Bc, Cc
+        obj._sym = sym
+        obj._solve_c = None
         if Pn > 1:
             r_eh, r_si, r_uh = reduced(iface)
         else:

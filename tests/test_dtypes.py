@@ -118,3 +118,72 @@ def test_bool_transpose_spgemm():
     g = cst.spgemm(a.astype(np.int32), a.astype(np.int32).t())
     ref = (a_sp.astype(np.int32) @ a_sp.astype(np.int32).T).toarray()
     np.testing.assert_array_equal(np.asarray(g.todense()), ref)
+
+
+def test_int_spgemm_all_paths():
+    """Integer-valued SpGEMM policy (reference instantiates T over
+    int8..int64 for matmat, sparsetools.cxx:44, csr.i:12-41): the host
+    Gustavson path computes EXACTLY in the input integer dtype; the
+    device paths (SpGEMMPlan.numeric, ESC) compute in the configured
+    narrowed dtype (int64 -> int32, mirroring the f64 -> f32 device
+    value policy)."""
+    from csparse3_tpu.ops import construct
+    from csparse3_tpu.ops.spgemm import spgemm_symbolic
+    from csparse3_tpu.ops.spgemm_device import spgemm_device
+
+    rng = np.random.RandomState(11)
+    for dt in (np.int8, np.int16, np.int32):
+        a_sp = (sp.random(40, 40, density=0.15, format="csc",
+                          random_state=rng) * 5).astype(dt)
+        A = cst.CSC.from_scipy(a_sp)
+        # host eager spgemm + gram keep the input dtype, exact result
+        G = cst.gram(A)
+        assert G.dtype == dt, (dt, G.dtype)
+        ref = (a_sp @ a_sp.T).tocsc()
+        np.testing.assert_array_equal(
+            np.asarray(G.todense()).astype(np.int64),
+            ref.toarray().astype(np.int64))
+        C = cst.spgemm(A, A)
+        np.testing.assert_array_equal(
+            np.asarray(C.todense()).astype(np.int64),
+            (a_sp @ a_sp).toarray().astype(np.int64))
+    # device paths: int32 in, int32 out, exact
+    a_sp = (sp.random(40, 40, density=0.15, format="csc",
+                      random_state=rng) * 5).astype(np.int32)
+    A = cst.CSC.from_scipy(a_sp)
+    B = construct.transpose(A)
+    plan = spgemm_symbolic(A, B)
+    Cd = plan.numeric(A.data, B.data)
+    assert np.issubdtype(Cd.data.dtype, np.integer)
+    got = cst.CSC(A.m, A.m, *[np.asarray(x) for x in
+                              (Cd.indptr, Cd.indices, Cd.data)])
+    ref = (a_sp @ a_sp.T).tocsc()
+    np.testing.assert_array_equal(np.asarray(got.todense()), ref.toarray())
+    esc = spgemm_device(A, B)
+    np.testing.assert_array_equal(np.asarray(esc.todense()), ref.toarray())
+
+
+def test_int64_values_narrow_documented():
+    """int64 VALUES narrow to int32 on container ingest (jax x64 off) —
+    the integer analogue of the f64 -> f32 device policy.  This test
+    pins the documented behavior: results are exact when they fit
+    int32."""
+    a_sp = (sp.random(30, 30, density=0.2, format="csc",
+                      random_state=np.random.RandomState(12))
+            * 9).astype(np.int64)
+    A = cst.CSC.from_scipy(a_sp)
+    G = cst.gram(A)
+    assert np.issubdtype(G.dtype, np.integer)
+    ref = (a_sp @ a_sp.T).tocsc()
+    np.testing.assert_array_equal(
+        np.asarray(G.todense()).astype(np.int64), ref.toarray())
+
+
+def test_bool_densify_many_duplicates():
+    """256 duplicate True triplets at one coordinate must densify as
+    True (scatter-max OR semantics; uint8 scatter-ADD wrapped to 0)."""
+    k = 256
+    coo = cst.COO(4, 4, np.zeros(k, np.int32), np.zeros(k, np.int32),
+                  np.ones(k, np.bool_), nnz=k)
+    d = np.asarray(coo.to_dense())
+    assert d[0, 0], "duplicate Trues wrapped to False"
