@@ -138,7 +138,7 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
     err = max(err / scale, err1 / scale1) * scale  # combined gate below
     from csparse3_tpu.utils.roofline import plan_bytes
 
-    return {
+    out = {
         "t": (per or -1.0) * reps,  # back-compat: t/reps ~ per-op
         "per": per,
         "reps": reps,
@@ -150,6 +150,14 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
         "correct": bool(err / scale < 1e-2),
         "device": str(jax.devices()[0]),
     }
+    if plan_kind == "bandpoints":
+        # binding-resource model (VERDICT r3 item 2c): the points pass
+        # is VPU/MXU-bound, not HBM-bound; report its op counts so the
+        # harness can compute %-of-binding-roofline
+        from csparse3_tpu.utils.roofline import bandpoints_binding_model
+
+        out["binding_model"] = bandpoints_binding_model(plan)
+    return out
 
 
 def run_lusolve(reps: int, ng: int = 10_000):
@@ -689,8 +697,56 @@ def run_spgemm_tpu(reps: int):
     As = A.to_scipy()
     ref = (As @ As.T).tocsc()
     rel = float(abs(got - ref).max() / max(abs(ref).max(), 1e-30))
-    return {"per": per, "reps": reps, "out_nnz": int(plan.out_nnz),
-            "rel_err": rel, "correct": bool(rel < 1e-3)}
+    res = {"per": per, "reps": reps, "out_nnz": int(plan.out_nnz),
+           "rel_err": rel, "correct": bool(rel < 1e-3)}
+
+    # config-2 second case: random 10k x 10k, 0.1% density (the
+    # rowgather XLA path; operands out of the fused-kernel regime)
+    import scipy.sparse as sp
+
+    a10 = sp.random(10_000, 10_000, density=1e-3, format="csc",
+                    random_state=np.random.RandomState(0))
+    A10 = cst.CSC.from_scipy(a10)
+    B10 = construct.transpose(A10)
+    plan10 = spgemm_symbolic(A10, B10)
+    a1 = jnp.asarray(np.asarray(A10.np_arrays()[2], np.float32))
+    b1 = jnp.asarray(np.asarray(B10.np_arrays()[2], np.float32))
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain10(a, b, R):
+        def body(c, _):
+            Cc = plan10.numeric(c, b)
+            s = 1.0 + 1e-12 * jnp.max(jnp.abs(Cc.data))
+            return a * s, None
+
+        o, _ = jax.lax.scan(body, a, None, length=R)
+        return plan10.numeric(o, b).data
+
+    reps10 = max(reps // 4, 4)
+    R1 = max(reps10 // 4, 1)
+    c1 = chain10.lower(a1, b1, R1).compile()
+    c2 = chain10.lower(a1, b1, reps10).compile()
+    per10 = None
+    out10 = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(c1(a1, b1)[:8])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out10 = np.asarray(c2(a1, b1))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps10 - R1)
+        if d > 0 and (per10 is None or d < per10):
+            per10 = d
+    tpl10 = plan10.template
+    got10 = cst.CSC(A10.m, A10.m, tpl10.np_arrays()[0],
+                    tpl10.np_arrays()[1], out10).to_scipy().copy()
+    ref10 = (a10 @ a10.T).tocsc()
+    rel10 = float(abs(got10 - ref10).max() / max(abs(ref10).max(), 1e-30))
+    res.update({"per10": per10, "out_nnz10": int(plan10.out_nnz),
+                "rel_err10": rel10,
+                "correct": bool(res["correct"] and rel10 < 1e-3)})
+    return res
 
 
 def run_spgemm_bsr(reps: int):
@@ -937,6 +993,24 @@ def run_mxu_f32(reps: int):
     return {"tflops": measure_mxu_f32(reps=reps) / 1e12}
 
 
+def run_mxu_bf16(reps: int):
+    """Single-pass (DEFAULT precision) matmul FLOP/s — the per-pass
+    denominator for the split-precision one-hot dots."""
+    import csparse3_tpu  # noqa: F401
+    from csparse3_tpu.utils.roofline import measure_mxu_bf16
+
+    return {"tflops": measure_mxu_bf16(reps=reps) / 1e12}
+
+
+def run_vpu_f32(reps: int):
+    """Elementwise VPU f32 op rate — the denominator for one-hot build
+    (compare/select) streams."""
+    import csparse3_tpu  # noqa: F401
+    from csparse3_tpu.utils.roofline import measure_vpu_f32
+
+    return {"tops": measure_vpu_f32(reps=reps) / 1e12}
+
+
 def run_hbm_bw(reps: int):
     """Achievable HBM bandwidth of the attached chip (utils/roofline.py)
     — the denominator for every %-of-roofline metric below."""
@@ -1143,6 +1217,8 @@ _KINDS = {
     "spmv_bp_small": run_spmv_bp_small,
     "hbm_bw": run_hbm_bw,
     "mxu_f32": run_mxu_f32,
+    "mxu_bf16": run_mxu_bf16,
+    "vpu_f32": run_vpu_f32,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "solve100k": run_solve100k,
@@ -1245,6 +1321,30 @@ def main():
         extra["mxu_f32_tflops"] = round(mxu_fs / 1e12, 2)
     else:
         extra["mxu_f32_error"] = str(mx.get("error", "?"))
+
+    # binding-resource roofline for the points-dominated SpMV kernel
+    # (VERDICT r3 item 2): the wash is one-hot MXU contractions with VPU
+    # compare/select builds — %-of-HBM misstates a compute-bound kernel
+    mb16 = _sub("mxu_bf16", 64)
+    mxu_bf = (mb16.get("tflops") or 0.0) * 1e12
+    if mxu_bf:
+        extra["mxu_bf16_tflops"] = round(mxu_bf / 1e12, 2)
+    vp = _sub("vpu_f32", 64)
+    vpu_rate = (vp.get("tops") or 0.0) * 1e12
+    if vpu_rate:
+        extra["vpu_f32_tops"] = round(vpu_rate / 1e12, 3)
+    bm = a.get("binding_model") if per_spmv else None
+    if bm and vpu_rate and mxu_bf:
+        t_vpu = bm["vpu_ops"] / vpu_rate
+        t_mxu = 2.0 * bm["mxu_macs"] / mxu_bf
+        t_hbm = bm["hbm_bytes"] / hbm_bw if hbm_bw else 0.0
+        t_bind = max(t_vpu, t_mxu, t_hbm)
+        extra["spmv_model_vpu_us"] = round(t_vpu * 1e6, 1)
+        extra["spmv_model_mxu_us"] = round(t_mxu * 1e6, 1)
+        extra["spmv_model_hbm_us"] = round(t_hbm * 1e6, 1)
+        extra["spmv_binding"] = ("vpu" if t_bind == t_vpu else
+                                 "mxu" if t_bind == t_mxu else "hbm")
+        extra["spmv_pct_binding"] = round(100.0 * t_bind / per_spmv, 1)
 
     sc = _sub(scipy_kind, 5)
     if "error" not in sc:
@@ -1426,6 +1526,9 @@ def main():
     gm = _sub("spgemm_tpu", 64, timeout=600)
     if gm.get("correct") and gm.get("per"):
         extra["spgemm_tpu_nnz_per_s"] = gm["out_nnz"] / gm["per"]
+        if gm.get("per10"):
+            extra["spgemm_tpu10k_nnz_per_s"] = (
+                gm["out_nnz10"] / gm["per10"])
     else:
         extra["spgemm_tpu_error"] = str(gm.get("error",
                                                gm.get("rel_err", "?")))

@@ -141,28 +141,85 @@ def gram(a: CSC) -> CSC:
     return spgemm(a, construct.transpose(a))
 
 
+_ROWG_K = 32
+
+
+def _rowgather(vals, idx, pad_to):
+    """values[idx] as a CONTIGUOUS-ROW gather + one-hot lane select.
+
+    TPUs have no vector-gather unit; XLA lowers an arbitrary ``v[idx]``
+    to a near-scalar loop (measured ~160 M elem/s on a v5e).  Reshaping
+    the source to (E/K, K) rows, gathering whole rows by ``idx // K``
+    and selecting lane ``idx % K`` with a one-hot multiply-reduce runs
+    the row moves as K-wide DMAs and the select on the VPU.  K trades
+    DMA width against bytes/element (4K moved per element); the chip
+    sweep (probes/probe_rowgather_k.py) measured 1.9 G elem/s at K=32
+    vs 625 M at K=128 and 160 M for the plain gather — 12x."""
+    K = _ROWG_K
+    v = jnp.concatenate(
+        [vals, jnp.zeros((pad_to - vals.shape[0],), vals.dtype)])
+    rows = v.reshape(pad_to // K, K)
+    q, r = idx // K, idx % K
+    oh = (jnp.arange(K, dtype=idx.dtype)[None, :] == r[:, None])
+    return jnp.sum(rows[q] * oh.astype(v.dtype), axis=1)
+
+
 class SpGEMMPlan:
     """Reusable structural plan for C = A @ B with fixed patterns.
 
-    ``numeric(a_vals, b_vals)`` is pure jax (jittable, differentiable):
-    gather -> multiply -> permute -> segment_sum.
-    """
+    ``numeric(a_vals, b_vals)`` is pure jax (jittable, differentiable).
+    The round-4 layout folds the canonical-order permutation into the
+    gather index maps at build time and replaces every big index-driven
+    stream with ``_rowgather``; the compress exploits that most outputs
+    have exactly ONE product (a gather, not a reduction), with a
+    segment_sum only over the multi-product tail — 3 fast streams
+    instead of 3 near-scalar gathers + a near-scalar segment_sum."""
 
-    def __init__(self, a_pos, b_pos, perm, gid, out_nnz, out_csc_template):
+    def __init__(self, a_pos, b_pos, perm, gid, out_nnz, out_csc_template,
+                 v2=None):
         self.a_pos = a_pos
         self.b_pos = b_pos
         self.perm = perm
         self.gid = gid
         self.out_nnz = out_nnz
         self.template = out_csc_template  # CSC with correct structure, data zeros
+        # v2 maps: (pa_s, pb_s, sel, tailpos, tailgid, ntail, padA, padB)
+        self._v2 = v2
 
     def numeric(self, a_vals, b_vals) -> CSC:
-        prod = a_vals[self.a_pos] * b_vals[self.b_pos]
-        data = jax.ops.segment_sum(
-            prod[self.perm], self.gid, num_segments=self.out_nnz
-        )
         t = self.template
-        return CSC(t.m, t.n, t.indptr, t.indices, data, nnz=t.nnz, canonical=True)
+        # small-operand regime: the whole pass as ONE pallas launch
+        # (f32 only; see kernels/spgemm_pallas.py)
+        from ..kernels.spgemm_pallas import numeric_pallas_or_none
+
+        data = numeric_pallas_or_none(self, a_vals, b_vals)
+        if data is not None:
+            return CSC(t.m, t.n, t.indptr, t.indices, data, nnz=t.nnz,
+                       canonical=True)
+        if self._v2 is None:
+            prod = a_vals[self.a_pos] * b_vals[self.b_pos]
+            data = jax.ops.segment_sum(
+                prod[self.perm], self.gid, num_segments=self.out_nnz
+            )
+            return CSC(t.m, t.n, t.indptr, t.indices, data, nnz=t.nnz,
+                       canonical=True)
+        pa_s, pb_s, sel, tailpos, tailgid, ntail, padA, padB = self._v2
+        a_vals = jnp.asarray(a_vals)
+        b_vals = jnp.asarray(b_vals)
+        ga = _rowgather(a_vals, pa_s, padA)
+        gb = _rowgather(b_vals, pb_s, padB)
+        w = ga * gb                                  # products, gid-sorted
+        if int(ntail):
+            tw = _rowgather(w, tailpos,
+                            -(-w.shape[0] // _ROWG_K) * _ROWG_K)
+            tails = jax.ops.segment_sum(tw, tailgid,
+                                        num_segments=int(ntail))
+            w2 = jnp.concatenate([w, tails])
+        else:
+            w2 = w
+        data = _rowgather(w2, sel, -(-w2.shape[0] // _ROWG_K) * _ROWG_K)
+        return CSC(t.m, t.n, t.indptr, t.indices, data, nnz=t.nnz,
+                   canonical=True)
 
 
 def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
@@ -198,7 +255,37 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
     indptr = np.zeros(b.n + 1, dtype=idx)
     indptr[1:] = np.cumsum(np.bincount(u_cols, minlength=b.n))
     template = CSC(a.m, b.n, indptr, u_rows, np.zeros(out_nnz, dtype=dtype))
-    return SpGEMMPlan(
+
+    # ---- v2 compress maps (host numpy) --------------------------------
+    # gather maps with the canonical-order perm folded in
+    pa_s = a_pos[perm].astype(np.int32)
+    pb_s = b_pos[perm].astype(np.int32)
+    seg_start = np.flatnonzero(new).astype(np.int32)     # per output
+    seg_len = np.diff(np.append(seg_start, total))
+    multi = seg_len > 1
+    # products belonging to multi-product outputs, and their tail-local
+    # segment ids (gid is sorted, so a cumsum over `multi[gid]` groups)
+    tailpos = np.flatnonzero(multi[gid]).astype(np.int32)
+    tail_out = np.flatnonzero(multi).astype(np.int32)    # output ids
+    ntail = len(tail_out)
+    tailgid = np.searchsorted(tail_out, gid[tailpos]).astype(np.int32)
+    # final per-output select: len-1 outputs read their single product
+    # straight out of w; multi outputs read their tail segment sum
+    sel = seg_start.copy()
+    sel[multi] = total + np.arange(ntail, dtype=np.int32)
+    K = _ROWG_K
+    padA = -(-max(len(a.np_arrays()[1]), 1) // K) * K
+    padB = -(-max(len(b.np_arrays()[1]), 1) // K) * K
+    v2 = (jnp.asarray(pa_s), jnp.asarray(pb_s), jnp.asarray(sel),
+          jnp.asarray(tailpos), jnp.asarray(tailgid), ntail, padA, padB)
+    plan = SpGEMMPlan(
         jnp.asarray(a_pos), jnp.asarray(b_pos), jnp.asarray(perm),
-        jnp.asarray(gid), out_nnz, template,
+        jnp.asarray(gid), out_nnz, template, v2=v2,
     )
+    # small-operand fused-kernel maps (None when out of regime)
+    from ..kernels.spgemm_pallas import build_numeric_pallas_maps
+
+    plan._pallas_maps = build_numeric_pallas_maps(
+        pa_s, pb_s, gid, out_nnz,
+        len(a.np_arrays()[1]), len(b.np_arrays()[1]))
+    return plan

@@ -26,7 +26,8 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["measure_hbm_bw", "measure_mxu_f32", "plan_bytes",
+__all__ = ["measure_hbm_bw", "measure_mxu_f32", "measure_mxu_bf16",
+           "measure_vpu_f32", "bandpoints_binding_model", "plan_bytes",
            "pct_roofline", "tflops", "thomas_factor_flops"]
 
 
@@ -69,6 +70,127 @@ def measure_mxu_f32(n: int = 4096, reps: int = 32, trials: int = 3):
         if d > 0 and (per is None or d < per):
             per = d
     return 2.0 * n ** 3 / per if per else 0.0
+
+
+def measure_mxu_bf16(n: int = 4096, reps: int = 64, trials: int = 3):
+    """Achievable DEFAULT-precision matmul FLOP/s (single bf16 MXU pass
+    per product) — the per-pass roofline denominator for split-precision
+    one-hot dots (kernels/bandpoints._dot_onehot runs ``parts`` DEFAULT
+    passes per contraction)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    x0 = jnp.eye(n, dtype=jnp.float32) * 1.0000001
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(x, R):
+        def body(c, _):
+            y = jnp.dot(c, c, precision=jax.lax.Precision.DEFAULT)
+            return y / jnp.max(jnp.abs(y)), None
+
+        o, _ = jax.lax.scan(body, x, None, length=R)
+        return o[:2, :2]
+
+    r1 = max(reps // 8, 1)
+    c1 = chain.lower(x0, r1).compile()
+    c2 = chain.lower(x0, reps).compile()
+    per = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(c1(x0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(x0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - r1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    return 2.0 * n ** 3 / per if per else 0.0
+
+
+def measure_vpu_f32(mb: int = 8, reps: int = 64, K: int = 32,
+                    trials: int = 3):
+    """Achievable VPU elementwise f32 op rate (ops/s).
+
+    Each scan step runs K unrolled non-collapsible elementwise rounds
+    (mul + add + min = 3 ops/element/round) on an ``mb``-MB array —
+    compute-bound at K = 32 (arithmetic intensity 24 ops/byte).  The
+    mul/add pair is y*(c_i + y): data-dependent and non-affine, so the
+    algebraic simplifier cannot fold the chain; the min keeps it
+    bounded.  This is the denominator for one-hot BUILD costs
+    (compare + select streams), which bind the scattered-points SpMV
+    kernel — see ``bandpoints_binding_model``."""
+    import functools
+
+    import jax.numpy as jnp
+
+    n = mb * (1 << 20) // 4
+    x0 = jnp.full((n,), 0.5, jnp.float32)
+    cs = [0.1 + 0.8 * (i % 7) / 7.0 for i in range(K)]
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(x, R):
+        def body(c, _):
+            y = c
+            for ci in cs:
+                y = jnp.minimum(y * (ci + y), 1.0)
+            return y, None
+
+        o, _ = jax.lax.scan(body, x, None, length=R)
+        return o[:8]
+
+    r1 = max(reps // 8, 1)
+    c1 = chain.lower(x0, r1).compile()
+    c2 = chain.lower(x0, reps).compile()
+    per = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(c1(x0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(x0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - r1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    return 3.0 * K * n / per if per else 0.0
+
+
+def bandpoints_binding_model(plan):
+    """Per-matvec resource counts for a SplitBandPoints plan.
+
+    The scattered-points kernel is NOT memory-bound: its wash entries
+    are one-hot MXU contractions whose (T, E) one-hot BUILDS are VPU
+    compare/select streams.  This analytic model (from the kernel's
+    shapes) gives the honest binding roofline the bytes-only number
+    misrepresents (VERDICT r3 item 2c).
+
+    Per subtile (T lanes, E packed entries, KW window blocks, D slabs,
+    ``parts`` bf16 passes per one-hot dot):
+
+      VPU ops:  M1/rowohT one-hot builds  2 x 2*T*E   (cmp + select)
+                block mask + masked sums  6*KW*E
+                data bf16 splits          ~6*(2*KW + 2)*E
+                point products + misc     ~10*E
+                slab FMAs + roll/stitch   ~16*T per slab diagonal
+      MXU MACs: parts * (2*KW*T*E  +  2*T*E)   (gather + write-back dots)
+      HBM bytes: entry tables 4*(NT*E)*4 + slabs 2*D*m*4 + x/y 4*m*4
+
+    Returns {"vpu_ops", "mxu_macs", "hbm_bytes"} summed over all NT
+    subtiles (one matvec).  Counts are ~ +-20% (loop scaffolding and
+    pipeline bubbles are not modeled)."""
+    T, KW, _omin_p, _P = plan.point_meta[0]
+    NT, E = plan.point_data[0][0].shape
+    Dd = max(len(plan.offs), 1)
+    parts = plan.dot_parts
+    m = plan.m
+    vpu = NT * (4 * T * E + 6 * KW * E + 6 * (2 * KW + 2) * E + 10 * E
+                + Dd * 16 * T)
+    mxu_macs = NT * parts * (2 * KW * T * E + 2 * T * E)
+    hbm = 4 * NT * E * 4 + 2 * Dd * m * 4 + 4 * m * 4
+    return {"vpu_ops": float(vpu), "mxu_macs": float(mxu_macs),
+            "hbm_bytes": float(hbm)}
 
 
 def measure_hbm_bw(mb: int = 256, reps: int = 64, trials: int = 3):

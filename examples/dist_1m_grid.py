@@ -43,6 +43,15 @@ os.environ["XLA_FLAGS"] = (
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
+if len(jax.devices()) < 8:
+    # a hardware plugin (e.g. the single-chip axon tunnel, registered by
+    # sitecustomize before this script's env tweaks) won the platform
+    # race — force the virtual CPU mesh and rebuild the backend
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
 jax.config.update("jax_enable_x64", True)  # CPU demo: exact f64 oracles
 import jax.numpy as jnp  # noqa: E402
 import scipy.sparse as sp  # noqa: E402
@@ -129,6 +138,41 @@ def main():
     print(f"SPIKE direct (band, 8-way): factor {t_fac:.1f}s  "
           f"solve {t_ds:.2f}s  rel res {rel:.2e}", flush=True)
     assert rel < 1e-6
+
+    # stage 4: the REAL wide-band B' (bandwidth ~2453, s=2560), factored
+    # ON the mesh devices — SPIKE v2 (parallel/banded.py factor_device):
+    # symmetric block-Thomas scan + tip-only spike recurrences, ~2.6 GB
+    # of factor state per device at this size.  This executes config-5's
+    # "distributed LU factor + solve" end-to-end at 1M (the round-3 demo
+    # only solved the wide-band system iteratively; VERDICT r3 item 1).
+    import json
+    import resource
+
+    t0 = time.time()
+    dk = DistBandedLU.factor_device(A, mesh=mesh, ordering=None)
+    jax.block_until_ready((dk._sinv, dk._uhat, dk._r_si))
+    t_wfac = time.time() - t0
+    with mesh:
+        t0 = time.time()
+        xw = np.asarray(dk(bb))
+        t_ws = time.time() - t0
+        t0 = time.time()
+        xw = np.asarray(dk(bb))
+        t_ws2 = time.time() - t0
+    rel_w = np.linalg.norm(a_sp @ xw - bb) / np.linalg.norm(bb)
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"SPIKE factor_device (wide-band B', 8-way): factor {t_wfac:.1f}s"
+          f"  solve {t_ws:.2f}s (warm {t_ws2:.2f}s)  rel res {rel_w:.2e}"
+          f"  s={dk.s} bw={dk.bw}  maxrss {rss:.1f} GB", flush=True)
+    rec = {"n": n, "P": S, "bw": int(dk.bw), "s": int(dk.s),
+           "factor_s": round(t_wfac, 1), "solve_s": round(t_ws2, 2),
+           "rel_resid": float(rel_w), "maxrss_gb": round(rss, 1),
+           "mesh": "8-device virtual CPU (wiring/validation run; the "
+                   "per-chip MXU rate is bench kind factor_shard)"}
+    out = os.path.join(os.path.dirname(__file__), "..", "DIST1M_r04.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    assert rel_w < 1e-4
     print("CONFIG-5 DEMO PASSED", flush=True)
 
 

@@ -95,3 +95,37 @@ def test_identity_product(golden63):
     assert_csc_equal(cst.spgemm(i6, a), golden63)
     i3 = cst.eye(3)
     assert_csc_equal(cst.spgemm(a, i3), golden63)
+
+
+def test_numeric_pallas_f32_matches_scipy():
+    """The fused one-launch numeric kernel (kernels/spgemm_pallas.py)
+    vs scipy, f32 operands (interpret mode on CPU).  Exercised for a
+    pattern with multi-product outputs AND hub columns."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from csparse3_tpu.ops import construct
+    from csparse3_tpu.ops.spgemm import spgemm_symbolic
+
+    rng = np.random.RandomState(7)
+    a_sp = sp.random(300, 200, density=0.03, format="csc", random_state=rng)
+    # hub column: one dense-ish column to stress per-tile product counts
+    a_sp = (a_sp + sp.csc_matrix(
+        (rng.rand(60), (rng.permutation(300)[:60], np.full(60, 5))),
+        shape=(300, 200))).tocsc()
+    A = cst.CSC.from_scipy(a_sp.astype(np.float64))
+    B = construct.transpose(A)
+    plan = spgemm_symbolic(A, B)
+    assert plan._pallas_maps is not None, "expected fused-kernel regime"
+    a32 = jnp.asarray(a_sp.data.astype(np.float32))
+    ip, ix, dt = B.np_arrays()
+    b32 = jnp.asarray(np.asarray(dt, np.float32))
+    C = plan.numeric(a32, b32)
+    ref = (a_sp @ a_sp.T).tocsc()
+    got = cst.CSC(A.m, A.m, *[np.asarray(v) for v in
+                              (C.indptr, C.indices, np.asarray(C.data))])
+    np.testing.assert_allclose(np.asarray(got.todense()), ref.toarray(),
+                               rtol=1e-6, atol=1e-6)
+    # f64 operands stay on the XLA path (dtype preserved)
+    C64 = plan.numeric(jnp.asarray(a_sp.data), jnp.asarray(dt))
+    assert C64.data.dtype == np.float64
