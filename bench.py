@@ -549,8 +549,12 @@ def run_refactor_general(reps: int, ng: int = 3000):
     vals = np.concatenate([bp, bp, -bp, -bp])
     B = cst.add(cst.from_triplets(rows, cols, vals, (ng, ng)),
                 cst.diags(np.full(ng, 3.0)))
+    t0 = time.perf_counter()
     lu = splu(B, ordering="nd", tol=0.0)
+    t_splu = time.perf_counter() - t0
+    t0 = time.perf_counter()
     sr = MultifrontalRefactor(lu._h, B)
+    t_build = time.perf_counter() - t0
     data = jnp.asarray(np.asarray(B.np_arrays()[2], np.float32))
     b = jnp.asarray(np.random.RandomState(2).rand(ng).astype(np.float32))
 
@@ -585,6 +589,7 @@ def run_refactor_general(reps: int, ng: int = 3000):
                 / np.linalg.norm(bh))
     return {"t": (per or -1.0) * reps, "per": per, "reps": reps,
             "snodes": sr.nsnodes, "levels": sr.nlevels,
+            "splu_s": t_splu, "build_s": t_build,
             "rel_err": res, "correct": bool(res < 1e-3)}
 
 
@@ -1481,6 +1486,8 @@ def main():
             per_k = min(runs) if spread <= 2.0 else max(runs)
             extra[f"{kind}_per_s"] = 1.0 / per_k
             extra[f"{kind}_spread"] = round(spread, 2)
+            if "build_s" in a:
+                extra[f"{kind}_build_s"] = a["build_s"]
             if spread > 2.0:
                 extra[f"{kind}_unstable"] = True
         else:

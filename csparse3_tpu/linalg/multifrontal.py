@@ -269,21 +269,31 @@ class MultifrontalRefactor:
                     ci2 = _slot(np.searchsorted(R, pc[sel]))
                     a_sel_parts.append(sel)
                     a_dst_parts.append(b * rmax * rmax + ri * rmax + ci2)
-                # L extraction: column j1+jj -> front column jj
+                # L extraction, whole snode at once (the per-column loop
+                # was the 10k host-build bottleneck: 10k numpy-op python
+                # iterations ~ 10 s).  Extraction layout (r4): per group
+                # [all tops (nb, w_max, rmax)] then [all L21s
+                # (nb, u_max, w_max)] — the off x off (W) region is
+                # never extracted, so it is no longer materialized into
+                # the flat buffer (it was the largest padded block)
                 j1 = int(starts_np[s])
-                for jj in range(w):
-                    c2 = j1 + jj
-                    rs = _slot(np.searchsorted(R, Li[Lp[c2]:Lp[c2 + 1]]))
-                    posl = np.arange(Lp[c2], Lp[c2 + 1])
-                    exL_gid[posl] = gid
-                    exL_off[posl] = b * rmax * rmax + rs * rmax + jj
+                l21_base = nb * w_max * rmax
+                posl = np.arange(Lp[j1], Lp[j1 + w])
+                rs = _slot(np.searchsorted(R, Li[posl]))
+                jj = colsL[posl] - j1
+                exL_gid[posl] = gid
+                exL_off[posl] = np.where(
+                    rs < w_max,
+                    b * w_max * rmax + rs * rmax + jj,
+                    l21_base + b * u_max * w_max
+                    + (rs - w_max) * w_max + jj)
                 # U extraction: U(r, c) at (row slot of r < w, slot of c)
                 selu = u_order[u_bounds[s]:u_bounds[s + 1]]
                 if len(selu):
                     rs = Ui[selu] - j1
                     cs = _slot(np.searchsorted(R, colsU[selu]))
                     exU_gid[selu] = gid
-                    exU_off[selu] = b * rmax * rmax + rs * rmax + cs
+                    exU_off[selu] = b * w_max * rmax + rs * rmax + cs
             # child tables per source group
             tabs = []
             for src, pairs in sorted(kids_by_src.items()):
@@ -314,7 +324,13 @@ class MultifrontalRefactor:
                         E[b, ci, rslot, np.arange(len(offc))] = 1.0
                 tabs.append((src, jnp.asarray(idx), jnp.asarray(E)))
             group_static.append((nb, w_max, u_max, rmax))
-            colmasks.append(jnp.asarray(colmask))
+            # padded columns get a unit diagonal: precompute the ADDITIVE
+            # adjustment (it is static; building it from colmask in
+            # factor_values cost ~3 op launches per group on a schedule
+            # that is launch-bound at 10k)
+            eye_w = np.eye(w_max, dtype=np.float32)
+            colmasks.append(jnp.asarray(
+                eye_w[None] * (~colmask[:, None, :])))
             a_sel = (np.concatenate(a_sel_parts) if a_sel_parts
                      else np.zeros(0, dtype=np.int64))
             a_dst = (np.concatenate(a_dst_parts) if a_dst_parts
@@ -322,11 +338,13 @@ class MultifrontalRefactor:
             a_maps.append((jnp.asarray(a_sel), jnp.asarray(a_dst)))
             child_tabs.append(tabs)
 
-        # flatten extraction into ONE gather over concatenated fronts
+        # flatten extraction into ONE gather over concatenated
+        # [top | L21] emissions (no W region)
         base = np.zeros(ngroups + 1, dtype=np.int64)
         for gid in range(ngroups):
-            nb, _, _, rmax = group_static[gid]
-            base[gid + 1] = base[gid] + nb * rmax * rmax
+            nb, w_max, u_max, rmax = group_static[gid]
+            base[gid + 1] = base[gid] + nb * (w_max * rmax
+                                              + u_max * w_max)
         self._exL = jnp.asarray(base[exL_gid] + exL_off)
         self._exU = jnp.asarray(base[exU_gid] + exU_off)
         # L's stored diagonal is unit; the front diagonal holds U11's
@@ -396,28 +414,34 @@ class MultifrontalRefactor:
         dtype = jnp.result_type(new_data.dtype, self.dtype)
         front_flats = [None] * self.ngroups
         W_out = [None] * self.ngroups
+        # NOTE (r4): a single global A-scatter into one concatenated
+        # front buffer measured 3x SLOWER at 10k than these per-group
+        # scatters (33 vs 11 ms on chip) — the big live buffer defeats
+        # XLA's fusion of scatter into the group pipeline; keep the
+        # per-group form
         with jax.default_matmul_precision("highest"):
             for L in range(self.nlevels):
                 for gid in self.groups_at[L]:
                     nb, w_max, u_max, rmax = self.group_static[gid]
-                    colmask = self._colmask[gid]
+                    dadj = self._colmask[gid]     # (nb, w_max, w_max)
                     sel, dst = self._a_maps[gid]
                     F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
                     F = F.at[dst].add(new_data[sel])
                     F = F.reshape(nb, rmax, rmax)
                     for src, (idx, E) in zip(self.child_srcs[gid],
                                              self._child_tabs[gid]):
-                        Ec = E.astype(dtype)
+                        Ec = E if E.dtype == dtype else E.astype(dtype)
                         CW = W_out[src][idx]   # (nb, maxc, us, us)
-                        # extend-add as two batched MXU matmuls
+                        # extend-add as two batched MXU matmuls (an
+                        # explicit path: the 3-operand einsum let the
+                        # contraction-order heuristic pick worse)
                         T = jnp.einsum("bcij,bcjk->bcik", Ec, CW)
                         F = F + jnp.einsum("bcik,bclk->bil", T, Ec)
                     # factor pivot block (padded cols get unit diagonal)
                     eye = jnp.eye(w_max, dtype=dtype)[None]
-                    D = F[:, :w_max, :w_max] + eye * (
-                        ~colmask[:, None, :]
-                        & (jnp.arange(w_max)[:, None]
-                           == jnp.arange(w_max)[None, :])[None])
+                    D = F[:, :w_max, :w_max] + (
+                        dadj if dadj.dtype == dtype
+                        else dadj.astype(dtype))
                     M = _dense_lu_nopiv(D)
                     U11 = jnp.triu(M)
                     L11 = jnp.tril(M, -1) + eye
@@ -432,12 +456,11 @@ class MultifrontalRefactor:
                         L11, C, lower=True, unit_diagonal=True)
                     W = F[:, w_max:, w_max:] - L21 @ U12
                     W_out[gid] = W
-                    # final front values: M pivot block, U12 right,
-                    # L21 below; the off/off region is never extracted
+                    # emit [M | U12] and L21 only — the off/off region
+                    # (W, the largest padded block) is never extracted
                     top = jnp.concatenate([M, U12], axis=2)
-                    bot = jnp.concatenate([L21, W], axis=2)
                     front_flats[gid] = jnp.concatenate(
-                        [top, bot], axis=1).reshape(-1)
+                        [top.reshape(-1), L21.reshape(-1)])
         flat = (jnp.concatenate(front_flats) if front_flats
                 else jnp.zeros((0,), dtype))
         Lx = jnp.where(self._l_diag, jnp.ones((), dtype), flat[self._exL])

@@ -141,27 +141,7 @@ def gram(a: CSC) -> CSC:
     return spgemm(a, construct.transpose(a))
 
 
-_ROWG_K = 32
-
-
-def _rowgather(vals, idx, pad_to):
-    """values[idx] as a CONTIGUOUS-ROW gather + one-hot lane select.
-
-    TPUs have no vector-gather unit; XLA lowers an arbitrary ``v[idx]``
-    to a near-scalar loop (measured ~160 M elem/s on a v5e).  Reshaping
-    the source to (E/K, K) rows, gathering whole rows by ``idx // K``
-    and selecting lane ``idx % K`` with a one-hot multiply-reduce runs
-    the row moves as K-wide DMAs and the select on the VPU.  K trades
-    DMA width against bytes/element (4K moved per element); the chip
-    sweep (probes/probe_rowgather_k.py) measured 1.9 G elem/s at K=32
-    vs 625 M at K=128 and 160 M for the plain gather — 12x."""
-    K = _ROWG_K
-    v = jnp.concatenate(
-        [vals, jnp.zeros((pad_to - vals.shape[0],), vals.dtype)])
-    rows = v.reshape(pad_to // K, K)
-    q, r = idx // K, idx % K
-    oh = (jnp.arange(K, dtype=idx.dtype)[None, :] == r[:, None])
-    return jnp.sum(rows[q] * oh.astype(v.dtype), axis=1)
+from .gather import ROWG_K as _ROWG_K, rowgather as _rowgather
 
 
 class SpGEMMPlan:
