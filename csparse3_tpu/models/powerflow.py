@@ -430,21 +430,16 @@ class NewtonPowerFlow:
 
             self._rp = BandedLU(J0).refactor_plan(J0)
         elif solver == "multifrontal":
-            from ..linalg.multifrontal import MultifrontalRefactor
+            # FROM-SCRATCH front-form LU with within-front partial
+            # pivoting: no host pivot order to freeze (the r3 isfinite
+            # hazard disappears — pivoting happens per iteration, on
+            # device), and the front-form solve replaces the
+            # level-scheduled scalar solve that dominated each Newton
+            # iteration at 10k (measured 9.8 s -> ~0.3 s per solve)
+            from ..linalg.multifrontal import MultifrontalLU
 
-            lu = splu(J0, ordering="nd" if ordering == "auto"
-                      else ordering, tol=0.0)
-            # a tiny (not exactly zero) pivot can silently inf/nan the
-            # factors without setting the singular flag — validate
-            # numerically before freezing the pivots into every Newton
-            # iteration (same check as DCContingency / ptdf)
-            if lu.is_singular or not (
-                    np.isfinite(np.asarray(lu._h.Lx)).all()
-                    and np.isfinite(np.asarray(lu._h.Ux)).all()):
-                raise ValueError(
-                    "no-pivot factorization of the base Jacobian is "
-                    "numerically unstable; use solver='level'")
-            self._rp = MultifrontalRefactor(lu._h, J0)
+            self._rp = MultifrontalLU.from_matrix(
+                J0, ordering="nd" if ordering == "auto" else ordering)
         else:
             lu = splu(J0, ordering=ordering)
             self._rp = lu.refactor_plan(J0)
@@ -521,13 +516,19 @@ class NewtonPowerFlow:
             nrm = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
             return jnp.logical_and(nrm > self.tol, it < self.max_iter)
 
+        from ..linalg.multifrontal import MultifrontalLU
+
         def body(state):
             vm, va, it = state
             f, (vr, vi), (ir, ii) = self._mismatch_f(vm, va, sbr, sbi,
                                                      ygr, ygi)
-            plan = self._rp.refactor(
-                self._jac_data(vr, vi, vm, ir, ii, ygr, ygi))
-            dx = plan(-f)
+            jd = self._jac_data(vr, vi, vm, ir, ii, ygr, ygi)
+            if isinstance(self._rp, MultifrontalLU):
+                fac, _ = self._rp.factor_piv(jd)
+                dx = self._rp.solve_piv(fac, -f)
+            else:
+                plan = self._rp.refactor(jd)
+                dx = plan(-f)
             va = va.at[self._pvpq].add(dx[: self._npvpq])
             vm = vm.at[self._pq].add(dx[self._npvpq :])
             return (vm, va, it + 1)

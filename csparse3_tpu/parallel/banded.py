@@ -300,6 +300,13 @@ class DistBandedLU:
         allg = jax.lax.all_gather(gt_gb, ax)                 # (P, 2, s, B)
         gts, gbs = allg[:, 0], allg[:, 1]
         r = jnp.concatenate([gbs[:-1], gts[1:]], axis=1)     # (P-1, 2s, B)
+        # reduced factors are stored SHARDED (padded to P) — replicating
+        # three (P-1, 2s, 2s) stacks costs P x the memory (17.6 GB at
+        # s = 2560, P = 8); gather them transiently for the solve
+        nR = self.P - 1
+        r_eh = jax.lax.all_gather(r_eh, ax, tiled=True)[:nR]
+        r_si = jax.lax.all_gather(r_si, ax, tiled=True)[:nR]
+        r_uh = jax.lax.all_gather(r_uh, ax, tiled=True)[:nR]
         z = thomas_sweeps(r_eh, r_si, r_uh, r)
         xb = z[:, :s]
         xt = z[:, s:]
@@ -345,8 +352,7 @@ class DistBandedLU:
 
             f = jax.shard_map(
                 body2, mesh=self.mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
-                          P(), P(), P()),
+                in_specs=(P(ax),) * 9,
                 out_specs=P(ax),
             )
             self._solve_c = jax.jit(f)
@@ -526,12 +532,18 @@ class DistBandedLU:
         obj._solve_c = None
         if Pn > 1:
             r_eh, r_si, r_uh = reduced(iface)
+            # store SHARDED, padded to P blocks (the solve body gathers
+            # them transiently; replicated storage is P x the memory)
+            padR = jnp.zeros((1, 2 * s, 2 * s), dtype)
+            r_eh = jnp.concatenate([r_eh, padR])
+            r_si = jnp.concatenate([r_si, padR])
+            r_uh = jnp.concatenate([r_uh, padR])
         else:
-            z1 = jnp.zeros((0, 2 * s, 2 * s), dtype)
+            z1 = jnp.zeros((Pn, 2 * s, 2 * s), dtype)
             r_eh = r_si = r_uh = z1
-        obj._r_eh = jax.device_put(r_eh, rep)
-        obj._r_si = jax.device_put(r_si, rep)
-        obj._r_uh = jax.device_put(r_uh, rep)
+        obj._r_eh = jax.device_put(r_eh, shard)
+        obj._r_si = jax.device_put(r_si, shard)
+        obj._r_uh = jax.device_put(r_uh, shard)
         obj.perm = perm
         obj._hperm = perm
         obj._h = None

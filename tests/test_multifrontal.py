@@ -141,3 +141,64 @@ def test_grad_flows_through_refactor_solve():
     lm = loss(d0.at[k].add(-e))
     fd = (lp - lm) / (2 * e)
     assert abs(float(g[k]) - float(fd)) <= 2e-2 * max(abs(float(fd)), 1.0)
+
+
+class TestMultifrontalLU:
+    """From-scratch device LU with within-front partial pivoting
+    (VERDICT r3 item 5)."""
+
+    def _grid(self, n, seed=1):
+        from csparse3_tpu.models.grids import synthetic_grid
+
+        g = synthetic_grid(n, seed=seed)
+        bp = 1.0 / g.x
+        rows = np.concatenate([g.f, g.t, g.f, g.t])
+        cols = np.concatenate([g.f, g.t, g.t, g.f])
+        vals = np.concatenate([bp, bp, -bp, -bp])
+        return cst.add(cst.from_triplets(rows, cols, vals, (n, n)),
+                       cst.diags(np.full(n, 3.0)))
+
+    def test_matches_spsolve_grid(self):
+        from csparse3_tpu.linalg import MultifrontalLU
+
+        A = self._grid(900)
+        mf = MultifrontalLU.from_matrix(A)
+        data = jnp.asarray(np.asarray(A.np_arrays()[2]))
+        fac, stats = mf.factor_piv(data)
+        assert float(stats["min_pivot"]) > 0
+        b = np.random.RandomState(3).rand(900)
+        x = np.asarray(mf.solve_piv(fac, jnp.asarray(b)))
+        xr = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(x, xr, rtol=1e-8, atol=1e-10)
+
+    def test_pivoting_fixes_bad_diagonal(self):
+        """A DENSE leading block (one wide front) with a zero diagonal
+        entry: no-pivot dies, within-front pivoting recovers exactly."""
+        from csparse3_tpu.linalg import MultifrontalLU
+
+        rng = np.random.RandomState(5)
+        n = 40
+        D = rng.rand(n, n) + np.eye(n) * 0.1
+        # structurally present, numerically negligible: forces a row
+        # exchange inside the front (exact 0.0 would drop the entry)
+        D[3, 3] = 1e-300
+        A = cst.CSC.from_dense(D)
+        mf = MultifrontalLU.from_matrix(A, ordering=None)
+        fac, stats = mf.factor_piv(jnp.asarray(np.asarray(
+            A.np_arrays()[2])))
+        b = rng.rand(n)
+        x = np.asarray(mf.solve_piv(fac, jnp.asarray(b)))
+        xr = np.linalg.solve(D, b)
+        np.testing.assert_allclose(x, xr, rtol=1e-9, atol=1e-9)
+
+    def test_multi_rhs_and_jit(self):
+        from csparse3_tpu.linalg import MultifrontalLU
+
+        A = self._grid(500, seed=2)
+        mf = MultifrontalLU.from_matrix(A)
+        data = jnp.asarray(np.asarray(A.np_arrays()[2]))
+        step = jax.jit(lambda p, d, b: p.solve_piv(p.factor_piv(d)[0], b))
+        B = np.random.RandomState(4).rand(500, 3)
+        X = np.asarray(step(mf, data, jnp.asarray(B)))
+        Xr = spla.spsolve(A.to_scipy().tocsc(), B)
+        np.testing.assert_allclose(X, Xr, rtol=1e-8, atol=1e-10)
