@@ -1011,11 +1011,16 @@ def run_factor_shard(reps: int):
                  cst.diags(np.full(N, 3.0)))
     perm = rcm(A0)
     n = 125_000
-    sub = perm[:n]  # leading shard of the RCM order
+    # MIDDLE shard: RCM level sets start narrow, so the leading shard's
+    # bandwidth (~1265) under-represents the 8-way chunk work; the
+    # middle of the order carries the full ~2453 band
+    sub = perm[(N - n) // 2: (N + n) // 2]
     A = A0[sub, sub]
     t_build = time.perf_counter() - t0
+    # force the GLOBAL block size: SPIKE sizes s from the full matrix's
+    # max bandwidth (2453 -> 2560), not the shard's local ~1255
     t0 = time.perf_counter()
-    rf = BandedRefactor.from_matrix(A, ordering=None)
+    rf = BandedRefactor.from_matrix(A, ordering=None, s=2560)
     t_sym = time.perf_counter() - t0
     data = jnp.asarray(np.asarray(A.np_arrays()[2], np.float32))
     b = jnp.asarray(np.random.RandomState(2).rand(n).astype(np.float32))

@@ -370,18 +370,27 @@ def spike_tips_device(sinv, uhat, Bp, Cp, ehat=None, precision="highest"):
         _, ytail = jax.lax.scan(wfwd, Bp, eh_seq[1:])
         y = jnp.concatenate([Bp[None], ytail], axis=0)     # (m, s, s)
 
+        # backward sweeps carry a single (s, s) block and emit NOTHING
+        # (stacking the per-step outputs materialized 2 x (m, s, s)
+        # buffers = 20 GB of transients at 1M/s=2560); the bottom tips
+        # come straight off the recurrence seeds
+        Wb = sinv[m - 1] @ y[m - 1]
+
         def wbwd(x_next, blk):
             si, uh, yk = blk
             x_k = si @ yk - uh @ x_next
-            return x_k, x_k
+            return x_k, None
 
-        zW = Bp * 0
-        Wt, xs = jax.lax.scan(wbwd, zW, (sinv, uhat, y), reverse=True)
-        Wb = xs[m - 1]
+        if m > 1:
+            Wt, _ = jax.lax.scan(wbwd, Wb,
+                                 (sinv[:-1], uhat[:-1], y[:-1]),
+                                 reverse=True)
+        else:
+            Wt = Wb
 
         def vbwd(x_next, uh):
             x_k = -(uh @ x_next)
-            return x_k, x_k
+            return x_k, None
 
         Vb = sinv[m - 1] @ Cp
         if m > 1:

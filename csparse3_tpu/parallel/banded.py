@@ -246,6 +246,7 @@ class DistBandedLU:
         self._h = (ehat, sinv, uhat, Wsp, Vsp, r_eh, r_si, r_uh)
         self._B = self._C = None
         self._sym = False
+        self._r_sharded = False
         self._solve_c = None
 
     # -- device solve --------------------------------------------------------
@@ -300,14 +301,27 @@ class DistBandedLU:
         allg = jax.lax.all_gather(gt_gb, ax)                 # (P, 2, s, B)
         gts, gbs = allg[:, 0], allg[:, 1]
         r = jnp.concatenate([gbs[:-1], gts[1:]], axis=1)     # (P-1, 2s, B)
-        # reduced factors are stored SHARDED (padded to P) — replicating
-        # three (P-1, 2s, 2s) stacks costs P x the memory (17.6 GB at
-        # s = 2560, P = 8); gather them transiently for the solve
         nR = self.P - 1
-        r_eh = jax.lax.all_gather(r_eh, ax, tiled=True)[:nR]
-        r_si = jax.lax.all_gather(r_si, ax, tiled=True)[:nR]
-        r_uh = jax.lax.all_gather(r_uh, ax, tiled=True)[:nR]
-        z = thomas_sweeps(r_eh, r_si, r_uh, r)
+        if self._r_sharded:
+            # reduced factors stored SHARDED (padded to P): replicating
+            # three (P-1, 2s, 2s) stacks costs P x the memory (17.6 GB
+            # at s = 2560, P = 8); gather them transiently
+            r_eh = jax.lax.all_gather(r_eh, ax, tiled=True)[:nR]
+            r_si = jax.lax.all_gather(r_si, ax, tiled=True)[:nR]
+            r_uh = jax.lax.all_gather(r_uh, ax, tiled=True)[:nR]
+        nB = r.shape[-1]
+        if nB % self.P == 0 and nB >= self.P:
+            # shard the reduced solve over RHS columns: solving all B
+            # columns redundantly on every device is the scaling-model
+            # tail (36 of 165 ms at 1M/B=1024 — see BENCH_NOTES r4)
+            me = jax.lax.axis_index(ax)
+            bloc = nB // self.P
+            rs = jax.lax.dynamic_slice_in_dim(r, me * bloc, bloc, axis=2)
+            zs = thomas_sweeps(r_eh, r_si, r_uh, rs)   # (nR, 2s, bloc)
+            zg = jax.lax.all_gather(zs, ax)            # (P, nR, 2s, bloc)
+            z = jnp.moveaxis(zg, 0, 2).reshape(nR, 2 * s, nB)
+        else:
+            z = thomas_sweeps(r_eh, r_si, r_uh, r)
         xb = z[:, :s]
         xt = z[:, s:]
         idx = jax.lax.axis_index(ax)
@@ -350,9 +364,10 @@ class DistBandedLU:
                 return self._local2(bb, si, uh, None if sym else eh,
                                     Bc, Cc, r_eh, r_si, r_uh)
 
+            rspec = P(ax) if self._r_sharded else P()
             f = jax.shard_map(
                 body2, mesh=self.mesh,
-                in_specs=(P(ax),) * 9,
+                in_specs=(P(ax),) * 6 + (rspec,) * 3,
                 out_specs=P(ax),
             )
             self._solve_c = jax.jit(f)
@@ -401,7 +416,8 @@ class DistBandedLU:
     # -- device factorization -------------------------------------------------
     @classmethod
     def factor_device(cls, a, mesh: Mesh | None = None, ordering="rcm",
-                      s: int | None = None, dtype=None):
+                      s: int | None = None, dtype=None,
+                      reduced_store: str = "auto"):
         """SPIKE factorization with the numeric work ON DEVICE, sharded.
 
         Host does only symbolic work (ordering + numpy assembly of the
@@ -505,20 +521,56 @@ class DistBandedLU:
 
         @jax.jit
         def reduced(iface):
+            """Structured reduced-system block-Thomas factor.
+
+            The SPIKE reduced blocks are D_p = [[I, Vb_p], [Wt_{p+1}, I]]
+            with single-quadrant couplings E_p = [[Wb_p, 0], [0, 0]] and
+            F_p = [[0, 0], [0, Vt_{p+1}]].  The Schur recurrence
+            PRESERVES the identity diagonal (S_k = [[I, B_k], [C_k, I]]),
+            so each step needs one (s, s) inverse Z = (I - C B)^{-1} and
+            ~8 (s, s) products instead of a dense (2s, 2s) inverse —
+            ~2.8x fewer flops in this replicated serial tail (the
+            8-chip factor efficiency term, BENCH_NOTES r4 model)."""
             Wt, Wb, Vt, Vb = (iface[:, 0], iface[:, 1], iface[:, 2],
                               iface[:, 3])
             nR = Pn - 1
             eye = jnp.eye(s, dtype=dtype)
-            Dr = jnp.zeros((nR, 2 * s, 2 * s), dtype)
-            Dr = Dr.at[:, :s, :s].set(eye)
-            Dr = Dr.at[:, s:, s:].set(eye)
-            Dr = Dr.at[:, :s, s:].set(Vb[:-1])
-            Dr = Dr.at[:, s:, :s].set(Wt[1:])
-            Er = jnp.zeros((nR, 2 * s, 2 * s), dtype)
-            Er = Er.at[1:, :s, :s].set(Wb[1:-1])
-            Fr = jnp.zeros((nR, 2 * s, 2 * s), dtype)
-            Fr = Fr.at[:-1, s:, s:].set(Vt[1:-1])
-            return thomas_factor_device(Dr, Er, Fr)
+            z_s = jnp.zeros((s, s), dtype)
+
+            with jax.default_matmul_precision("highest"):
+                def step(carry, blk):
+                    S11p, S12p = carry    # PREVIOUS step's Sinv quadrants
+                    Bq0, Cq, Wbk, Vtk, Vtnext, has_prev = blk
+                    # S_k's top-right quadrant after the Schur update
+                    Bq = Bq0 - has_prev * (Wbk @ S12p @ Vtk)
+                    Z = jnp.linalg.inv(eye - Cq @ Bq)
+                    ZC = Z @ Cq
+                    S11 = eye + Bq @ ZC
+                    S12 = -(Bq @ Z)
+                    S21 = -ZC
+                    # dense stacks for the (unchanged) solve sweeps
+                    sinv_k = jnp.block([[S11, S12], [S21, Z]])
+                    eh_k = jnp.block(
+                        [[has_prev * (Wbk @ S11p),
+                          has_prev * (Wbk @ S12p)], [z_s, z_s]])
+                    uh_k = jnp.block([[z_s, S12 @ Vtnext],
+                                      [z_s, Z @ Vtnext]])
+                    return (S11, S12), (eh_k, sinv_k, uh_k)
+
+                # per-step operands (k = 0..nR-1)
+                Bq0 = Vb[:-1]
+                Cq = Wt[1:]
+                Wbk = Wb[: nR]          # Wb_k (unused at k=0)
+                Vtk = Vt[: nR]          # Vt_k closes the k-1 coupling
+                Vtnext = jnp.concatenate(
+                    [Vt[1:nR], jnp.zeros((1, s, s), dtype)])
+                has_prev = jnp.arange(nR, dtype=dtype).clip(0, 1)[
+                    :, None, None]
+                _, (r_eh, r_si, r_uh) = jax.lax.scan(
+                    step,
+                    (jnp.zeros((s, s), dtype), jnp.zeros((s, s), dtype)),
+                    (Bq0, Cq, Wbk, Vtk, Vtnext, has_prev))
+            return r_eh, r_si, r_uh
 
         obj = object.__new__(cls)
         obj.mesh, obj.axis = mesh, axis
@@ -529,21 +581,32 @@ class DistBandedLU:
         obj._w = obj._v = None
         obj._B, obj._C = Bc, Cc
         obj._sym = sym
+        # 'sharded' trades memory (1/P of replicated) for one transient
+        # all_gather of the reduced stacks per solve; the right call on
+        # a host-RAM-backed virtual mesh.  On real chips ('replicated',
+        # the 'auto' pick) the stacks are ~2.2 GB/chip at s = 2560 and
+        # the per-solve ICI gather would dominate the solve.
+        if reduced_store == "auto":
+            reduced_store = ("sharded" if jax.default_backend() == "cpu"
+                             else "replicated")
+        obj._r_sharded = reduced_store == "sharded"
         obj._solve_c = None
         if Pn > 1:
             r_eh, r_si, r_uh = reduced(iface)
-            # store SHARDED, padded to P blocks (the solve body gathers
-            # them transiently; replicated storage is P x the memory)
-            padR = jnp.zeros((1, 2 * s, 2 * s), dtype)
-            r_eh = jnp.concatenate([r_eh, padR])
-            r_si = jnp.concatenate([r_si, padR])
-            r_uh = jnp.concatenate([r_uh, padR])
+            if obj._r_sharded:
+                # pad to P blocks so the leading axis shards evenly
+                padR = jnp.zeros((1, 2 * s, 2 * s), dtype)
+                r_eh = jnp.concatenate([r_eh, padR])
+                r_si = jnp.concatenate([r_si, padR])
+                r_uh = jnp.concatenate([r_uh, padR])
         else:
-            z1 = jnp.zeros((Pn, 2 * s, 2 * s), dtype)
+            z1 = jnp.zeros((Pn if obj._r_sharded else 0, 2 * s, 2 * s),
+                           dtype)
             r_eh = r_si = r_uh = z1
-        obj._r_eh = jax.device_put(r_eh, shard)
-        obj._r_si = jax.device_put(r_si, shard)
-        obj._r_uh = jax.device_put(r_uh, shard)
+        rstore = shard if obj._r_sharded else rep
+        obj._r_eh = jax.device_put(r_eh, rstore)
+        obj._r_si = jax.device_put(r_si, rstore)
+        obj._r_uh = jax.device_put(r_uh, rstore)
         obj.perm = perm
         obj._hperm = perm
         obj._h = None

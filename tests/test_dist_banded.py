@@ -93,3 +93,23 @@ def test_factor_device_matches_host():
     # same answer as the host-factored SPIKE
     x2 = np.asarray(DistBandedLU(A, mesh=mesh8)(b), np.float64)
     assert np.abs(x - x2).max() / max(np.abs(x2).max(), 1e-30) < 1e-4
+
+
+def test_factor_device_reduced_store_modes():
+    """'sharded' (1/P memory + per-solve gather) and 'replicated' agree."""
+    import scipy.sparse as sp
+
+    n = 4096
+    d1 = -np.ones(n - 1)
+    band = sp.diags([d1, 4.0 * np.ones(n), d1], [-1, 0, 1]).tocsc()
+    A = cst.CSC.from_scipy(band)
+    b = np.random.RandomState(0).rand(n)
+    xs = []
+    for mode in ("sharded", "replicated"):
+        dk = DistBandedLU.factor_device(A, mesh=_mesh(8), ordering=None,
+                                        s=64, reduced_store=mode)
+        assert dk._r_sharded == (mode == "sharded")
+        xs.append(np.asarray(dk(b), np.float64))
+    ref = sp.linalg.spsolve(band, b)
+    for x in xs:
+        np.testing.assert_allclose(x, ref, rtol=1e-4, atol=1e-6)
