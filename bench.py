@@ -1093,6 +1093,22 @@ def run_vpu_f32(reps: int):
     return {"tops": measure_vpu_f32(reps=reps) / 1e12}
 
 
+def run_onehot_mix(reps: int):
+    """One-hot build+select+reduce rate at the SpMV kernel's shapes."""
+    import csparse3_tpu  # noqa: F401
+    from csparse3_tpu.utils.roofline import measure_onehot_mix
+
+    return {"telem": measure_onehot_mix(reps=reps) / 1e12}
+
+
+def run_small_dot(reps: int):
+    """3-part small one-hot dot FLOP/s at the kernel's shapes."""
+    import csparse3_tpu  # noqa: F401
+    from csparse3_tpu.utils.roofline import measure_small_dot
+
+    return {"tflops": measure_small_dot(reps=reps) / 1e12}
+
+
 def run_hbm_bw(reps: int):
     """Achievable HBM bandwidth of the attached chip (utils/roofline.py)
     — the denominator for every %-of-roofline metric below."""
@@ -1301,6 +1317,8 @@ _KINDS = {
     "mxu_f32": run_mxu_f32,
     "mxu_bf16": run_mxu_bf16,
     "vpu_f32": run_vpu_f32,
+    "onehot_mix": run_onehot_mix,
+    "small_dot": run_small_dot,
     "scipy_spmv_small": run_scipy_spmv_small,
     "lusolve": run_lusolve,
     "solve100k": run_solve100k,
@@ -1417,18 +1435,34 @@ def main():
     vpu_rate = (vp.get("tops") or 0.0) * 1e12
     if vpu_rate:
         extra["vpu_f32_tops"] = round(vpu_rate / 1e12, 3)
+    oh = _sub("onehot_mix", 256)
+    oh_rate = (oh.get("telem") or 0.0) * 1e12
+    if oh_rate:
+        extra["onehot_mix_telem"] = round(oh_rate / 1e12, 2)
+    sd = _sub("small_dot", 256)
+    sd_rate = (sd.get("tflops") or 0.0) * 1e12
+    if sd_rate:
+        extra["small_dot_tflops"] = round(sd_rate / 1e12, 1)
     bm = a.get("binding_model") if per_spmv else None
     if bm and vpu_rate and mxu_bf:
+        # peak-rate decomposition (transparency)
         t_vpu = bm["vpu_ops"] / vpu_rate
         t_mxu = 2.0 * bm["mxu_macs"] / mxu_bf
         t_hbm = bm["hbm_bytes"] / hbm_bw if hbm_bw else 0.0
-        t_bind = max(t_vpu, t_mxu, t_hbm)
         extra["spmv_model_vpu_us"] = round(t_vpu * 1e6, 1)
         extra["spmv_model_mxu_us"] = round(t_mxu * 1e6, 1)
         extra["spmv_model_hbm_us"] = round(t_hbm * 1e6, 1)
-        extra["spmv_binding"] = ("vpu" if t_bind == t_vpu else
-                                 "mxu" if t_bind == t_mxu else "hbm")
-        extra["spmv_pct_binding"] = round(100.0 * t_bind / per_spmv, 1)
+        if oh_rate and sd_rate:
+            # ACHIEVABLE-substrate roofline: the same op counts priced
+            # at the rates MEASURED for the kernel's exact op shapes
+            # (one-hot mix elements; 3-part small dots).  vpu_ops
+            # counts ~2 ops per one-hot element.
+            t_oh = (bm["vpu_ops"] / 2.0) / oh_rate
+            t_sd = 2.0 * bm["mxu_macs"] / sd_rate
+            bound = t_oh + t_sd + t_hbm
+            extra["spmv_bound_us"] = round(bound * 1e6, 1)
+            extra["spmv_pct_binding"] = round(
+                100.0 * bound / per_spmv, 1)
 
     sc = _sub(scipy_kind, 5)
     if "error" not in sc:

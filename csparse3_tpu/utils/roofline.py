@@ -27,7 +27,8 @@ import jax
 import numpy as np
 
 __all__ = ["measure_hbm_bw", "measure_mxu_f32", "measure_mxu_bf16",
-           "measure_vpu_f32", "bandpoints_binding_model", "plan_bytes",
+           "measure_vpu_f32", "measure_onehot_mix", "measure_small_dot",
+           "bandpoints_binding_model", "plan_bytes",
            "pct_roofline", "tflops", "thomas_factor_flops"]
 
 
@@ -155,6 +156,102 @@ def measure_vpu_f32(mb: int = 8, reps: int = 64, K: int = 32,
         if d > 0 and (per is None or d < per):
             per = d
     return 3.0 * K * n / per if per else 0.0
+
+
+def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,
+                       reps: int = 256, trials: int = 3):
+    """Measured rate of the one-hot BUILD+SELECT+REDUCE mix — the VPU
+    substrate of the scattered-points SpMV kernel — in one-hot
+    ELEMENTS/s ((T, E) compares -> f32 mask -> multiply -> reduce).
+    The elementwise-FMA peak (measure_vpu_f32) overstates this mix by
+    ~5x (int compare + cast + select + reduce per element)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    r0 = jnp.asarray(rng.randint(0, t, (nt, 1, e)).astype(np.int32))
+    w0 = jnp.asarray(rng.rand(nt, 1, e).astype(np.float32))
+    iota = jnp.arange(t, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(r, w, R):
+        def body(c, _):
+            O = (iota[None, :, None] == c).astype(jnp.float32)
+            o = jnp.sum(O * w, axis=1)
+            s = 1 + (1e-12 * jnp.max(o)).astype(jnp.int32)
+            return c * s, None
+
+        o, _ = jax.lax.scan(body, r, None, length=R)
+        O = (iota[None, :, None] == o).astype(jnp.float32)
+        return jnp.sum(O * w, axis=1)[:2, :2]
+
+    r1 = max(reps // 4, 1)
+    c1 = chain.lower(r0, w0, r1).compile()
+    c2 = chain.lower(r0, w0, reps).compile()
+    per = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(c1(r0, w0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(r0, w0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - r1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    return nt * t * e / per if per else 0.0
+
+
+def measure_small_dot(nt: int = 782, kw: int = 9, t: int = 256,
+                      e: int = 128, reps: int = 256, trials: int = 3):
+    """Measured FLOP/s of the kernel's SMALL 3-part one-hot dot shape
+    ((2KW, T) @ (T, E), batched) — about half the 4096-square DEFAULT
+    matmul peak; the honest MXU denominator for the points kernel."""
+    import functools
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    A0 = jnp.asarray(rng.rand(nt, 2 * kw, t).astype(np.float32))
+    B0 = jnp.asarray(rng.rand(nt, t, e).astype(np.float32))
+
+    def dots(a, b):
+        a1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+        r = a - a1
+        a2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+        out = 0.0
+        for part in (a1, a2, r - a2):
+            out = out + jnp.einsum("bij,bjk->bik", part, b,
+                                   precision=jax.lax.Precision.DEFAULT)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(a, b, R):
+        def body(c, _):
+            o = dots(c, b)
+            s = 1.0 + 1e-12 * jnp.max(jnp.abs(o))
+            return c * s, None
+
+        o, _ = jax.lax.scan(body, a, None, length=R)
+        return dots(o, b)[:2, :2, :2]
+
+    r1 = max(reps // 4, 1)
+    c1 = chain.lower(A0, B0, r1).compile()
+    c2 = chain.lower(A0, B0, reps).compile()
+    per = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(c1(A0, B0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c2(A0, B0))
+        t2 = time.perf_counter() - t0
+        d = (t2 - t1) / (reps - r1)
+        if d > 0 and (per is None or d < per):
+            per = d
+    macs = 3 * nt * 2 * kw * t * e
+    return 2.0 * macs / per if per else 0.0
 
 
 def bandpoints_binding_model(plan):
