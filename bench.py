@@ -922,9 +922,10 @@ def run_newton10k(reps: int):
     ng = 10_000
     g = synthetic_grid(ng, seed=3)
     t0 = time.perf_counter()
-    # f32 device math: tol below the f32 mismatch floor (~1e-5 at 10k)
-    # would pin every solve at max_iter instead of converging
-    pf = NewtonPowerFlow(g, tol=2e-5, solver="multifrontal")
+    # f32 device math: tol below the f32 mismatch floor (measured
+    # ~3e-5 at 10k) would pin every solve at max_iter instead of
+    # converging; the host-rebuilt gate below stays at 1e-4
+    pf = NewtonPowerFlow(g, tol=5e-5, solver="multifrontal")
     t_build = time.perf_counter() - t0
     vm0 = jnp.asarray(g.vm0.astype(np.float64))
     va0 = jnp.zeros(ng)
@@ -1090,7 +1091,10 @@ def run_vpu_f32(reps: int):
     import csparse3_tpu  # noqa: F401
     from csparse3_tpu.utils.roofline import measure_vpu_f32
 
-    return {"tops": measure_vpu_f32(reps=reps) / 1e12}
+    # mb=64: the 8-MB default's per-step compute (~45 us) sat below the
+    # tunnel's download variance and the delta min once picked a
+    # flattered pairing reading 59 Tops (impossible hardware-wise)
+    return {"tops": measure_vpu_f32(mb=64, reps=max(reps, 256)) / 1e12}
 
 
 def run_onehot_mix(reps: int):
@@ -1098,15 +1102,21 @@ def run_onehot_mix(reps: int):
     import csparse3_tpu  # noqa: F401
     from csparse3_tpu.utils.roofline import measure_onehot_mix
 
-    return {"telem": measure_onehot_mix(reps=reps) / 1e12}
+    return {"telem": measure_onehot_mix(
+        nt=3128, reps=max(reps, 512)) / 1e12}
 
 
 def run_small_dot(reps: int):
-    """3-part small one-hot dot FLOP/s at the kernel's shapes."""
+    """3-part small one-hot dot FLOP/s at the kernel's shapes.
+
+    nt=64 keeps the batch VMEM-resident (the kernel's dots never leave
+    VMEM; a big batch measures HBM streaming instead — 11 TF vs 49.5);
+    the 8192-deep chain keeps the delta far above download noise."""
     import csparse3_tpu  # noqa: F401
     from csparse3_tpu.utils.roofline import measure_small_dot
 
-    return {"tflops": measure_small_dot(reps=reps) / 1e12}
+    return {"tflops": measure_small_dot(
+        nt=64, reps=max(reps, 8192)) / 1e12}
 
 
 def run_hbm_bw(reps: int):
@@ -1582,8 +1592,11 @@ def main():
     # general-refactor kinds get the same min-of-two-subprocess + spread
     # treatment as `refactor` (VERDICT r3 item 4: 3.3x driver-vs-local
     # swings): disagreeing trials report the CONSERVATIVE (slower) one
-    for kind, reps_k in (("refactor_general", 24),
-                         ("refactor_general10k", 15)):
+    # chains deep enough that the in-process delta dwarfs download
+    # noise (24-deep at 3.6 ms/op read anywhere from 0.16 to 9.4 ms);
+    # residual spread is genuine tunnel-state dispatch variance
+    for kind, reps_k in (("refactor_general", 96),
+                         ("refactor_general10k", 48)):
         runs = []
         a = {}
         for _ in range(2):

@@ -203,8 +203,8 @@ def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,
     return nt * t * e / per if per else 0.0
 
 
-def measure_small_dot(nt: int = 782, kw: int = 9, t: int = 256,
-                      e: int = 128, reps: int = 256, trials: int = 3):
+def measure_small_dot(nt: int = 64, kw: int = 9, t: int = 256,
+                      e: int = 128, reps: int = 8192, trials: int = 3):
     """Measured FLOP/s of the kernel's SMALL 3-part one-hot dot shape
     ((2KW, T) @ (T, E), batched) — about half the 4096-square DEFAULT
     matmul peak; the honest MXU denominator for the points kernel."""
@@ -236,7 +236,7 @@ def measure_small_dot(nt: int = 782, kw: int = 9, t: int = 256,
         o, _ = jax.lax.scan(body, a, None, length=R)
         return dots(o, b)[:2, :2, :2]
 
-    r1 = max(reps // 4, 1)
+    r1 = max(reps // 8, 1)
     c1 = chain.lower(A0, B0, r1).compile()
     c2 = chain.lower(A0, B0, reps).compile()
     per = None
