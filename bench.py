@@ -1036,14 +1036,18 @@ def run_factor_shard(reps: int):
         o, _ = jax.lax.scan(body, d0, None, length=R)
         return p(o)(b)
 
-    R1 = max(reps // 4, 1)
+    R1 = max(reps // 6, 1)
     t0 = time.perf_counter()
     c1 = chain.lower(rf, data, b, R1).compile()
     c2 = chain.lower(rf, data, b, reps).compile()
     t_compile = time.perf_counter() - t0
-    per = None
+    # 4 trials with a MEDIAN-of-positives pick: with only 2 trials a
+    # download flake inflating the SHORT chain once flattered the delta
+    # to 0.125 s/factor = 52.7 "TFLOPS" (above the chip's measured 31.3
+    # peak — impossible)
+    ds = []
     got = None
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         np.asarray(c1(rf, data, b))
         t1 = time.perf_counter() - t0
@@ -1051,8 +1055,9 @@ def run_factor_shard(reps: int):
         got = np.asarray(c2(rf, data, b))
         t2 = time.perf_counter() - t0
         d = (t2 - t1) / (reps - R1)
-        if d > 0 and (per is None or d < per):
-            per = d
+        if d > 0:
+            ds.append(d)
+    per = float(np.median(ds)) if ds else None
     As = A.to_scipy().tocsc()
     bh = np.asarray(b, np.float64)
     x = np.asarray(got, np.float64)
