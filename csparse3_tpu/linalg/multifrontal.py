@@ -85,7 +85,8 @@ class MultifrontalRefactor:
     amalgamation and keeps fundamental supernodes only).
     """
 
-    def __init__(self, host: HostLU, a_csc, relax: int = 16):
+    def __init__(self, host: HostLU, a_csc, relax: int = 16,
+                 solve_plumbing: bool = True):
         n = host.n
         Lp = np.asarray(host.Lp, dtype=np.int64)
         Li = np.asarray(host.Li, dtype=np.int64)
@@ -309,9 +310,16 @@ class MultifrontalRefactor:
                 for b, c in pairs:
                     per_b.setdefault(b, []).append(c)
                 maxc = max(len(v) for v in per_b.values())
-                idx = np.zeros((nb, maxc), dtype=np.int64)
+                idx = np.zeros((nb, maxc), dtype=np.int32)
                 src_umax = int(max(u_sz[group_sids[src]].max(), 1))
-                E = np.zeros((nb, maxc, rmax, src_umax), dtype=np.float32)
+                # the 0/1 expansion matrix E (nb, maxc, rmax, src_umax)
+                # is stored as its SLOT INDICES (pad rmax -> all-zero
+                # column) and rebuilt on device in the factor loop: the
+                # dense one-hots were ~70% of a 492 MB host->device
+                # upload at 10k, and on-device a (slots == arange)
+                # compare is cheaper than streaming the same one-hot
+                # from HBM
+                rsl = np.full((nb, maxc, src_umax), rmax, dtype=np.int32)
                 for b, cs_ in per_b.items():
                     s = sids[b]
                     w = int(widths[s])
@@ -326,25 +334,26 @@ class MultifrontalRefactor:
                             raise AssertionError(
                                 "multifrontal containment violated: "
                                 "child off row missing from parent")
-                        rslot = np.where(loc < w, loc,
-                                         w_max + (loc - w))
-                        E[b, ci, rslot, np.arange(len(offc))] = 1.0
-                tabs.append((src, jnp.asarray(idx), jnp.asarray(E)))
+                        rsl[b, ci, :len(offc)] = np.where(
+                            loc < w, loc, w_max + (loc - w))
+                tabs.append((src, idx, rsl))
             group_static.append((nb, w_max, u_max, rmax))
-            # padded columns get a unit diagonal: precompute the ADDITIVE
-            # adjustment (it is static; building it from colmask in
-            # factor_values cost ~3 op launches per group on a schedule
-            # that is launch-bound at 10k)
-            eye_w = np.eye(w_max, dtype=np.float32)
-            colmasks.append(jnp.asarray(
-                eye_w[None] * (~colmask[:, None, :])))
-            rows_maps.append((jnp.asarray(rows_piv),
-                              jnp.asarray(rows_off)))
+            # padded columns get a unit diagonal: the ADDITIVE adjustment
+            # eye * ~colmask is built on device from the bool mask (the
+            # precomputed (nb, w, w) f32 form was upload mass)
+            colmasks.append(colmask)
+            rows_maps.append((rows_piv.astype(np.int32),
+                              rows_off.astype(np.int32)))
             a_sel = (np.concatenate(a_sel_parts) if a_sel_parts
                      else np.zeros(0, dtype=np.int64))
             a_dst = (np.concatenate(a_dst_parts) if a_dst_parts
                      else np.zeros(0, dtype=np.int64))
-            a_maps.append((jnp.asarray(a_sel), jnp.asarray(a_dst)))
+            a_maps.append((a_sel.astype(np.int32)
+                           if len(a_sel) == 0 or a_sel.max() < 2**31
+                           else a_sel,
+                           a_dst.astype(np.int32)
+                           if len(a_dst) == 0 or a_dst.max() < 2**31
+                           else a_dst))
             child_tabs.append(tabs)
 
         # flatten extraction into ONE gather over concatenated
@@ -354,11 +363,46 @@ class MultifrontalRefactor:
             nb, w_max, u_max, rmax = group_static[gid]
             base[gid + 1] = base[gid] + nb * (w_max * rmax
                                               + u_max * w_max)
-        self._exL = jnp.asarray(base[exL_gid] + exL_off)
-        self._exU = jnp.asarray(base[exU_gid] + exU_off)
-        # L's stored diagonal is unit; the front diagonal holds U11's
-        # pivots, so mask those positions to 1 after the gather
-        self._l_diag = jnp.asarray(Li == colsL)
+        # PACK per-group structures into a handful of flat device
+        # buffers, recovered with static slices inside jit (free after
+        # fusion).  Two costs die at once (VERDICT r3 item 6): ~560
+        # per-group jnp.asarray transfers, and — the dominant one — the
+        # axon tunnel's ~30 ms first-allocation cost PER DEVICE BUFFER,
+        # which made the first 10k build of a process ~20 s even after
+        # the one-hot/int32 compaction shrank the bytes 492 -> 13 MB.
+        exL = base[exL_gid] + exL_off
+        exU = base[exU_gid] + exU_off
+        if int(base[-1]) < 2**31:
+            exL, exU = exL.astype(np.int32), exU.astype(np.int32)
+
+        def _offsets(parts):
+            off = [0]
+            for p in parts:
+                off.append(off[-1] + int(p.size))
+            return tuple(off)
+
+        def _cat(parts, dt):
+            if parts:
+                return np.concatenate(
+                    [np.ravel(p) for p in parts]).astype(dt, copy=False)
+            return np.zeros(0, dtype=dt)
+
+        sel_parts = [s_ for s_, _ in a_maps]
+        dst_parts = [d_ for _, d_ in a_maps]
+        a_dt = (np.int64 if any(p.dtype == np.int64
+                                for p in sel_parts + dst_parts)
+                else np.int32)
+        idx_parts, rsl_parts, child_meta = [], [], []
+        io_ = ro_ = 0
+        for tabs in child_tabs:
+            meta = []
+            for (src, idx_, rsl_) in tabs:
+                idx_parts.append(idx_)
+                rsl_parts.append(rsl_)
+                meta.append((src, io_, idx_.shape[1], ro_, rsl_.shape[2]))
+                io_ += int(idx_.size)
+                ro_ += int(rsl_.size)
+            child_meta.append(tuple(meta))
 
         self.n = n
         self.lnz, self.unz = lnz, unz
@@ -368,39 +412,65 @@ class MultifrontalRefactor:
         self.ngroups = ngroups
         self.group_static = tuple(group_static)
         self.groups_at = tuple(tuple(g) for g in groups_at)
-        self.child_srcs = tuple(
-            tuple(src for (src, _, _) in tabs) for tabs in child_tabs)
-        self._colmask = colmasks
-        self._a_maps = a_maps
-        self._rows_maps = rows_maps
-        self._child_tabs = [[(i_, E_) for (_, i_, E_) in tabs]
-                            for tabs in child_tabs]
-        self.perm_r = jnp.asarray(np.asarray(host.perm_r))
-        self.perm_c = jnp.asarray(np.asarray(host.perm_c))
-        # solve plumbing shared with RefactorPlan (slab retargeting)
-        self._ltpl = TriSolvePlan(n, host.Lp, host.Li, host.Lx, lower=True)
-        self._utpl = TriSolvePlan(n, host.Up, host.Ui, host.Ux,
-                                  lower=False)
-        self._l_slab = RefactorPlan._slab_map(n, host.Lp, host.Li,
-                                              lower=True)
-        self._u_slab = RefactorPlan._slab_map(n, host.Up, host.Ui,
-                                              lower=False)
-        self._l_offpos = jnp.asarray(np.flatnonzero(Li != colsL))
-        self._u_offpos = jnp.asarray(np.flatnonzero(Ui != colsU) + lnz)
-        self._u_diagpos = jnp.asarray(np.flatnonzero(Ui == colsU) + lnz)
+        self.child_meta = tuple(child_meta)
+        # offsets into the flats (static python ints -> live in aux)
+        self._mask_off = _offsets(colmasks)      # == rows_piv offsets
+        self._rows_o_off = _offsets([ro for _, ro in rows_maps])
+        self._a_off = _offsets(sel_parts)
+        (self._masks, self._a_sel, self._a_dst,
+         self._rows_p, self._rows_o, self._child_idx, self._child_rsl,
+         self._exL, self._exU, self._l_diag,
+         self.perm_r, self.perm_c) = jax.device_put((
+            _cat(colmasks, np.bool_), _cat(sel_parts, a_dt),
+            _cat(dst_parts, a_dt),
+            _cat([rp for rp, _ in rows_maps], np.int32),
+            _cat([ro for _, ro in rows_maps], np.int32),
+            _cat(idx_parts, np.int32), _cat(rsl_parts, np.int32),
+            exL, exU,
+            # L's stored diagonal is unit; the front diagonal holds U11's
+            # pivots, so mask those positions to 1 after the gather
+            Li == colsL,
+            np.asarray(host.perm_r), np.asarray(host.perm_c)))
+        # solve plumbing shared with RefactorPlan (slab retargeting) —
+        # only needed by refactor(); MultifrontalLU's front-form
+        # solve_piv never touches it, and its host build (~10 s of
+        # numpy slab packing at 10k) dominates the from-scratch build
+        if solve_plumbing:
+            self._ltpl = TriSolvePlan(n, host.Lp, host.Li, host.Lx,
+                                      lower=True)
+            self._utpl = TriSolvePlan(n, host.Up, host.Ui, host.Ux,
+                                      lower=False)
+            self._l_slab = RefactorPlan._slab_map(n, host.Lp, host.Li,
+                                                  lower=True)
+            self._u_slab = RefactorPlan._slab_map(n, host.Up, host.Ui,
+                                                  lower=False)
+            idx = np.int32 if lnz + unz < 2**31 else np.int64
+            self._l_offpos = jnp.asarray(
+                np.flatnonzero(Li != colsL).astype(idx))
+            self._u_offpos = jnp.asarray(
+                (np.flatnonzero(Ui != colsU) + lnz).astype(idx))
+            self._u_diagpos = jnp.asarray(
+                (np.flatnonzero(Ui == colsU) + lnz).astype(idx))
+        else:
+            self._ltpl = self._utpl = None
+            self._l_slab = (None, None, None)
+            self._u_slab = (None, None, None)
+            self._l_offpos = self._u_offpos = self._u_diagpos = None
 
     # ---- pytree ----------------------------------------------------------
     def tree_flatten(self):
-        leaves = (self._colmask, self._a_maps, self._child_tabs,
+        leaves = (self._masks, self._a_sel, self._a_dst,
+                  self._rows_p, self._rows_o,
+                  self._child_idx, self._child_rsl,
                   self._exL, self._exU, self._l_diag,
                   self.perm_r, self.perm_c, self._ltpl, self._utpl,
                   self._l_slab[0], self._l_slab[1],
                   self._u_slab[0], self._u_slab[1],
-                  self._l_offpos, self._u_offpos, self._u_diagpos,
-                  self._rows_maps)
+                  self._l_offpos, self._u_offpos, self._u_diagpos)
         aux = (self.n, self.lnz, self.unz, self.dtype, self.nsnodes,
                self.nlevels, self.ngroups, self.group_static,
-               self.groups_at, self.child_srcs,
+               self.groups_at, self.child_meta,
+               self._mask_off, self._rows_o_off, self._a_off,
                self._l_slab[2], self._u_slab[2])
         return leaves, aux
 
@@ -408,16 +478,48 @@ class MultifrontalRefactor:
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.n, obj.lnz, obj.unz, obj.dtype, obj.nsnodes, obj.nlevels,
-         obj.ngroups, obj.group_static, obj.groups_at, obj.child_srcs,
+         obj.ngroups, obj.group_static, obj.groups_at, obj.child_meta,
+         obj._mask_off, obj._rows_o_off, obj._a_off,
          lmeta, umeta) = aux
-        (obj._colmask, obj._a_maps, obj._child_tabs,
+        (obj._masks, obj._a_sel, obj._a_dst, obj._rows_p, obj._rows_o,
+         obj._child_idx, obj._child_rsl,
          obj._exL, obj._exU, obj._l_diag, obj.perm_r, obj.perm_c,
          obj._ltpl, obj._utpl, l0, l1, u0, u1,
-         obj._l_offpos, obj._u_offpos, obj._u_diagpos,
-         obj._rows_maps) = leaves
+         obj._l_offpos, obj._u_offpos, obj._u_diagpos) = leaves
         obj._l_slab = (l0, l1, lmeta)
         obj._u_slab = (u0, u1, umeta)
         return obj
+
+    # ---- static-slice views of the flat buffers ---------------------------
+    def _group_parts(self, gid):
+        """(colmask bool (nb, w), a_sel, a_dst) for one group."""
+        nb, w_max, u_max, rmax = self.group_static[gid]
+        mo = self._mask_off[gid]
+        mask = self._masks[mo:mo + nb * w_max].reshape(nb, w_max)
+        s0, s1 = self._a_off[gid], self._a_off[gid + 1]
+        return mask, self._a_sel[s0:s1], self._a_dst[s0:s1]
+
+    def _rows_parts(self, gid):
+        """(rows_piv (nb, w), rows_off (nb, u)) global row ids."""
+        nb, w_max, u_max, rmax = self.group_static[gid]
+        po = self._mask_off[gid]       # rows_piv is (nb, w_max) too
+        oo = self._rows_o_off[gid]
+        rows_p = self._rows_p[po:po + nb * w_max].reshape(nb, w_max)
+        rows_o = self._rows_o[oo:oo + nb * u_max].reshape(nb, u_max)
+        return rows_p, rows_o
+
+    def _children(self, gid, rmax, dtype):
+        """Yield (src_gid, idx (nb, maxc), E (nb, maxc, rmax, su)) with
+        the 0/1 expansion one-hots rebuilt on device from slot indices
+        (pad slot rmax -> all-zero column)."""
+        nb = self.group_static[gid][0]
+        for (src, io_, maxc, ro_, su) in self.child_meta[gid]:
+            idx = self._child_idx[io_:io_ + nb * maxc].reshape(nb, maxc)
+            rsl = self._child_rsl[ro_:ro_ + nb * maxc * su].reshape(
+                nb, maxc, su)
+            E = (rsl[:, :, None, :] == jnp.arange(
+                rmax, dtype=rsl.dtype)[None, None, :, None]).astype(dtype)
+            yield src, idx, E
 
     # ---- numeric factorization (jittable) --------------------------------
     def factor_values(self, new_data):
@@ -435,14 +537,11 @@ class MultifrontalRefactor:
             for L in range(self.nlevels):
                 for gid in self.groups_at[L]:
                     nb, w_max, u_max, rmax = self.group_static[gid]
-                    dadj = self._colmask[gid]     # (nb, w_max, w_max)
-                    sel, dst = self._a_maps[gid]
+                    mask, sel, dst = self._group_parts(gid)
                     F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
                     F = F.at[dst].add(new_data[sel])
                     F = F.reshape(nb, rmax, rmax)
-                    for src, (idx, E) in zip(self.child_srcs[gid],
-                                             self._child_tabs[gid]):
-                        Ec = E if E.dtype == dtype else E.astype(dtype)
+                    for src, idx, Ec in self._children(gid, rmax, dtype):
                         CW = W_out[src][idx]   # (nb, maxc, us, us)
                         # extend-add as two batched MXU matmuls (an
                         # explicit path: the 3-operand einsum let the
@@ -452,8 +551,7 @@ class MultifrontalRefactor:
                     # factor pivot block (padded cols get unit diagonal)
                     eye = jnp.eye(w_max, dtype=dtype)[None]
                     D = F[:, :w_max, :w_max] + (
-                        dadj if dadj.dtype == dtype
-                        else dadj.astype(dtype))
+                        eye * (~mask[:, None, :]).astype(dtype))
                     M = _dense_lu_nopiv(D)
                     U11 = jnp.triu(M)
                     L11 = jnp.tril(M, -1) + eye
@@ -484,6 +582,11 @@ class MultifrontalRefactor:
         RefactorPlan.refactor; the slab retargeting is shared)."""
         from .refactor import retarget_solve_plan
 
+        if self._ltpl is None:
+            raise ValueError(
+                "this plan was built with solve_plumbing=False (the "
+                "MultifrontalLU front-form path); rebuild with "
+                "solve_plumbing=True to use refactor()")
         Lx, Ux = self.factor_values(new_data)
         return retarget_solve_plan(self, Lx, Ux, with_diag)
 
@@ -543,7 +646,9 @@ class MultifrontalLU(MultifrontalRefactor):
                 and np.isfinite(np.asarray(lu._h.Ux)).all()):
             raise ValueError("generic-value symbolic factorization "
                              "failed (pattern problem)")
-        return cls(lu._h, a, relax=relax)
+        # the front-form solve never uses the slab retargeting plumbing;
+        # skipping it cuts ~10 s of host numpy packing at 10k
+        return cls(lu._h, a, relax=relax, solve_plumbing=False)
 
     # ---- pivoted numeric factorization (jittable) -----------------------
     def factor_piv(self, new_data):
@@ -561,20 +666,17 @@ class MultifrontalLU(MultifrontalRefactor):
             for L in range(self.nlevels):
                 for gid in self.groups_at[L]:
                     nb, w_max, u_max, rmax = self.group_static[gid]
-                    dadj = self._colmask[gid]
-                    sel, dst = self._a_maps[gid]
+                    mask, sel, dst = self._group_parts(gid)
                     F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
                     F = F.at[dst].add(new_data[sel])
                     F = F.reshape(nb, rmax, rmax)
-                    for src, (idx, E) in zip(self.child_srcs[gid],
-                                             self._child_tabs[gid]):
-                        Ec = E if E.dtype == dtype else E.astype(dtype)
+                    for src, idx, Ec in self._children(gid, rmax, dtype):
                         CW = W_out[src][idx]
                         T = jnp.einsum("bcij,bcjk->bcik", Ec, CW)
                         F = F + jnp.einsum("bcik,bclk->bil", T, Ec)
                     D = F[:, :w_max, :w_max] + (
-                        dadj if dadj.dtype == dtype
-                        else dadj.astype(dtype))
+                        jnp.eye(w_max, dtype=dtype)[None]
+                        * (~mask[:, None, :]).astype(dtype))
                     # within-front partial pivoting: D[perm] = L11 U11
                     M, _piv, perm = jax.lax.linalg.lu(D)
                     eye = jnp.eye(w_max, dtype=dtype)[None]
@@ -594,8 +696,7 @@ class MultifrontalLU(MultifrontalRefactor):
                     W_out[gid] = W
                     factors[gid] = (M, U12, L21, perm)
                     # growth stats over GENUINE columns only
-                    genuine = (jnp.diagonal(dadj, axis1=1, axis2=2)
-                               == 0.0)
+                    genuine = mask
                     du = jnp.abs(jnp.diagonal(M, axis1=1, axis2=2))
                     min_piv = jnp.minimum(
                         min_piv,
@@ -621,7 +722,7 @@ class MultifrontalLU(MultifrontalRefactor):
         with jax.default_matmul_precision("highest"):
             for L in range(self.nlevels):
                 for gid in self.groups_at[L]:
-                    rows_p, rows_o = self._rows_maps[gid]
+                    rows_p, rows_o = self._rows_parts(gid)
                     M, U12, L21, perm = factors[gid]
                     w_max = M.shape[1]
                     eye = jnp.eye(w_max, dtype=dtype)[None]
@@ -635,7 +736,7 @@ class MultifrontalLU(MultifrontalRefactor):
                     y = y.at[rows_o].add(-(L21 @ z1))
             for L in range(self.nlevels - 1, -1, -1):
                 for gid in self.groups_at[L]:
-                    rows_p, rows_o = self._rows_maps[gid]
+                    rows_p, rows_o = self._rows_parts(gid)
                     M, U12, L21, perm = factors[gid]
                     xoff = y[rows_o]
                     z1 = y[rows_p]
