@@ -420,10 +420,12 @@ class NewtonPowerFlow:
         self._perm = jnp.asarray(perm)
         self._segs = segs
 
-        # host: factor the pattern once (values at flat start)
+        # host: factor the pattern once (values at flat start).  ibus0
+        # is computed host-side — a device SpMV here cost a ~7 s
+        # compile plus two device->host downloads on the critical build
+        # path, for a product the host Ybus does in microseconds
         v0 = grid.vm0.astype(np.complex128)
-        i0r, i0i = self._yplan(jnp.asarray(v0.real), jnp.asarray(v0.imag))
-        ibus0 = np.asarray(i0r) + 1j * np.asarray(i0i)
+        ibus0 = self.Y.to_scipy().tocsr() @ v0
         J0 = _jacobian(self.Y, v0, ibus0, pvpq, pq)
         if solver == "blocklu":
             from ..linalg import BandedLU
