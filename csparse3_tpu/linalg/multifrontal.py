@@ -342,8 +342,11 @@ class MultifrontalRefactor:
             # eye * ~colmask is built on device from the bool mask (the
             # precomputed (nb, w, w) f32 form was upload mass)
             colmasks.append(colmask)
-            rows_maps.append((rows_piv.astype(np.int32),
-                              rows_off.astype(np.int32)))
+            # values go up to n inclusive (n is the pad slot) — same
+            # guarded-dtype pattern as a_sel/a_dst (ADVICE r4)
+            rdt = np.int32 if n < 2**31 else np.int64
+            rows_maps.append((rows_piv.astype(rdt),
+                              rows_off.astype(rdt)))
             a_sel = (np.concatenate(a_sel_parts) if a_sel_parts
                      else np.zeros(0, dtype=np.int64))
             a_dst = (np.concatenate(a_dst_parts) if a_dst_parts
@@ -415,6 +418,11 @@ class MultifrontalRefactor:
         self.child_meta = tuple(child_meta)
         # offsets into the flats (static python ints -> live in aux)
         self._mask_off = _offsets(colmasks)      # == rows_piv offsets
+        # _rows_parts indexes _rows_p with _mask_off: both colmask and
+        # rows_piv must stay (nb, w_max) per group (ADVICE r4)
+        assert all(m.shape == rp.shape
+                   for m, (rp, _) in zip(colmasks, rows_maps)), (
+            "colmask / rows_piv shape divergence breaks _mask_off reuse")
         self._rows_o_off = _offsets([ro for _, ro in rows_maps])
         self._a_off = _offsets(sel_parts)
         (self._masks, self._a_sel, self._a_dst,
@@ -423,8 +431,10 @@ class MultifrontalRefactor:
          self.perm_r, self.perm_c) = jax.device_put((
             _cat(colmasks, np.bool_), _cat(sel_parts, a_dt),
             _cat(dst_parts, a_dt),
-            _cat([rp for rp, _ in rows_maps], np.int32),
-            _cat([ro for _, ro in rows_maps], np.int32),
+            _cat([rp for rp, _ in rows_maps],
+                 np.int32 if n < 2**31 else np.int64),
+            _cat([ro for _, ro in rows_maps],
+                 np.int32 if n < 2**31 else np.int64),
             _cat(idx_parts, np.int32), _cat(rsl_parts, np.int32),
             exL, exU,
             # L's stored diagonal is unit; the front diagonal holds U11's

@@ -111,8 +111,11 @@ class ACContingency:
         def one(k):
             ygr = base_r.at[pos[k]].add(-dre[k])
             ygi = base_i.at[pos[k]].add(-dim[k])
-            vm, va, it, res = pf.run(vm0, va0, pf._sbr, pf._sbi, ygr, ygi)
-            return vm, va, it, res
+            vm, va, it, res, bad = pf.run(vm0, va0, pf._sbr, pf._sbi,
+                                          ygr, ygi)
+            # a growth-gated scenario surfaces as res > tol -> ok=False
+            # downstream (same as a non-converged outage)
+            return vm, va, it, jnp.where(bad, jnp.inf, res)
 
         def run(ks):
             return jax.vmap(one)(ks)

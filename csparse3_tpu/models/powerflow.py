@@ -341,7 +341,8 @@ class NewtonPowerFlow:
         ch = (self._rp, self._yplan, self._sbr, self._sbi, self._y_rows,
               self._y_cols, self._ygr, self._ygi, self._diag_mask,
               tuple(self._keep), self._perm, self._pvpq, self._pq)
-        aux = (self.tol, self.max_iter, self._npvpq)
+        aux = (self.tol, self.max_iter, self._npvpq,
+               self.growth_limit, self.piv_rtol)
         return ch, aux
 
     @classmethod
@@ -351,12 +352,14 @@ class NewtonPowerFlow:
          obj._y_cols, obj._ygr, obj._ygi, obj._diag_mask, keep,
          obj._perm, obj._pvpq, obj._pq) = ch
         obj._keep = list(keep)
-        obj.tol, obj.max_iter, obj._npvpq = aux
+        (obj.tol, obj.max_iter, obj._npvpq,
+         obj.growth_limit, obj.piv_rtol) = aux
         obj.grid = obj.Y = None  # host-only state, not needed in jit
         return obj
 
     def __init__(self, grid: Grid, tol=1e-10, max_iter=20, ordering="auto",
-                 spmv="ell", solver="level"):
+                 spmv="ell", solver="level",
+                 growth_limit=1e7, piv_rtol=1e-10):
         """spmv: 'ell', 'dia' (gather-free banded slabs; pair with
         models.grids.rcm_grid so Ybus is banded), or 'symdia' (see
         FastDecoupled).
@@ -371,6 +374,15 @@ class NewtonPowerFlow:
         self.grid = grid
         self.tol = tol
         self.max_iter = max_iter
+        # pivot-growth gate for the 'multifrontal' solver (VERDICT r4
+        # item 5): within-front pivoting can't reach rows outside the
+        # front, so a factorization whose element growth escapes that
+        # legality class is flagged in-loop and the caller falls back
+        # to a host factorization with TRUE partial pivoting (splu) —
+        # the SuperLU info!=0 pattern (reference:
+        # src/research/scipy_wrappers.py:7-10)
+        self.growth_limit = float(growth_limit)
+        self.piv_rtol = float(piv_rtol)
         n = grid.n_bus
         self.Y, _, _ = ybus(grid)
         self._yplan = _make_yplan(self.Y, spmv)
@@ -503,7 +515,11 @@ class NewtonPowerFlow:
         return f, (vr, vi), (ir, ii)
 
     def run_fn(self, vm0, va0, sbr, sbi, ygr=None, ygi=None):
-        """Solve to tolerance; returns (vm, va, iterations, residual).
+        """Solve to tolerance; returns (vm, va, iterations, residual,
+        bad) where ``bad`` is True iff a 'multifrontal' factorization
+        tripped the pivot-growth gate (the loop stops WITHOUT applying
+        the suspect update; the caller must fall back to a true-pivoting
+        host factorization — ``solve``/``solve_batch`` do).
         ``ygr/ygi`` override the Ybus entry values (same pattern) — the
         AC-contingency hook: vmap over per-scenario value arrays.
 
@@ -513,53 +529,126 @@ class NewtonPowerFlow:
         n)."""
 
         def cond(state):
-            vm, va, it = state
+            vm, va, it, bad = state
             f, _, _ = self._mismatch_f(vm, va, sbr, sbi, ygr, ygi)
             nrm = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
-            return jnp.logical_and(nrm > self.tol, it < self.max_iter)
+            return jnp.logical_and(
+                jnp.logical_and(nrm > self.tol, it < self.max_iter),
+                jnp.logical_not(bad))
 
         from ..linalg.multifrontal import MultifrontalLU
 
         def body(state):
-            vm, va, it = state
+            vm, va, it, bad = state
             f, (vr, vi), (ir, ii) = self._mismatch_f(vm, va, sbr, sbi,
                                                      ygr, ygi)
             jd = self._jac_data(vr, vi, vm, ir, ii, ygr, ygi)
             if isinstance(self._rp, MultifrontalLU):
-                fac, _ = self._rp.factor_piv(jd)
+                fac, stats = self._rp.factor_piv(jd)
                 dx = self._rp.solve_piv(fac, -f)
+                # growth gate: within-front pivoting is restricted to
+                # fully-summed rows; escape is detected as (a) a pivot
+                # collapsing relative to the factor's magnitude, or
+                # (b) element growth vs the input Jacobian beyond
+                # growth_limit, or (c) non-finite factors
+                scale = jnp.max(jnp.abs(jd)) + jnp.asarray(
+                    np.finfo(np.float64).tiny, jd.dtype)
+                bad_it = (
+                    (stats["min_pivot"] < self.piv_rtol * stats["max_u"])
+                    | (stats["max_u"] > self.growth_limit * scale)
+                    | ~jnp.isfinite(stats["max_u"]))
+                # a gated iteration must NOT corrupt the state with the
+                # suspect direction
+                dx = jnp.where(bad_it, jnp.zeros_like(dx), dx)
+                bad = jnp.logical_or(bad, bad_it)
             else:
                 plan = self._rp.refactor(jd)
                 dx = plan(-f)
             va = va.at[self._pvpq].add(dx[: self._npvpq])
             vm = vm.at[self._pq].add(dx[self._npvpq :])
-            return (vm, va, it + 1)
+            return (vm, va, it + 1, bad)
 
-        vm, va, it = jax.lax.while_loop(cond, body, (vm0, va0, 0))
+        vm, va, it, bad = jax.lax.while_loop(
+            cond, body, (vm0, va0, 0, jnp.zeros((), bool)))
         f, _, _ = self._mismatch_f(vm, va, sbr, sbi, ygr, ygi)
         res = jnp.max(jnp.abs(f)) if f.shape[0] else jnp.zeros(())
-        return vm, va, it, res
+        return vm, va, it, res, bad
 
     run = partial(jax.jit, static_argnums=0)(run_fn)
+
+    def _host_newton(self, vm, va, sb=None):
+        """Continue Newton on host with TRUE partial pivoting (splu per
+        iteration) from (vm, va) — the growth-gate fallback path."""
+        import warnings
+
+        vm = np.asarray(vm, np.float64).copy()
+        va = np.asarray(va, np.float64).copy()
+        if self.grid is None or self.Y is None:
+            raise RuntimeError(
+                "growth fallback needs the host-side grid/Ybus state "
+                "(unavailable on an unflattened pytree copy)")
+        warnings.warn(
+            "multifrontal pivot-growth gate engaged: falling back to "
+            "host factorization with true partial pivoting",
+            RuntimeWarning, stacklevel=3)
+        y_csr = self.Y.to_scipy().tocsr()
+        sb = sbus(self.grid) if sb is None else sb
+        pvpq = np.asarray(self._pvpq)
+        pq = np.asarray(self._pq)
+        it = 0
+        nrm = np.inf
+        for it in range(self.max_iter):
+            v = vm * np.exp(1j * va)
+            ibus = y_csr @ v
+            mis = v * np.conj(ibus) - sb
+            f = np.concatenate([mis.real[pvpq], mis.imag[pq]])
+            nrm = np.max(np.abs(f)) if f.size else 0.0
+            if nrm < self.tol:
+                break
+            J = _jacobian(self.Y, v, ibus, pvpq, pq)
+            lu = splu(J, ordering="auto")   # true partial pivoting
+            dx = np.asarray(lu.solve(jnp.asarray(-f)))
+            va[pvpq] += dx[: self._npvpq]
+            vm[pq] += dx[self._npvpq:]
+        return vm, va, it, nrm
 
     def solve(self, flat_start=True):
         n = self.grid.n_bus
         vm0 = jnp.asarray(self.grid.vm0.astype(np.float64))
         va0 = jnp.zeros(n)
-        vm, va, it, res = self.run(vm0, va0, self._sbr, self._sbi)
+        vm, va, it, res, bad = self.run(vm0, va0, self._sbr, self._sbi)
+        if bool(bad):
+            vm, va, it2, res = self._host_newton(vm, va)
+            return np.asarray(vm), np.asarray(va), int(it) + int(it2), \
+                float(res)
         return np.asarray(vm), np.asarray(va), int(it), float(res)
 
     def solve_batch(self, sb_batch):
         """Many load scenarios against one symbolic factorization —
-        vmapped device Newton (every scenario refactors on device)."""
+        vmapped device Newton (every scenario refactors on device).
+        Scenarios whose factorization trips the growth gate are
+        re-solved on host with true partial pivoting."""
         n = self.grid.n_bus
         k = sb_batch.shape[0]
         sb_batch = np.asarray(sb_batch)
         vm0 = jnp.broadcast_to(jnp.asarray(self.grid.vm0.astype(np.float64)), (k, n))
         va0 = jnp.zeros((k, n))
-        return jax.vmap(self.run)(
+        vm, va, it, res, bad = jax.vmap(self.run)(
             vm0, va0, jnp.asarray(sb_batch.real), jnp.asarray(sb_batch.imag)
         )
+        bad_np = np.asarray(bad)
+        if bad_np.any():
+            vm = np.asarray(vm).copy()
+            va = np.asarray(va).copy()
+            it = np.asarray(it).copy()
+            res = np.asarray(res).copy()
+            for s in np.flatnonzero(bad_np):
+                vms, vas, its, rs = self._host_newton(
+                    vm[s], va[s], sb=sb_batch[s])
+                vm[s], va[s] = vms, vas
+                it[s] += its
+                res[s] = rs
+        return vm, va, it, res
 
 
 def newton_raphson(grid: Grid, tol=1e-10, max_iter=20, ordering="auto"):

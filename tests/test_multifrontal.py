@@ -191,6 +191,31 @@ class TestMultifrontalLU:
         xr = np.linalg.solve(D, b)
         np.testing.assert_allclose(x, xr, rtol=1e-9, atol=1e-9)
 
+    def test_growth_stats_flag_singular(self):
+        """A numerically singular matrix (two equal rows) on a healthy
+        pattern: the factorization itself can't fail-fast inside jit,
+        but the stats must flag it — min_pivot collapses relative to
+        max_u, which is exactly the NewtonPowerFlow growth-gate
+        condition (VERDICT r4 item 5)."""
+        from csparse3_tpu.linalg import MultifrontalLU
+
+        rng = np.random.RandomState(7)
+        n = 40
+        D = rng.rand(n, n) + np.eye(n) * 0.1
+        A = cst.CSC.from_dense(D)
+        mf = MultifrontalLU.from_matrix(A, ordering=None)
+
+        healthy, s_ok = mf.factor_piv(jnp.asarray(np.asarray(
+            A.np_arrays()[2])))
+        assert float(s_ok["min_pivot"]) > 1e-10 * float(s_ok["max_u"])
+
+        D_bad = D.copy()
+        D_bad[5] = D_bad[4]          # exactly singular, same pattern
+        A_bad = cst.CSC.from_dense(D_bad)
+        _, s_bad = mf.factor_piv(jnp.asarray(np.asarray(
+            A_bad.np_arrays()[2])))
+        assert float(s_bad["min_pivot"]) < 1e-10 * float(s_bad["max_u"])
+
     def test_multi_rhs_and_jit(self):
         from csparse3_tpu.linalg import MultifrontalLU
 

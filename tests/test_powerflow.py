@@ -266,3 +266,54 @@ def test_device_newton_multifrontal_matches_host():
     assert res < 1e-8
     np.testing.assert_allclose(np.asarray(vm), vmh, atol=1e-7)
     np.testing.assert_allclose(np.asarray(va), vah, atol=1e-7)
+
+
+def test_multifrontal_growth_gate_fallback_converges():
+    """Pivot-growth gate (VERDICT r4 item 5): with the growth limit
+    tightened so the very first device factorization trips it, the
+    gated iteration must NOT be applied, the solver must fall back to
+    host splu with true partial pivoting, and Newton must still reach
+    the reference solution."""
+    import pytest
+
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow, newton_raphson
+
+    g = synthetic_grid(120, seed=14)
+    vmh, vah, _, _ = newton_raphson(g, tol=1e-10)
+    # any real factorization has max_u > 1e-12 * max|J| -> gate engages
+    npf = NewtonPowerFlow(g, tol=1e-10, solver="multifrontal",
+                          growth_limit=1e-12)
+    with pytest.warns(RuntimeWarning, match="pivot-growth gate"):
+        vm, va, it, res = npf.solve()
+    assert res < 1e-8
+    np.testing.assert_allclose(np.asarray(vm), vmh, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(va), vah, atol=1e-7)
+
+    # the device run alone must report the gate (bad=True) and an
+    # UNCHANGED state for the gated iteration (flat start preserved)
+    import jax.numpy as jnp
+
+    vm0 = jnp.asarray(g.vm0.astype(np.float64))
+    va0 = jnp.zeros(g.n_bus)
+    vmr, var, itr, resr, bad = npf.run(vm0, va0, npf._sbr, npf._sbi)
+    assert bool(bad)
+    np.testing.assert_array_equal(np.asarray(vmr), np.asarray(vm0))
+    np.testing.assert_array_equal(np.asarray(var), np.asarray(va0))
+
+
+def test_multifrontal_growth_gate_batch_fallback():
+    """solve_batch re-solves gated scenarios on host."""
+    import pytest
+
+    from csparse3_tpu.models.grids import synthetic_grid
+    from csparse3_tpu.models.powerflow import NewtonPowerFlow, sbus
+
+    g = synthetic_grid(80, seed=3)
+    npf = NewtonPowerFlow(g, tol=1e-10, solver="multifrontal",
+                          growth_limit=1e-12)
+    sb = sbus(g)
+    batch = np.stack([sb, sb * 1.0001])
+    with pytest.warns(RuntimeWarning, match="pivot-growth gate"):
+        vm, va, it, res = npf.solve_batch(batch)
+    assert np.asarray(res).max() < 1e-8
