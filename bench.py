@@ -1059,6 +1059,7 @@ def run_factor_shard(reps: int):
         if d > 0:
             ds.append(d)
     per = float(np.median(ds)) if ds else None
+    spread = float(max(ds) / min(ds)) if len(ds) >= 2 else None
     As = A.to_scipy().tocsc()
     bh = np.asarray(b, np.float64)
     x = np.asarray(got, np.float64)
@@ -1066,7 +1067,8 @@ def run_factor_shard(reps: int):
     from csparse3_tpu.utils.roofline import thomas_factor_flops
 
     nb_, s_ = rf._aux[2], rf._aux[1]
-    return {"per": per, "reps": reps, "n": n, "bw": int(rf._aux[3]),
+    return {"per": per, "spread": spread, "reps": reps, "n": n,
+            "bw": int(rf._aux[3]),
             "s": int(s_), "build_s": t_build, "sym_s": t_sym,
             "compile_s": t_compile,
             "flops": thomas_factor_flops(nb_, s_),
@@ -1650,6 +1652,12 @@ def main():
         extra["factor_shard_device_s"] = a["per"]
         extra["factor_shard_bw"] = a["bw"]
         extra["factor_shard_s"] = a["s"]
+        if a.get("spread"):
+            # within-subprocess trial spread (median-of-4 pick); >2x is
+            # the same chip-state instability flag as refactor's
+            extra["factor_shard_spread"] = round(a["spread"], 2)
+            if a["spread"] > 2.0:
+                extra["factor_shard_unstable"] = True
         if a.get("flops"):
             extra["factor_shard_tflops"] = round(
                 a["flops"] / a["per"] / 1e12, 2)

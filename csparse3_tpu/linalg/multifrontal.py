@@ -529,13 +529,23 @@ class MultifrontalRefactor:
                 nb, maxc, su)
             E = (rsl[:, :, None, :] == jnp.arange(
                 rmax, dtype=rsl.dtype)[None, None, :, None]).astype(dtype)
+            # NOTE (r5): XLA pattern-matches dot(one_hot(idx), X) into a
+            # batched-row gather fusion here.  That is FASTER than
+            # forcing the real MXU dot (an optimization_barrier on E
+            # measured 14.2 vs 12.5 ms per 10k refactorization): the
+            # rows being gathered are contiguous su-wide slabs, so the
+            # lowering is the same row-DMA trick as ops/gather.py, minus
+            # the one-hot flops.  Leave the pattern fusable.
             yield src, idx, E
 
     # ---- numeric factorization (jittable) --------------------------------
     def factor_values(self, new_data):
         """(Lx, Ux) for the original pattern with ``new_data`` values."""
+        from ..ops.gather import ROWG_K, rowgather
+
         new_data = jnp.asarray(new_data)
         dtype = jnp.result_type(new_data.dtype, self.dtype)
+        nd_pad = -(-max(int(new_data.shape[0]), 1) // ROWG_K) * ROWG_K
         front_flats = [None] * self.ngroups
         W_out = [None] * self.ngroups
         # NOTE (r4): a single global A-scatter into one concatenated
@@ -549,7 +559,7 @@ class MultifrontalRefactor:
                     nb, w_max, u_max, rmax = self.group_static[gid]
                     mask, sel, dst = self._group_parts(gid)
                     F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
-                    F = F.at[dst].add(new_data[sel])
+                    F = F.at[dst].add(rowgather(new_data, sel, nd_pad))
                     F = F.reshape(nb, rmax, rmax)
                     for src, idx, Ec in self._children(gid, rmax, dtype):
                         CW = W_out[src][idx]   # (nb, maxc, us, us)
@@ -583,8 +593,15 @@ class MultifrontalRefactor:
                         [top.reshape(-1), L21.reshape(-1)])
         flat = (jnp.concatenate(front_flats) if front_flats
                 else jnp.zeros((0,), dtype))
-        Lx = jnp.where(self._l_diag, jnp.ones((), dtype), flat[self._exL])
-        Ux = flat[self._exU]
+        # CSC emission via the rowgather substrate (ops/gather.py): the
+        # plain flat[exL] lowered to XLA's near-scalar gather and was
+        # the single biggest op of a 10k refactorization (traced
+        # 4.8 ms of 20 ms for 725k elements, ~150 M elem/s; rowgather
+        # measured 1.9 G elem/s at K=32)
+        pad_to = -(-max(int(flat.shape[0]), 1) // ROWG_K) * ROWG_K
+        Lx = jnp.where(self._l_diag, jnp.ones((), dtype),
+                       rowgather(flat, self._exL, pad_to))
+        Ux = rowgather(flat, self._exU, pad_to)
         return Lx, Ux
 
     def refactor(self, new_data, with_diag: bool = False):
@@ -666,8 +683,11 @@ class MultifrontalLU(MultifrontalRefactor):
 
         factors: per-group (M, U12, L21, perm) pytree (front form).
         stats: {"min_pivot", "max_u"} — gate for growth fallback."""
+        from ..ops.gather import ROWG_K, rowgather
+
         new_data = jnp.asarray(new_data)
         dtype = jnp.result_type(new_data.dtype, self.dtype)
+        nd_pad = -(-max(int(new_data.shape[0]), 1) // ROWG_K) * ROWG_K
         factors = [None] * self.ngroups
         W_out = [None] * self.ngroups
         min_piv = jnp.asarray(np.inf, dtype)
@@ -678,7 +698,7 @@ class MultifrontalLU(MultifrontalRefactor):
                     nb, w_max, u_max, rmax = self.group_static[gid]
                     mask, sel, dst = self._group_parts(gid)
                     F = jnp.zeros((nb * rmax * rmax,), dtype=dtype)
-                    F = F.at[dst].add(new_data[sel])
+                    F = F.at[dst].add(rowgather(new_data, sel, nd_pad))
                     F = F.reshape(nb, rmax, rmax)
                     for src, idx, Ec in self._children(gid, rmax, dtype):
                         CW = W_out[src][idx]
