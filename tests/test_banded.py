@@ -267,10 +267,42 @@ class TestFactorDevice:
         res = np.linalg.norm(As @ x - np.asarray(b, np.float64))
         assert res / np.linalg.norm(np.asarray(b)) < 1e-5
 
-    def test_complex_raises(self):
+    def test_complex_solves_via_embedding(self):
+        """r5: the former real-only guard is lifted — complex input
+        factors through the split-complex interleaved embedding."""
+        import scipy.sparse.linalg as spla
+
         from csparse3_tpu.models.grids import synthetic_grid, ybus
 
         g = synthetic_grid(100, seed=11)
         Y, _, _ = ybus(g)
-        with pytest.raises(NotImplementedError):
-            BandedLU.factor_device(Y)
+        A = cst.add(Y, cst.diags(np.full(100, 2.0 + 0.3j)))
+        lu, _ = BandedLU.factor_device(A)
+        b = np.random.RandomState(3).rand(100) + 0.5j
+        x = lu(b)
+        xr = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(x, xr, rtol=2e-3, atol=2e-5)
+
+
+def test_factor_device_complex_single_chip():
+    """BandedLU.factor_device on a complex matrix: split-complex
+    interleaved embedding, ComplexBandedSolve wrapper (VERDICT r4
+    item 6; the linalg/banded.py real-only guard is lifted)."""
+    import scipy.sparse.linalg as spla
+
+    from csparse3_tpu.linalg import BandedLU
+    from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+    n = 3000
+    g = synthetic_grid(n, seed=7)
+    Y, _, _ = ybus(g)
+    A = cst.add(Y, cst.diags(np.full(n, 2.0 + 0.3j)))
+    lu, rf = BandedLU.factor_device(A)
+    rng = np.random.RandomState(2)
+    b = rng.rand(n) + 1j * rng.rand(n)
+    x = lu(b)
+    As = A.to_scipy().tocsc()
+    resid = np.linalg.norm(As @ x - b) / np.linalg.norm(b)
+    assert resid < 1e-4, resid
+    xr = spla.spsolve(As, b)
+    np.testing.assert_allclose(x, xr, rtol=2e-3, atol=2e-5)

@@ -135,3 +135,45 @@ def test_full_format_roundtrip(golden63):
     np.testing.assert_allclose(
         np.asarray(cst.dia_to_csc(dia).todense()), golden63.toarray()
     )
+
+
+def test_real_equivalent_interleaved_and_block():
+    """Split-complex real doubling (ops/construct.py::real_equivalent):
+    the interleaved layout preserves bandedness (bw -> 2bw+1) and both
+    layouts represent the complex product exactly."""
+    import numpy as np
+
+    import csparse3_tpu as cst
+    from csparse3_tpu.ops.construct import real_equivalent
+
+    rng = np.random.RandomState(0)
+    n = 60
+    D = np.zeros((n, n), dtype=np.complex128)
+    for off in (-2, -1, 0, 1, 2):
+        v = rng.rand(n - abs(off)) + 1j * rng.rand(n - abs(off))
+        D += np.diag(v, off)
+    D += np.eye(n) * 4.0
+    A = cst.CSC.from_dense(D)
+    z = rng.rand(n) + 1j * rng.rand(n)
+
+    for interleave in (True, False):
+        A2 = real_equivalent(A, interleave=interleave)
+        assert A2.shape == (2 * n, 2 * n)
+        D2 = np.asarray(A2.todense())
+        if interleave:
+            z2 = np.empty(2 * n)
+            z2[0::2], z2[1::2] = z.real, z.imag
+            y2 = D2 @ z2
+            y = y2[0::2] + 1j * y2[1::2]
+            # interleaved bandwidth: 2*bw + 1
+            r_, c_ = np.nonzero(D2)
+            assert np.abs(r_ - c_).max() <= 2 * 2 + 1
+        else:
+            z2 = np.concatenate([z.real, z.imag])
+            y2 = D2 @ z2
+            y = y2[:n] + 1j * y2[n:]
+        np.testing.assert_allclose(y, D @ z, rtol=1e-12, atol=1e-12)
+
+    # real input passes through untouched
+    R = cst.CSC.from_dense(np.eye(4))
+    assert real_equivalent(R) is R
