@@ -25,5 +25,7 @@ from .banded import (  # noqa: F401
     BandedLU,
     BandedRefactor,
     BandedSolvePlan,
+    ComplexBandedSolve,
     bandwidth,
 )
+from .spike_stream import StreamedSPIKE  # noqa: F401

@@ -562,56 +562,18 @@ class DistBandedLU:
 
         @jax.jit
         def reduced(iface):
-            """Structured reduced-system block-Thomas factor.
-
-            The SPIKE reduced blocks are D_p = [[I, Vb_p], [Wt_{p+1}, I]]
-            with single-quadrant couplings E_p = [[Wb_p, 0], [0, 0]] and
-            F_p = [[0, 0], [0, Vt_{p+1}]].  The Schur recurrence
-            PRESERVES the identity diagonal (S_k = [[I, B_k], [C_k, I]]),
-            so each step needs one (s, s) inverse Z = (I - C B)^{-1} and
-            ~8 (s, s) products instead of a dense (2s, 2s) inverse —
-            ~2.8x fewer flops in this replicated serial tail (the
+            """Structured reduced-system block-Thomas factor — the
+            Schur-quadrant recurrence lives in
+            ``linalg.spike_stream.spike_reduced_factor`` (shared with
+            the single-chip StreamedSPIKE): each step costs one (s, s)
+            inverse + ~8 products instead of a dense (2s, 2s) inverse
+            (~2.8x fewer flops in this replicated serial tail — the
             8-chip factor efficiency term, BENCH_NOTES r4 model)."""
-            Wt, Wb, Vt, Vb = (iface[:, 0], iface[:, 1], iface[:, 2],
-                              iface[:, 3])
-            nR = Pn - 1
-            eye = jnp.eye(s, dtype=dtype)
-            z_s = jnp.zeros((s, s), dtype)
+            from ..linalg.spike_stream import spike_reduced_factor
 
-            with jax.default_matmul_precision("highest"):
-                def step(carry, blk):
-                    S11p, S12p = carry    # PREVIOUS step's Sinv quadrants
-                    Bq0, Cq, Wbk, Vtk, Vtnext, has_prev = blk
-                    # S_k's top-right quadrant after the Schur update
-                    Bq = Bq0 - has_prev * (Wbk @ S12p @ Vtk)
-                    Z = jnp.linalg.inv(eye - Cq @ Bq)
-                    ZC = Z @ Cq
-                    S11 = eye + Bq @ ZC
-                    S12 = -(Bq @ Z)
-                    S21 = -ZC
-                    # dense stacks for the (unchanged) solve sweeps
-                    sinv_k = jnp.block([[S11, S12], [S21, Z]])
-                    eh_k = jnp.block(
-                        [[has_prev * (Wbk @ S11p),
-                          has_prev * (Wbk @ S12p)], [z_s, z_s]])
-                    uh_k = jnp.block([[z_s, S12 @ Vtnext],
-                                      [z_s, Z @ Vtnext]])
-                    return (S11, S12), (eh_k, sinv_k, uh_k)
-
-                # per-step operands (k = 0..nR-1)
-                Bq0 = Vb[:-1]
-                Cq = Wt[1:]
-                Wbk = Wb[: nR]          # Wb_k (unused at k=0)
-                Vtk = Vt[: nR]          # Vt_k closes the k-1 coupling
-                Vtnext = jnp.concatenate(
-                    [Vt[1:nR], jnp.zeros((1, s, s), dtype)])
-                has_prev = jnp.arange(nR, dtype=dtype).clip(0, 1)[
-                    :, None, None]
-                _, (r_eh, r_si, r_uh) = jax.lax.scan(
-                    step,
-                    (jnp.zeros((s, s), dtype), jnp.zeros((s, s), dtype)),
-                    (Bq0, Cq, Wbk, Vtk, Vtnext, has_prev))
-            return r_eh, r_si, r_uh
+            return spike_reduced_factor(
+                iface[:, 0], iface[:, 1], iface[:, 2], iface[:, 3], s,
+                dtype)
 
         obj = object.__new__(cls)
         obj.mesh, obj.axis = mesh, axis

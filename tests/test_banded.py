@@ -306,3 +306,86 @@ def test_factor_device_complex_single_chip():
     assert resid < 1e-4, resid
     xr = spla.spsolve(As, b)
     np.testing.assert_allclose(x, xr, rtol=2e-3, atol=2e-5)
+
+
+class TestStreamedSPIKE:
+    """Single-chip out-of-core SPIKE (linalg/spike_stream.py): chunk
+    rematerialization — only tips + reduced factors persist."""
+
+    def _sys(self, n, seed=1):
+        A = _grid_system(n, seed)
+        return A, A.to_scipy().tocsc()
+
+    def test_matches_scipy(self):
+        from csparse3_tpu.linalg import StreamedSPIKE
+
+        A, As = self._sys(6000)
+        sk = StreamedSPIKE(A, P=4)
+        b = np.random.RandomState(0).rand(6000)
+        x = sk(b)
+        res = np.linalg.norm(As @ x.astype(np.float64) - b) \
+            / np.linalg.norm(b)
+        assert res < 1e-4, res
+        # second solve reuses cached tips/reduced factors
+        B = np.random.RandomState(1).rand(6000, 3)
+        X = sk(B)
+        res2 = np.linalg.norm(As @ X.astype(np.float64) - B) \
+            / np.linalg.norm(B)
+        assert res2 < 1e-4, res2
+
+    def test_chunk_count_invariance(self):
+        from csparse3_tpu.linalg import StreamedSPIKE
+
+        A, As = self._sys(4000, seed=2)
+        b = np.random.RandomState(2).rand(4000)
+        x4 = StreamedSPIKE(A, P=4)(b)
+        x8 = StreamedSPIKE(A, P=8)(b)
+        np.testing.assert_allclose(x8, x4, rtol=1e-3, atol=1e-5)
+
+    def test_matches_dist_banded(self):
+        """Same answer as the mesh path (DistBandedLU.factor_device)."""
+        from csparse3_tpu.linalg import StreamedSPIKE
+        from csparse3_tpu.parallel import DistBandedLU
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < 4:
+            pytest.skip("needs 4 devices")
+        A, As = self._sys(5000, seed=3)
+        b = np.random.RandomState(3).rand(5000)
+        xs = StreamedSPIKE(A, P=4)(b)
+        xd = DistBandedLU.factor_device(
+            A, mesh=Mesh(np.array(devs[:4]), ("rows",)))(b)
+        np.testing.assert_allclose(xs, np.asarray(xd), rtol=2e-3,
+                                   atol=2e-5)
+
+    def test_unsymmetric_general_path(self):
+        from csparse3_tpu.linalg import StreamedSPIKE
+
+        n = 2000
+        rng = np.random.RandomState(5)
+        tri = sp.diags([rng.rand(n - 1), 4 + rng.rand(n),
+                        2 * rng.rand(n - 1)], [-1, 0, 1]).tocsc()
+        A = cst.CSC.from_scipy(tri)
+        sk = StreamedSPIKE(A, P=4, ordering=None)
+        b = rng.rand(n)
+        x = sk(b)
+        res = np.linalg.norm(tri @ x.astype(np.float64) - b) \
+            / np.linalg.norm(b)
+        assert res < 1e-4, res
+
+    def test_complex_via_embedding(self):
+        from csparse3_tpu.linalg import StreamedSPIKE
+        from csparse3_tpu.models.grids import synthetic_grid, ybus
+
+        n = 3000
+        g = synthetic_grid(n, seed=9)
+        Y, _, _ = ybus(g)
+        A = cst.add(Y, cst.diags(np.full(n, 2.0 + 0.3j)))
+        sk = StreamedSPIKE(A, P=4)
+        b = np.random.RandomState(4).rand(n) + \
+            1j * np.random.RandomState(5).rand(n)
+        x = sk(b)
+        As = A.to_scipy().tocsc()
+        res = np.linalg.norm(As @ x - b) / np.linalg.norm(b)
+        assert res < 1e-4, res
