@@ -751,40 +751,43 @@ def run_spgemm_tpu(reps: int):
     res = {"per": per, "reps": reps, "out_nnz": int(plan.out_nnz),
            "rel_err": rel, "correct": bool(rel < 1e-3)}
 
-    # config-2 second case: random 10k x 10k, 0.1% density (the
-    # rowgather XLA path; operands out of the fused-kernel regime)
+    # config-2 second case: random 10k x 10k, 0.1% density.  C = A A^T
+    # rides the SYMMETRY-folded GramPlan (r5): products for the lower
+    # triangle only, mirror composed into the host select maps — same
+    # trick as the native host gram kernel it is compared against
+    # (measured 1.2x over the generic plan; gathers are index-rate-bound)
     import scipy.sparse as sp
+
+    from csparse3_tpu.ops.spgemm import gram_symbolic
 
     a10 = sp.random(10_000, 10_000, density=1e-3, format="csc",
                     random_state=np.random.RandomState(0))
     A10 = cst.CSC.from_scipy(a10)
-    B10 = construct.transpose(A10)
-    plan10 = spgemm_symbolic(A10, B10)
+    plan10 = gram_symbolic(A10)
     a1 = jnp.asarray(np.asarray(A10.np_arrays()[2], np.float32))
-    b1 = jnp.asarray(np.asarray(B10.np_arrays()[2], np.float32))
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def chain10(a, b, R):
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain10(a, R):
         def body(c, _):
-            Cc = plan10.numeric(c, b)
+            Cc = plan10.numeric(c)
             s = 1.0 + 1e-12 * jnp.max(jnp.abs(Cc.data))
             return a * s, None
 
         o, _ = jax.lax.scan(body, a, None, length=R)
-        return plan10.numeric(o, b).data
+        return plan10.numeric(o).data
 
     reps10 = max(reps // 4, 4)
     R1 = max(reps10 // 4, 1)
-    c1 = chain10.lower(a1, b1, R1).compile()
-    c2 = chain10.lower(a1, b1, reps10).compile()
+    c1 = chain10.lower(a1, R1).compile()
+    c2 = chain10.lower(a1, reps10).compile()
     per10 = None
     out10 = None
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(c1(a1, b1)[:8])
+        np.asarray(c1(a1)[:8])
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out10 = np.asarray(c2(a1, b1))
+        out10 = np.asarray(c2(a1))
         t2 = time.perf_counter() - t0
         d = (t2 - t1) / (reps10 - R1)
         if d > 0 and (per10 is None or d < per10):
@@ -1822,6 +1825,17 @@ def main():
     else:
         extra["spgemm_bsr_error"] = str(gm.get("error",
                                                gm.get("rel_err", "?")))
+
+    # chip-state drift marker (VERDICT r4 item 4): the same substrate
+    # probe that opened the run, re-measured at the end — wobbly kinds
+    # correlate with the drift between these two numbers, separating
+    # "code got slower" from "chip state changed mid-run"
+    mx2 = _sub("mxu_f32", 32)
+    if mx2.get("tflops"):
+        extra["mxu_f32_tflops_end"] = round(mx2["tflops"], 2)
+        if mxu_fs:
+            extra["chip_state_drift"] = round(
+                mx2["tflops"] * 1e12 / mxu_fs, 3)
 
     nnz = extra.get("spmv_nnz", 0)
     spmv_nnz_s = nnz / extra["spmv_t_s"] if "spmv_t_s" in extra else 0.0

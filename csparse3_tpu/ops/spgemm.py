@@ -32,7 +32,8 @@ from ..config import get_config
 from ..types import CSC
 from . import construct
 
-__all__ = ["spgemm", "spgemm_symbolic", "SpGEMMPlan", "gram"]
+__all__ = ["spgemm", "spgemm_symbolic", "SpGEMMPlan", "gram",
+           "gram_symbolic", "GramPlan"]
 
 
 def _expanded_streams_np(a: CSC, b: CSC):
@@ -269,3 +270,134 @@ def spgemm_symbolic(a: CSC, b: CSC) -> SpGEMMPlan:
         pa_s, pb_s, gid, out_nnz,
         len(a.np_arrays()[1]), len(b.np_arrays()[1]))
     return plan
+
+
+class GramPlan:
+    """Reusable plan for C = A @ A.T exploiting symmetry on device.
+
+    The generic ``SpGEMMPlan`` gathers ~3 nnz(products) elements per
+    numeric pass (two value gathers + the output select) — gathers are
+    index-rate-bound on TPU (~0.4-0.7 G elem/s), so halving the product
+    stream is the lever.  This plan forms products ONLY for the lower
+    triangle of C (the host ``gram`` kernel's trick,
+    native/host_ext.cpp) and the mirror is FREE: the upper outputs'
+    select indices are composed with the mirror permutation on host, so
+    the final rowgather reads each lower value twice instead of running
+    a second gather pass (~2 nnz(products) gathered elements total).
+
+    ``numeric(a_vals)`` takes only A's value array (A.T values are the
+    same array through the host-composed transpose permutation).
+    Reference: csc_multiply_ff applied to (A, A^T) — test3's
+    A = C * C.t() flow (src/test/test3_lil_matrix.py).
+    """
+
+    def __init__(self, pa, pb, sel_full, tailpos, tailgid, ntail, pad,
+                 out_nnz, template):
+        self.pa = pa
+        self.pb = pb
+        self.sel_full = sel_full
+        self.tailpos = tailpos
+        self.tailgid = tailgid
+        self.ntail = ntail
+        self.pad = pad
+        self.out_nnz = out_nnz
+        self.template = template
+
+    def numeric(self, a_vals) -> CSC:
+        t = self.template
+        a_vals = jnp.asarray(a_vals)
+        ga = _rowgather(a_vals, self.pa, self.pad)
+        gb = _rowgather(a_vals, self.pb, self.pad)
+        w = ga * gb                       # lower-triangle products
+        if int(self.ntail):
+            tw = _rowgather(w, self.tailpos,
+                            -(-w.shape[0] // _ROWG_K) * _ROWG_K)
+            tails = jax.ops.segment_sum(tw, self.tailgid,
+                                        num_segments=int(self.ntail))
+            w2 = jnp.concatenate([w, tails])
+        else:
+            w2 = w
+        data = _rowgather(w2, self.sel_full,
+                          -(-w2.shape[0] // _ROWG_K) * _ROWG_K)
+        return CSC(t.m, t.n, t.indptr, t.indices, data, nnz=t.nnz,
+                   canonical=True)
+
+
+def gram_symbolic(a: CSC) -> GramPlan:
+    """Symbolic phase for C = A @ A.T with the symmetry folded into the
+    compress maps (see ``GramPlan``)."""
+    a = a if a.canonical else construct.canonicalize(a)
+    # transpose with value-tracking: B.data = A.data[tperm]
+    ipa, ixa, dta = a.np_arrays()
+    nnz_a = len(ixa)
+    track = CSC(a.m, a.n, ipa, ixa,
+                np.arange(nnz_a, dtype=np.float64), canonical=True)
+    bt = construct.transpose(track)
+    ipb, ixb, tpf = bt.np_arrays()
+    tperm = np.asarray(tpf, dtype=np.int64)
+    b = CSC(a.n, a.m, ipb, ixb, np.zeros(nnz_a, dta.dtype),
+            canonical=True)
+
+    cfg = get_config()
+    idx = np.dtype(cfg.index_dtype)
+    dtype = np.asarray(dta).dtype
+    a_pos, b_pos, out_cols, total = _expanded_streams_np(a, b)
+    if total == 0:
+        empty = CSC(a.m, a.m, jnp.zeros((a.m + 1,), cfg.index_dtype),
+                    jnp.zeros((0,), cfg.index_dtype),
+                    jnp.zeros((0,), dtype))
+        z = jnp.zeros((0,), jnp.int32)
+        return GramPlan(z, z, z, z, z, 0, _ROWG_K, 0, empty)
+
+    rows = np.asarray(ixa)[a_pos]
+    m = a.m
+    perm = np.argsort(out_cols.astype(np.int64) * m + rows,
+                      kind="stable")
+    r_s, c_s = rows[perm], out_cols[perm]
+    new = np.empty(total, dtype=bool)
+    new[0] = True
+    new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    gid = np.cumsum(new) - 1
+    out_nnz = int(gid[-1]) + 1
+    u_rows = r_s[new].astype(np.int64)
+    u_cols = c_s[new].astype(np.int64)
+    indptr = np.zeros(m + 1, dtype=idx)
+    indptr[1:] = np.cumsum(np.bincount(u_cols, minlength=m))
+    template = CSC(m, m, indptr, u_rows.astype(idx),
+                   np.zeros(out_nnz, dtype=dtype))
+
+    # ---- lower-triangle product stream --------------------------------
+    lower_prod = r_s >= c_s                     # gid-uniform by construction
+    pa_l = a_pos[perm][lower_prod].astype(np.int32)
+    # fold B.data = A.data[tperm] so numeric needs only a_vals
+    pb_l = tperm[b_pos[perm][lower_prod]].astype(np.int32)
+    lower_out = u_rows >= u_cols
+    nl = int(lower_out.sum())
+    lower_rank = np.cumsum(lower_out) - 1       # full slot -> lower rank
+    gl = lower_rank[gid[lower_prod]]
+    total_l = len(pa_l)
+    new_l = np.empty(total_l, dtype=bool)
+    new_l[0] = True
+    new_l[1:] = gl[1:] != gl[:-1]
+    seg_start = np.flatnonzero(new_l).astype(np.int32)
+    seg_len = np.diff(np.append(seg_start, total_l))
+    multi = seg_len > 1
+    tailpos = np.flatnonzero(multi[gl]).astype(np.int32)
+    tail_out = np.flatnonzero(multi).astype(np.int32)
+    ntail = len(tail_out)
+    tailgid = np.searchsorted(tail_out, gl[tailpos]).astype(np.int32)
+    sel_l = seg_start.copy()                    # per LOWER output
+    sel_l[multi] = total_l + np.arange(ntail, dtype=np.int32)
+
+    # ---- mirror composed on host: full slot -> lower w2 position ------
+    # slots sorted by key (col*m + row); the partner of (r, c) is (c, r)
+    key = u_cols * m + u_rows
+    partner = np.searchsorted(key, u_rows * m + u_cols)
+    src_slot = np.where(lower_out, np.arange(out_nnz), partner)
+    sel_full = sel_l[lower_rank[src_slot]].astype(np.int32)
+
+    pad = -(-max(nnz_a, 1) // _ROWG_K) * _ROWG_K
+    assert nl == len(sel_l)
+    return GramPlan(jnp.asarray(pa_l), jnp.asarray(pb_l),
+                    jnp.asarray(sel_full), jnp.asarray(tailpos),
+                    jnp.asarray(tailgid), ntail, pad, out_nnz, template)

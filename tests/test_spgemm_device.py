@@ -1,6 +1,7 @@
 """On-chip ESC SpGEMM (ops/spgemm_device.py) vs scipy."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -97,3 +98,52 @@ def test_inside_scan_new_values():
     got = _finalize(60, 60, *out)
     ref = (2.0 * A @ A).tocsc()
     assert abs(got - ref).max() < 1e-10
+
+
+class TestGramPlan:
+    """Symmetry-folded device gram (ops/spgemm.py::GramPlan, r5):
+    lower-triangle products + host-composed mirror select."""
+
+    def _check(self, n, dens, seed):
+        import scipy.sparse as sp
+
+        from csparse3_tpu.ops.spgemm import gram_symbolic
+
+        a = sp.random(n, n, density=dens, format="csc",
+                      random_state=np.random.RandomState(seed))
+        A = cst.CSC.from_scipy(a)
+        plan = gram_symbolic(A)
+        C = plan.numeric(jnp.asarray(np.asarray(A.np_arrays()[2])))
+        got = C.to_scipy().copy()
+        ref = (a @ a.T).tocsc()
+        assert abs(got - ref).max() < 1e-6
+
+    def test_matches_scipy(self):
+        self._check(300, 0.02, 0)
+        self._check(1000, 0.005, 1)
+        self._check(50, 0.2, 2)
+
+    def test_jit_and_reuse(self):
+        import scipy.sparse as sp
+
+        from csparse3_tpu.ops.spgemm import gram_symbolic
+
+        a = sp.random(400, 400, density=0.01, format="csc",
+                      random_state=np.random.RandomState(3))
+        A = cst.CSC.from_scipy(a)
+        plan = gram_symbolic(A)
+        d0 = jnp.asarray(np.asarray(A.np_arrays()[2]))
+        f = jax.jit(lambda d: plan.numeric(d).data)
+        x1 = np.asarray(f(d0))
+        # new values, same pattern
+        x2 = np.asarray(f(d0 * 2.0))
+        np.testing.assert_allclose(x2, 4.0 * x1, rtol=1e-6)
+
+    def test_empty(self):
+        import scipy.sparse as sp
+
+        from csparse3_tpu.ops.spgemm import gram_symbolic
+
+        E = cst.CSC.from_scipy(sp.csc_matrix((5, 5)))
+        plan = gram_symbolic(E)
+        assert plan.out_nnz == 0
