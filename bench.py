@@ -165,6 +165,26 @@ def run_spmv(reps: int, n: int = 200_000, plan_kind: str = "dia"):
             ktime, wtime = _spmv_kernel_trace(c1, plan, xr_d, xi_d, R1)
             out["kernel_us"] = ktime
             out["devloop_us"] = wtime
+            # SAME-timebase binding fraction: the kernel time above is
+            # device-timeline; pricing the model's op counts at
+            # WALL-measured substrate rates mixes timebases and
+            # inherits the substrate rig's chip-state variance (the
+            # r5 validation run read 56.8% purely because small_dot's
+            # wall measurement came out 23% hot).  Measure the two
+            # dominant substrate rates from device timelines too.
+            from csparse3_tpu.utils.roofline import (
+                measure_onehot_mix, measure_small_dot)
+
+            bm = out["binding_model"]
+            oh_tr = measure_onehot_mix(nt=3128, reps=512, trace=True)
+            sd_tr = measure_small_dot(nt=64, reps=8192, trace=True)
+            out["onehot_traced_telem"] = oh_tr / 1e12
+            out["small_dot_traced_tflops"] = sd_tr / 1e12
+            bound_tr = ((bm["vpu_ops"] / 2.0) / oh_tr
+                        + 2.0 * bm["mxu_macs"] / sd_tr)
+            out["bound_traced_us"] = round(bound_tr * 1e6, 1)
+            out["pct_binding_traced_nohbm"] = round(
+                100.0 * bound_tr * 1e6 / ktime, 1)
         except Exception as e:  # noqa: BLE001  (profiler optional)
             out["trace_error"] = str(e)[:120]
     return out
@@ -1568,27 +1588,37 @@ def main():
         extra["spmv_model_vpu_us"] = round(t_vpu * 1e6, 1)
         extra["spmv_model_mxu_us"] = round(t_mxu * 1e6, 1)
         extra["spmv_model_hbm_us"] = round(t_hbm * 1e6, 1)
-        if oh_rate and sd_rate:
-            # ACHIEVABLE-substrate roofline: the same op counts priced
-            # at the rates MEASURED for the kernel's exact op shapes
-            # (one-hot mix elements; 3-part small dots).  vpu_ops
-            # counts ~2 ops per one-hot element.
+        kus = a.get("kernel_us")
+        if kus:
+            extra["spmv_kernel_us"] = round(kus, 1)
+            if a.get("devloop_us"):
+                extra["spmv_scaffold_us"] = round(
+                    a["devloop_us"] - kus, 1)
+        if a.get("bound_traced_us") and kus:
+            # SAME-timebase binding fraction (r5): op counts priced at
+            # DEVICE-TIMELINE substrate rates over the device-timeline
+            # kernel time.  Wall-clock substrate rates swing with chip
+            # state while traced times are stable, so mixing timebases
+            # made the fraction inherit the rig's variance (r4 weak #6)
+            bound = a["bound_traced_us"] / 1e6 + t_hbm
+            extra["spmv_bound_us"] = round(bound * 1e6, 1)
+            extra["spmv_pct_binding"] = round(
+                100.0 * bound * 1e6 / kus, 1)
+            if a.get("onehot_traced_telem"):
+                extra["onehot_traced_telem"] = round(
+                    a["onehot_traced_telem"], 2)
+            if a.get("small_dot_traced_tflops"):
+                extra["small_dot_traced_tflops"] = round(
+                    a["small_dot_traced_tflops"], 1)
+            extra["spmv_pct_binding_wall"] = round(
+                100.0 * bound / per_spmv, 1)
+        elif oh_rate and sd_rate:
+            # fallback: wall-measured substrate rates (the r4 scheme)
             t_oh = (bm["vpu_ops"] / 2.0) / oh_rate
             t_sd = 2.0 * bm["mxu_macs"] / sd_rate
             bound = t_oh + t_sd + t_hbm
             extra["spmv_bound_us"] = round(bound * 1e6, 1)
-            # trace-backed denominator (VERDICT r4 item 2): the device
-            # timeline separates the Pallas kernel's own time from the
-            # chained harness's renorm scaffolding, which the model
-            # rightly does not price.  Binding fraction = bound /
-            # kernel-only device time; the wall variant (vs the full
-            # chained per-op wall time) is kept for continuity.
-            kus = a.get("kernel_us")
             if kus:
-                extra["spmv_kernel_us"] = round(kus, 1)
-                if a.get("devloop_us"):
-                    extra["spmv_scaffold_us"] = round(
-                        a["devloop_us"] - kus, 1)
                 extra["spmv_pct_binding"] = round(
                     100.0 * bound * 1e6 / kus, 1)
             extra["spmv_pct_binding_wall"] = round(

@@ -158,8 +158,47 @@ def measure_vpu_f32(mb: int = 8, reps: int = 64, K: int = 32,
     return 3.0 * K * n / per if per else 0.0
 
 
+def traced_loop_s(cfun, args, R):
+    """Device-timeline seconds-per-iteration of a compiled scan chain.
+
+    Runs ``cfun(*args)`` once under ``jax.profiler.trace`` and returns
+    (longest device-side while duration) / R — the same quantity the
+    wall-clock chained delta estimates, but read off the device
+    timeline.  The device timebase is far more stable than tunnel wall
+    clock (the spmv_bp kernel traced 205.5 us across chip states whose
+    wall measurements swung 2x), so rates measured this way can be
+    compared across runs — and, critically, against OTHER traced
+    rates: a binding fraction whose numerator and denominator come
+    from different timebases inherits the substrate rig's variance
+    (VERDICT r4 weak #6)."""
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    td = tempfile.mkdtemp(prefix="roofline_trace")
+    with jax.profiler.trace(td):
+        np.asarray(cfun(*args))
+    paths = sorted(glob.glob(f"{td}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    ev = d.get("traceEvents", [])
+    dev = {e.get("pid") for e in ev
+           if e.get("ph") == "M" and e.get("name") == "process_name"
+           and "TPU" in str(e.get("args", {}).get("name", ""))}
+    loop = 0.0
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") in dev
+                and e.get("name", "").startswith("while")):
+            loop = max(loop, float(e.get("dur", 0.0)))
+    if not loop:
+        raise RuntimeError("no device while-loop event in trace")
+    return loop / R / 1e6
+
+
 def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,
-                       reps: int = 256, trials: int = 3):
+                       reps: int = 256, trials: int = 3,
+                       trace: bool = False):
     """Measured rate of the one-hot BUILD+SELECT+REDUCE mix — the VPU
     substrate of the scattered-points SpMV kernel — in one-hot
     ELEMENTS/s ((T, E) compares -> f32 mask -> multiply -> reduce).
@@ -189,6 +228,10 @@ def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,
     r1 = max(reps // 4, 1)
     c1 = chain.lower(r0, w0, r1).compile()
     c2 = chain.lower(r0, w0, reps).compile()
+    if trace:
+        np.asarray(c2(r0, w0))  # warm
+        per = traced_loop_s(c2, (r0, w0), reps)
+        return nt * t * e / per
     per = None
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -204,7 +247,8 @@ def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,
 
 
 def measure_small_dot(nt: int = 64, kw: int = 9, t: int = 256,
-                      e: int = 128, reps: int = 8192, trials: int = 3):
+                      e: int = 128, reps: int = 8192, trials: int = 3,
+                      trace: bool = False):
     """Measured FLOP/s of the kernel's SMALL 3-part one-hot dot shape
     ((2KW, T) @ (T, E), batched) — about half the 4096-square DEFAULT
     matmul peak; the honest MXU denominator for the points kernel."""
@@ -239,6 +283,11 @@ def measure_small_dot(nt: int = 64, kw: int = 9, t: int = 256,
     r1 = max(reps // 8, 1)
     c1 = chain.lower(A0, B0, r1).compile()
     c2 = chain.lower(A0, B0, reps).compile()
+    macs = 3 * nt * 2 * kw * t * e
+    if trace:
+        np.asarray(c2(A0, B0))  # warm
+        per = traced_loop_s(c2, (A0, B0), reps)
+        return 2.0 * macs / per
     per = None
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -250,7 +299,6 @@ def measure_small_dot(nt: int = 64, kw: int = 9, t: int = 256,
         d = (t2 - t1) / (reps - r1)
         if d > 0 and (per is None or d < per):
             per = d
-    macs = 3 * nt * 2 * kw * t * e
     return 2.0 * macs / per if per else 0.0
 
 
