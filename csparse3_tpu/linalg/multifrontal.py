@@ -63,7 +63,7 @@ from .trisolve import TriSolvePlan
 
 __all__ = ["MultifrontalRefactor", "MultifrontalLU"]
 
-_BUCKETS = (32, 128)     # rmax boundaries: <=32, <=128, unbounded
+_BUCKETS = (16, 32, 64, 128, 256)     # rmax bucket boundaries
 
 
 def _groupby(keys, nkeys):
