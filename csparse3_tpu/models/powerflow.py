@@ -493,7 +493,12 @@ class NewtonPowerFlow:
             dva_i[self._keep[2]],
             dvm_i[self._keep[3]],
         ])
-        return stream[self._perm]
+        # canonical-order permutation via the rowgather substrate: the
+        # plain stream[perm] lowered to XLA's near-scalar gather and
+        # traced at ~1.4 ms/iteration at 10k (197k elements)
+        from ..ops.gather import rowgather
+
+        return rowgather(stream, self._perm)
 
     def _mismatch_f(self, vm, va, sbr, sbi, ygr=None, ygi=None):
         vr = vm * jnp.cos(va)
