@@ -194,23 +194,17 @@ def _spmv_kernel_trace(cfun, plan, xr, xi, R):
     """(kernel_us_per_op, loop_us_per_op) from a jax.profiler device
     timeline of one chained run: kernel = the band_points Pallas call,
     loop = the whole scan body (kernel + harness renorm)."""
-    import glob
-    import gzip
     import tempfile
 
     import jax
+
+    from csparse3_tpu.utils.roofline import device_trace_events
 
     td = tempfile.mkdtemp(prefix="spmv_trace")
     with jax.profiler.trace(td):
         o = cfun(plan, xr, xi)
         np.asarray(o[0])
-    paths = sorted(glob.glob(f"{td}/**/*.trace.json.gz", recursive=True))
-    with gzip.open(paths[-1]) as f:
-        d = json.load(f)
-    ev = d.get("traceEvents", [])
-    dev_pids = {e.get("pid") for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    ev, dev_pids = device_trace_events(td)
     kern = 0.0
     loop = 0.0
     for e in ev:
@@ -1168,7 +1162,8 @@ def run_spike1m(reps: int):
     vals = np.concatenate([bp, bp, -bp, -bp])
     A0 = cst.add(cst.from_triplets(rows, cols, vals, (N, N)),
                  cst.diags(np.full(N, 3.0)))
-    A = A0[rcm(A0), rcm(A0)]
+    perm = rcm(A0)
+    A = A0[perm, perm]
     t_build = time.perf_counter() - t0
     sk = StreamedSPIKE(A, P=8, ordering=None)
     b = np.random.RandomState(3).rand(N).astype(np.float32)

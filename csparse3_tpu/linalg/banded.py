@@ -667,7 +667,8 @@ class BandedLU:
             # that on device, and marshal complex RHS/solution through
             # the embedding.  Reference analogue: complex_ops.h.
             from . import ordering as ordering_mod
-            from ..ops.construct import real_equivalent
+            from ..ops.construct import (
+                complex_embed_block_size, real_equivalent)
 
             perm_c = np.asarray(ordering_mod.get_ordering(
                 "natural" if ordering is None else ordering, a))
@@ -675,7 +676,7 @@ class BandedLU:
                   else a[perm_c, perm_c])
             lu2, rf2 = cls.factor_device(
                 real_equivalent(ap), ordering=None,
-                s=(2 * s if s is not None else None), dtype=dtype,
+                s=complex_embed_block_size(s), dtype=dtype,
                 jit=jit)
             return ComplexBandedSolve(lu2, perm_c, a.n), rf2
         rf = BandedRefactor.from_matrix(a, ordering=ordering, s=s,
@@ -698,21 +699,11 @@ class ComplexBandedSolve:
         self.n = int(n)
 
     def solve(self, b):
-        b = np.asarray(b)
-        squeeze = b.ndim == 1
-        if squeeze:
-            b = b[:, None]
-        bp = b[self.perm_c]
-        b2 = np.empty((2 * self.n, b.shape[1]),
-                      dtype=np.float64 if b.real.dtype == np.float64
-                      else np.float32)
-        b2[0::2] = bp.real
-        b2[1::2] = bp.imag
+        from ..ops.construct import complex_rhs_to_real, real_x_to_complex
+
+        b2, squeeze = complex_rhs_to_real(b, self.perm_c)
         x2 = np.asarray(self.lu2(jnp.asarray(b2)))
-        xp = x2[0::2] + 1j * x2[1::2]
-        x = np.empty_like(xp)
-        x[self.perm_c] = xp
-        return x[:, 0] if squeeze else x
+        return real_x_to_complex(x2, self.perm_c, squeeze)
 
     __call__ = solve
 

@@ -112,7 +112,8 @@ class StreamedSPIKE:
             raise ValueError(f"requires a square matrix, got {a.shape}")
         Ap, Ai, Ax = a.np_arrays()
         if np.iscomplexobj(np.asarray(Ax)):
-            from ..ops.construct import real_equivalent
+            from ..ops.construct import (
+                complex_embed_block_size, real_equivalent)
 
             perm_c = np.asarray(ordering_mod.get_ordering(
                 "natural" if ordering is None else ordering, a))
@@ -120,7 +121,7 @@ class StreamedSPIKE:
                   else a[perm_c, perm_c])
             self._inner = StreamedSPIKE(
                 real_equivalent(ap), P=P, ordering=None,
-                s=(2 * s if s is not None else None), dtype=dtype)
+                s=complex_embed_block_size(s), dtype=dtype)
             self._cplx_perm = perm_c
             self.n = n
             return
@@ -182,15 +183,21 @@ class StreamedSPIKE:
                 selE = mE & (ch == p)
                 idxE_p.append(loc[selE])
                 valE_p.append(vals[selE])
-        # unit diagonal on the padded tail slots (last chunk)
+        # unit diagonal on the padded tail slots, appended to each pad
+        # row's OWNING chunk (pad blocks can span several trailing
+        # chunks when floor(n/s) < (P-1)*m; lumping them onto the last
+        # chunk left earlier chunks with singular all-zero D blocks)
         padr = np.arange(n, nb * s, dtype=np.int64)
         if len(padr):
             pk = padr // s
-            ploc = (pk - (pk // m) * m) * (s * s) + (padr % s) * s \
+            pch = pk // m
+            ploc = (pk - pch * m) * (s * s) + (padr % s) * s \
                 + (padr % s)
-            idxD_p[-1] = np.concatenate([idxD_p[-1], ploc])
-            valD_p[-1] = np.concatenate(
-                [valD_p[-1], np.ones(len(padr), dtype=dtype)])
+            for p in np.unique(pch):
+                selp = pch == p
+                idxD_p[p] = np.concatenate([idxD_p[p], ploc[selp]])
+                valD_p[p] = np.concatenate(
+                    [valD_p[p], np.ones(int(selp.sum()), dtype=dtype)])
         # pad per-chunk streams to a common length (idx 0 += 0.0 no-ops)
         LD = max(len(x) for x in idxD_p)
         LF = max(max(len(x) for x in idxF_p), 1)
@@ -247,6 +254,16 @@ class StreamedSPIKE:
                 return jnp.stack([Wt, Wb, Vt, Vb]), g
 
             @jax.jit
+            def _chunk_warm(iD, vD, iF, vF, bb):
+                """Tips-free pass 1 for warm solves (tips cached): the
+                ~8 m s^3 spike-tip flops — comparable to the
+                factorization itself — would otherwise be recomputed
+                and discarded on every solve."""
+                si, uh = thomas_factor_device_sym(
+                    _assemble(iD, vD), _assemble(iF, vF))
+                return thomas_sweeps_sym(si, uh, bb)
+
+            @jax.jit
             def _chunk2(iD, vD, iF, vF, Bp, Cp, g, x_prev_b, x_next_t):
                 """Second visit: refactor + boundary-correction sweep."""
                 si, uh = thomas_factor_device_sym(
@@ -261,6 +278,8 @@ class StreamedSPIKE:
             self._pass1 = lambda p, bb: _chunk(
                 self._iD[p], self._vD[p], self._iF[p], self._vF[p],
                 self._Bp(p), self._C[p], bb)
+            self._pass1_warm = lambda p, bb: _chunk_warm(
+                self._iD[p], self._vD[p], self._iF[p], self._vF[p], bb)
             self._pass2 = lambda p, g, xp, xn: _chunk2(
                 self._iD[p], self._vD[p], self._iF[p], self._vF[p],
                 self._Bp(p), self._C[p], g, xp, xn)
@@ -274,6 +293,13 @@ class StreamedSPIKE:
                                                    ehat=eh)
                 g = thomas_sweeps(eh, si, uh, bb)
                 return jnp.stack([Wt, Wb, Vt, Vb]), g
+
+            @jax.jit
+            def _chunk_warm_g(iD, vD, iE, vE, iF, vF, bb):
+                eh, si, uh = thomas_factor_device(
+                    _assemble(iD, vD), _assemble(iE, vE),
+                    _assemble(iF, vF))
+                return thomas_sweeps(eh, si, uh, bb)
 
             @jax.jit
             def _chunk2_g(iD, vD, iE, vE, iF, vF, Bp, Cp, g, x_prev_b,
@@ -291,6 +317,9 @@ class StreamedSPIKE:
             self._pass1 = lambda p, bb: _chunk_g(
                 self._iD[p], self._vD[p], self._iE[p], self._vE[p],
                 self._iF[p], self._vF[p], self._Bp(p), self._C[p], bb)
+            self._pass1_warm = lambda p, bb: _chunk_warm_g(
+                self._iD[p], self._vD[p], self._iE[p], self._vE[p],
+                self._iF[p], self._vF[p], bb)
             self._pass2 = lambda p, g, xp, xn: _chunk2_g(
                 self._iD[p], self._vD[p], self._iE[p], self._vE[p],
                 self._iF[p], self._vF[p], self._Bp(p), self._C[p], g,
@@ -307,21 +336,12 @@ class StreamedSPIKE:
     def solve(self, b):
         """x = A^{-1} b; b (n,) or (n, B) — two streamed passes."""
         if self._inner is not None:
-            b = np.asarray(b)
-            squeeze = b.ndim == 1
-            if squeeze:
-                b = b[:, None]
-            bp = b[self._cplx_perm]
-            b2 = np.empty((2 * self.n, b.shape[1]),
-                          dtype=np.float64 if b.real.dtype == np.float64
-                          else np.float32)
-            b2[0::2] = bp.real
-            b2[1::2] = bp.imag
-            x2 = self._inner.solve(b2)
-            xp = x2[0::2] + 1j * x2[1::2]
-            x = np.empty_like(xp)
-            x[self._cplx_perm] = xp
-            return x[:, 0] if squeeze else x
+            from ..ops.construct import (
+                complex_rhs_to_real, real_x_to_complex)
+
+            b2, squeeze = complex_rhs_to_real(b, self._cplx_perm)
+            return real_x_to_complex(self._inner.solve(b2),
+                                     self._cplx_perm, squeeze)
         b = np.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -332,15 +352,23 @@ class StreamedSPIKE:
         bp[:n] = b[self.perm]
         bb = bp.reshape(Pn, m, s, -1)
 
-        # ---- pass 1: tips (cached) + locally swept RHS ------------------
-        first = self._tips is None
+        # ---- pass 1: tips (cached; skipped warm) + locally swept RHS ----
+        first = self._tips is None and Pn > 1
         tips = [] if first else None
         gs = []
         for p in range(Pn):
-            t_p, g_p = self._pass1(p, jnp.asarray(bb[p]))
-            gs.append(g_p)
             if first:
+                t_p, g_p = self._pass1(p, jnp.asarray(bb[p]))
                 tips.append(t_p)
+            else:
+                g_p = self._pass1_warm(p, jnp.asarray(bb[p]))
+            gs.append(g_p)
+        if Pn == 1:
+            # single chunk: no interfaces, g IS the solution
+            xf = np.asarray(gs[0]).reshape(nbs, -1)[:n]
+            res = np.empty_like(xf)
+            res[self.perm] = xf
+            return res[:, 0] if squeeze else res
         if first:
             T = jnp.stack(tips)                       # (P, 4, s, s)
             self._tips = T

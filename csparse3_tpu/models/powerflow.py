@@ -612,7 +612,7 @@ class NewtonPowerFlow:
                 break
             J = _jacobian(self.Y, v, ibus, pvpq, pq)
             lu = splu(J, ordering="auto")   # true partial pivoting
-            dx = np.asarray(lu.solve(jnp.asarray(-f)))
+            dx = np.asarray(lu.solve_host(-f))
             va[pvpq] += dx[: self._npvpq]
             vm[pq] += dx[self._npvpq:]
         return vm, va, it, nrm

@@ -316,6 +316,42 @@ def real_equivalent(a: CSC, interleave: bool = True) -> CSC:
     return from_triplets(r2, c2, v2, (2 * a.m, 2 * a.n))
 
 
+def complex_rhs_to_real(b, perm):
+    """Host-side inbound marshalling for the split-complex interleaved
+    embedding (``real_equivalent``): apply the complex-level ordering
+    and interleave re/im into a real (2n, B) array.  Returns
+    (b2, squeeze) — pair with ``real_x_to_complex``.  Shared by the
+    three complex-capable banded solvers."""
+    b = np.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    bp = b[perm]
+    b2 = np.empty((2 * b.shape[0], b.shape[1]),
+                  dtype=np.float64 if b.real.dtype == np.float64
+                  else np.float32)
+    b2[0::2] = bp.real
+    b2[1::2] = bp.imag
+    return b2, squeeze
+
+
+def real_x_to_complex(x2, perm, squeeze):
+    """Outbound half of ``complex_rhs_to_real``."""
+    x2 = np.asarray(x2)
+    xp = x2[0::2] + 1j * x2[1::2]
+    x = np.empty_like(xp)
+    x[perm] = xp
+    return x[:, 0] if squeeze else x
+
+
+def complex_embed_block_size(s):
+    """Block-size mapping for the interleaved embedding: bandwidth maps
+    bw -> 2*bw + 1, so a block size that was legal for the complex
+    system (s >= bw) must map to >= 2*s + 1; +8 keeps lane-multiple
+    sizes lane-multiple."""
+    return None if s is None else 2 * s + 8
+
+
 def canonicalize(a: CSC, *, sum_duplicates=True) -> CSC:
     """Sort rows within columns + merge duplicates
     (reference: csr_sort_indices csr.h:358 + csr_sum_duplicates csr.h:1030)."""

@@ -414,22 +414,11 @@ class DistBandedLU:
     def _solve_complex(self, b):
         """Complex RHS through the split-complex real embedding built by
         ``factor_device`` on a complex matrix."""
-        b = np.asarray(b)
-        squeeze = b.ndim == 1
-        if squeeze:
-            b = b[:, None]
-        nc = self._cplx_n
-        bp = b[self._cplx_perm]
-        b2 = np.empty((2 * nc, b.shape[1]),
-                      dtype=np.float64 if b.real.dtype == np.float64
-                      else np.float32)
-        b2[0::2] = bp.real
-        b2[1::2] = bp.imag
+        from ..ops.construct import complex_rhs_to_real, real_x_to_complex
+
+        b2, squeeze = complex_rhs_to_real(b, self._cplx_perm)
         x2 = self.unblocks(self.solve_blocks(self.blocks(b2)))
-        xp = x2[0::2] + 1j * x2[1::2]
-        x = np.empty_like(xp)
-        x[self._cplx_perm] = xp
-        return x[:, 0] if squeeze else x
+        return real_x_to_complex(x2, self._cplx_perm, squeeze)
 
     def solve(self, b):
         """x = A^{-1} b — alias of ``__call__`` (SparseLU-compatible)."""
@@ -467,7 +456,8 @@ class DistBandedLU:
             # RHS/solution through the embedding.  Reference analogue:
             # complex_ops.h (complex first-class in the kernel matrix).
             from ..linalg import ordering as ordering_mod
-            from ..ops.construct import real_equivalent
+            from ..ops.construct import (
+                complex_embed_block_size, real_equivalent)
 
             perm_c = np.asarray(ordering_mod.get_ordering(
                 "natural" if ordering is None else ordering, a))
@@ -475,7 +465,7 @@ class DistBandedLU:
                   else a[perm_c, perm_c])
             dk = cls.factor_device(
                 real_equivalent(ap), mesh=mesh, ordering=None,
-                s=(2 * s if s is not None else None), dtype=dtype,
+                s=complex_embed_block_size(s), dtype=dtype,
                 reduced_store=reduced_store)
             dk._cplx_perm = perm_c
             dk._cplx_n = a.n

@@ -171,21 +171,12 @@ def traced_loop_s(cfun, args, R):
     rates: a binding fraction whose numerator and denominator come
     from different timebases inherits the substrate rig's variance
     (VERDICT r4 weak #6)."""
-    import glob
-    import gzip
-    import json
     import tempfile
 
     td = tempfile.mkdtemp(prefix="roofline_trace")
     with jax.profiler.trace(td):
         np.asarray(cfun(*args))
-    paths = sorted(glob.glob(f"{td}/**/*.trace.json.gz", recursive=True))
-    with gzip.open(paths[-1]) as f:
-        d = json.load(f)
-    ev = d.get("traceEvents", [])
-    dev = {e.get("pid") for e in ev
-           if e.get("ph") == "M" and e.get("name") == "process_name"
-           and "TPU" in str(e.get("args", {}).get("name", ""))}
+    ev, dev = device_trace_events(td)
     loop = 0.0
     for e in ev:
         if (e.get("ph") == "X" and e.get("pid") in dev
@@ -194,6 +185,34 @@ def traced_loop_s(cfun, args, R):
     if not loop:
         raise RuntimeError("no device while-loop event in trace")
     return loop / R / 1e6
+
+
+def device_trace_events(trace_dir, cleanup=True):
+    """Parse a ``jax.profiler.trace`` output directory.
+
+    Returns (events, device_pids): the Chrome-trace event list and the
+    pids of TPU device tracks.  ``cleanup`` removes the trace directory
+    after parsing (traces accumulate tens of MB per bench run).  The
+    single copy of the profiler-format plumbing shared by
+    ``traced_loop_s`` and bench.py's kernel trace."""
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                             recursive=True))
+    if not paths:
+        raise RuntimeError(f"no trace under {trace_dir}")
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    if cleanup:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+    ev = d.get("traceEvents", [])
+    dev = {e.get("pid") for e in ev
+           if e.get("ph") == "M" and e.get("name") == "process_name"
+           and "TPU" in str(e.get("args", {}).get("name", ""))}
+    return ev, dev
 
 
 def measure_onehot_mix(nt: int = 782, t: int = 256, e: int = 128,

@@ -48,7 +48,8 @@ def main(R=40):
     vls = np.concatenate([bp, bp, -bp, -bp])
     A0 = cst.add(cst.from_triplets(rws, cls, vls, (N, N)),
                  cst.diags(np.full(N, 3.0)))
-    A = A0[rcm(A0), rcm(A0)] if False else A0[rcm(A0), rcm(A0)]
+    perm = rcm(A0)
+    A = A0[perm, perm]
     mesh = Mesh(np.array(devs), ("rows",))
     part = partition_rows(A, n_dev)
     print(f"partition: {part.strategy} k={part.k}")

@@ -389,3 +389,57 @@ class TestStreamedSPIKE:
         As = A.to_scipy().tocsc()
         res = np.linalg.norm(As @ x - b) / np.linalg.norm(b)
         assert res < 1e-4, res
+
+
+    def test_pad_blocks_span_trailing_chunks(self):
+        """Regression (r5 review): when padding extends beyond the last
+        chunk, each pad block's unit diagonal must land in its OWNING
+        chunk — lumping them onto the last chunk left earlier chunks
+        with singular all-zero D blocks (NaN solve)."""
+        from csparse3_tpu.linalg import StreamedSPIKE
+
+        n = 136   # s=8 -> nblk=17, m=3, nb=24: pad blocks 17..23
+        main = 4.0 * np.ones(n)
+        off = -np.ones(n - 1)
+        A_sp = sp.diags([off, main, off], [-1, 0, 1]).tocsc()
+        A = cst.CSC.from_scipy(A_sp)
+        sk = StreamedSPIKE(A, P=8, ordering=None, s=8)
+        b = np.random.RandomState(7).rand(n)
+        x = sk(b)
+        assert np.isfinite(x).all()
+        res = np.linalg.norm(A_sp @ x.astype(np.float64) - b) \
+            / np.linalg.norm(b)
+        assert res < 1e-4, res
+
+    def test_single_chunk(self):
+        """Regression (r5 review): P=1 has no interfaces — the local
+        sweep IS the solution (the reduced factor would crash on a
+        zero-length scan)."""
+        from csparse3_tpu.linalg import StreamedSPIKE
+
+        A, As = self._sys(2000, seed=6)
+        sk = StreamedSPIKE(A, P=1)
+        b = np.random.RandomState(8).rand(2000)
+        x = sk(b)
+        res = np.linalg.norm(As @ x.astype(np.float64) - b) \
+            / np.linalg.norm(b)
+        assert res < 1e-4, res
+
+    def test_complex_explicit_block_size(self):
+        """Regression (r5 review): a block size that was legal for the
+        complex system (s >= bw) must stay legal after the interleaved
+        embedding doubles the bandwidth."""
+        from csparse3_tpu.linalg import StreamedSPIKE, bandwidth
+
+        n = 600
+        rng = np.random.RandomState(9)
+        diags_c = [rng.rand(n - 2) + 1j * rng.rand(n - 2),
+                   4 + rng.rand(n) + 0.5j,
+                   rng.rand(n - 2) - 1j * rng.rand(n - 2)]
+        A_sp = sp.diags(diags_c, [-2, 0, 2]).tocsc()
+        A = cst.CSC.from_scipy(A_sp)
+        sk = StreamedSPIKE(A, P=2, ordering=None, s=8)  # s=8 >= bw=2
+        b = rng.rand(n) + 1j * rng.rand(n)
+        x = sk(b)
+        res = np.linalg.norm(A_sp @ x - b) / np.linalg.norm(b)
+        assert res < 1e-4, res
