@@ -25,8 +25,8 @@ path buys an O(chunk) memory footprint (~6 GB transient at 1M/s=2560)
 and ~MB-scale transfers.  That is the right trade on this hardware: the
 chip factors a 125k x s=2560 chunk in ~0.1-0.5 s while the tunnel would
 need minutes to move one chunk's factor stacks.  Measured on the real
-chip (examples/spike_1m_real_chip.py): 1M nodes factor+solve in ~10 s
-warm, rel resid 4e-6 — vs 1627 s for the same matrix on the 8-device
+chip (examples/spike_1m_real_chip.py): 1M nodes factor+solve in
+~8-29 s warm across chip states (min 7.8), rel resid 4e-6 — vs 1627 s for the same matrix on the 8-device
 virtual CPU mesh (DIST1M_r04.json).
 
 Symmetric matrices take the E-free fast path; general banded systems
