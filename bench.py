@@ -1540,6 +1540,12 @@ def main():
     # bandwidth-bound kernels (BASELINE.md "% of per-chip roofline")
     bwp = _sub("hbm_bw", 64)
     hbm_bw = bwp.get("bw_bytes_per_s") or 0.0
+    # v5e HBM spec is 819 GB/s; a reading above it is a wall-clock flake
+    # (one run recorded 1003).  Retry and keep the conservative minimum.
+    if hbm_bw > 850e9:
+        extra["hbm_bw_implausible_gbs"] = round(hbm_bw / 1e9, 1)
+        bwp2 = _sub("hbm_bw", 64)
+        hbm_bw = min(hbm_bw, bwp2.get("bw_bytes_per_s") or hbm_bw)
     if hbm_bw:
         extra["hbm_bw_gbs"] = hbm_bw / 1e9
         if per_spmv and spmv_bytes:
@@ -1676,12 +1682,26 @@ def main():
 
     for kind, tag in (("factor10k", "factor10k"), ("factor100k",
                                                    "factor100k")):
-        a = _sub(kind, 12, timeout=900, attempts=2)
-        per_f = a.get("per")
-        if a.get("correct") is False:
-            per_f = None
-            a.setdefault("error", f"wrong result (rel_err={a.get('rel_err')},"
-                                  f" fwd={a.get('fwd_err')})")
+        # physical-sanity retry (VERDICT r4 weak #3): a chained-delta
+        # flake once recorded 479 "TFLOPS" on a 31-TFLOPS chip; any
+        # implied rate above 1.2x the measured matmul peak is discarded
+        # and the kind re-measured (conservative: slower trial wins)
+        per_f = None
+        a = {}
+        for _attempt in range(3):
+            a = _sub(kind, 12, timeout=900, attempts=2)
+            cand = a.get("per")
+            if a.get("correct") is False:
+                a.setdefault("error",
+                             f"wrong result (rel_err={a.get('rel_err')},"
+                             f" fwd={a.get('fwd_err')})")
+                continue
+            if cand and a.get("flops") and mxu_fs and \
+                    a["flops"] / cand > 1.2 * mxu_fs:
+                extra[f"{tag}_implausible_s"] = cand
+                continue
+            per_f = cand
+            break
         if per_f:
             extra[f"{tag}_device_s"] = per_f
             extra[f"{tag}_sym_s"] = a["sym_s"]
@@ -1690,7 +1710,8 @@ def main():
             if "fwd_err" in a:
                 extra[f"{tag}_fwd_err"] = a["fwd_err"]
         else:
-            extra[f"{tag}_error"] = str(a.get("error", "no delta"))
+            extra[f"{tag}_error"] = str(a.get("error",
+                                              "no plausible delta"))
 
     # refactor: min over TWO fresh subprocesses with a spread bound —
     # a headline metric is only recorded when the two runs agree within
