@@ -378,10 +378,15 @@ def retarget_solve_plan(obj, Lx, Ux, with_diag: bool = False):
     the ``_l_offpos``/``_u_offpos``/``_u_diagpos`` gather positions):
     gather the freshly factored values into the stored solve plans and
     return a SolvePlan (plus the U diagonal when ``with_diag``)."""
+    from ..ops.gather import ROWG_K, rowgather
+
     X = jnp.concatenate([Lx, Ux])
-    l_off = X[obj._l_offpos]
-    u_off = X[obj._u_offpos]
-    u_diag = X[obj._u_diagpos]
+    # rowgather substrate: the three plain X[pos] gathers (~lnz+unz
+    # elements total) lower to XLA's near-scalar gather otherwise
+    pad = -(-max(int(X.shape[0]), 1) // ROWG_K) * ROWG_K
+    l_off = rowgather(X, obj._l_offpos, pad)
+    u_off = rowgather(X, obj._u_offpos, pad)
+    u_diag = rowgather(X, obj._u_diagpos, pad)
     lplan = RefactorPlan._retarget(
         obj, obj._ltpl, obj._l_slab, l_off,
         jnp.ones(obj.n, dtype=X.dtype), obj._l_slab[2])

@@ -177,3 +177,34 @@ def test_real_equivalent_interleaved_and_block():
     # real input passes through untouched
     R = cst.CSC.from_dense(np.eye(4))
     assert real_equivalent(R) is R
+
+
+def test_rowgather_edge_cases():
+    """Direct unit tests for the ops/gather.py substrate (exactness,
+    empty index set, pad_to handling, integer dtypes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from csparse3_tpu.ops.gather import ROWG_K, rowgather
+
+    rng = np.random.RandomState(0)
+    v = rng.rand(1000).astype(np.float32)
+    idx = rng.randint(0, 1000, 5000).astype(np.int32)
+    got = np.asarray(rowgather(jnp.asarray(v), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, v[idx])   # exact, not approx
+
+    # explicit pad_to (precomputed multiple of K)
+    pad = -(-1000 // ROWG_K) * ROWG_K + ROWG_K
+    got2 = np.asarray(rowgather(jnp.asarray(v), jnp.asarray(idx), pad))
+    np.testing.assert_array_equal(got2, v[idx])
+
+    # empty index set
+    e = np.asarray(rowgather(jnp.asarray(v),
+                             jnp.zeros((0,), np.int32)))
+    assert e.shape == (0,)
+
+    # int64 indices, f64 values (x64 suite)
+    v64 = rng.rand(100)
+    i64 = rng.randint(0, 100, 300)
+    got3 = np.asarray(rowgather(jnp.asarray(v64), jnp.asarray(i64)))
+    np.testing.assert_array_equal(got3, v64[i64])
