@@ -433,12 +433,15 @@ class TestStreamedSPIKE:
 
         n = 600
         rng = np.random.RandomState(9)
-        diags_c = [rng.rand(n - 2) + 1j * rng.rand(n - 2),
+        # s == bw is the failure boundary: the interleaved embedding
+        # has bandwidth 2*bw + 1 = 17, so the old 2*s mapping (16)
+        # raised; only a mapping >= 2*s + 1 passes
+        diags_c = [rng.rand(n - 8) + 1j * rng.rand(n - 8),
                    4 + rng.rand(n) + 0.5j,
-                   rng.rand(n - 2) - 1j * rng.rand(n - 2)]
-        A_sp = sp.diags(diags_c, [-2, 0, 2]).tocsc()
+                   rng.rand(n - 8) - 1j * rng.rand(n - 8)]
+        A_sp = sp.diags(diags_c, [-8, 0, 8]).tocsc()
         A = cst.CSC.from_scipy(A_sp)
-        sk = StreamedSPIKE(A, P=2, ordering=None, s=8)  # s=8 >= bw=2
+        sk = StreamedSPIKE(A, P=2, ordering=None, s=8)  # s == bw == 8
         b = rng.rand(n) + 1j * rng.rand(n)
         x = sk(b)
         res = np.linalg.norm(A_sp @ x - b) / np.linalg.norm(b)
