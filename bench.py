@@ -1871,15 +1871,33 @@ def main():
     elif "error" in gm:
         extra["spgemm_error"] = str(gm["error"])
 
-    gm = _sub("spgemm_tpu", 64, timeout=600)
-    if gm.get("correct") and gm.get("per"):
-        extra["spgemm_tpu_nnz_per_s"] = gm["out_nnz"] / gm["per"]
-        if gm.get("per10"):
-            extra["spgemm_tpu10k_nnz_per_s"] = (
-                gm["out_nnz10"] / gm["per10"])
+    # two fresh subprocesses with the min-unless-2x rule (the 10k case
+    # is gather-rate-bound and one run measured a 6x chip-state
+    # collapse while the SAME subprocess's Pallas 3k case was fast)
+    runs3k, runs10k = [], []
+    gm = {}
+    for _ in range(2):
+        gm = _sub("spgemm_tpu", 64, timeout=600)
+        if gm.get("correct") and gm.get("per"):
+            runs3k.append(gm["out_nnz"] / gm["per"])
+            if gm.get("per10"):
+                runs10k.append(gm["out_nnz10"] / gm["per10"])
+    if runs3k:
+        sp3 = max(runs3k) / min(runs3k)
+        extra["spgemm_tpu_nnz_per_s"] = (
+            max(runs3k) if sp3 <= 2.0 else min(runs3k))
+        extra["spgemm_tpu_spread"] = round(sp3, 2)
     else:
         extra["spgemm_tpu_error"] = str(gm.get("error",
                                                gm.get("rel_err", "?")))
+    if runs10k:
+        sp10 = max(runs10k) / min(runs10k)
+        # rates: the conservative pick under disagreement is the LOWER
+        extra["spgemm_tpu10k_nnz_per_s"] = (
+            max(runs10k) if sp10 <= 2.0 else min(runs10k))
+        extra["spgemm_tpu10k_spread"] = round(sp10, 2)
+        if sp10 > 2.0:
+            extra["spgemm_tpu10k_unstable"] = True
 
     gm = _sub("spgemm_bsr", 12, timeout=600)
     if gm.get("correct") and gm.get("per"):
