@@ -814,6 +814,26 @@ def run_spgemm_tpu(reps: int):
     res.update({"per10": per10, "out_nnz10": int(plan10.out_nnz),
                 "rel_err10": rel10,
                 "correct": bool(res["correct"] and rel10 < 1e-3)})
+    # device-timeline per-op (stable across chip states, like the
+    # spmv_bp kernel trace): wall measurements of this gather-bound
+    # pass swing up to 6x with chip state
+    try:
+        import tempfile
+
+        from csparse3_tpu.utils.roofline import device_trace_events
+
+        td = tempfile.mkdtemp(prefix="spgemm_trace")
+        with jax.profiler.trace(td):
+            np.asarray(c2(a1)[:8])
+        ev, dev = device_trace_events(td)
+        loop = max((float(e.get("dur", 0.0)) for e in ev
+                    if e.get("ph") == "X" and e.get("pid") in dev
+                    and e.get("name", "").startswith("while")),
+                   default=0.0)
+        if loop:
+            res["per10_dev"] = loop / reps10 / 1e6
+    except Exception as e:  # noqa: BLE001
+        res["trace_error"] = str(e)[:120]
     return res
 
 
@@ -1875,6 +1895,7 @@ def main():
     # is gather-rate-bound and one run measured a 6x chip-state
     # collapse while the SAME subprocess's Pallas 3k case was fast)
     runs3k, runs10k = [], []
+    dev10 = []
     gm = {}
     for _ in range(2):
         gm = _sub("spgemm_tpu", 64, timeout=600)
@@ -1882,6 +1903,10 @@ def main():
             runs3k.append(gm["out_nnz"] / gm["per"])
             if gm.get("per10"):
                 runs10k.append(gm["out_nnz10"] / gm["per10"])
+            if gm.get("per10_dev"):
+                dev10.append(gm["out_nnz10"] / gm["per10_dev"])
+    if dev10:
+        extra["spgemm_tpu10k_dev_nnz_per_s"] = max(dev10)
     if runs3k:
         sp3 = max(runs3k) / min(runs3k)
         extra["spgemm_tpu_nnz_per_s"] = (
@@ -1942,6 +1967,7 @@ def main():
         "refactor_general10k_per_s", "refactor_general10k_spread",
         "spgemm_nnz_per_s", "spgemm_tpu_nnz_per_s",
         "spgemm10k_nnz_per_s", "spgemm_tpu10k_nnz_per_s",
+        "spgemm_tpu10k_dev_nnz_per_s",
         "spmv_1m_real_s", "factor_1m_real_s", "solve_1m_real_resid",
     )
     def _short(v):
